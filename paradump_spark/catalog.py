@@ -1,0 +1,99 @@
+"""Dataset catalog — the Spark restatement of the reference's table lister
+(S1, src/paradump/paradump.go:1309-1368) and name-exclusion filter
+(P5, :1356-1366), generalized over parquet directories and Spark catalogs.
+
+Known primary keys for the driver-provided TPC-H-ish testdata are declared
+here so split planning and diff have PK metadata without a live DB.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from paradump_spark.meta import TableMeta, meta_from_dataframe
+
+# PKs of the driver testdata tables (TESTDATA.md).
+TESTDATA_PRIMARY_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],  # composite PK
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+@dataclass
+class ParquetCatalog:
+    """A directory of ``<table>.parquet`` files acting as one schema.
+
+    ``list_tables(excludes)`` mirrors the reference semantics: enumerate
+    base tables, drop any whose qualified name contains an exclusion
+    substring (src/paradump/paradump.go:1356-1366).
+    """
+
+    spark: SparkSession
+    root: str
+    db_name: str = "testdata"
+
+    def list_tables(self, excludes: list[str] | None = None) -> list[str]:
+        names = sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(self.root)
+            if f.endswith(".parquet")
+        )
+        if excludes:
+            names = [
+                n
+                for n in names
+                if not any(x in f"{self.db_name}.{n}" for x in excludes)
+            ]
+        return names
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.parquet")
+
+    def load(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def meta(self, table: str) -> TableMeta:
+        """Introspect (S2 analogue): schema from parquet footer, size from fs."""
+        df = self.load(table)
+        p = self.path(table)
+        size = _path_size(p)
+        return meta_from_dataframe(
+            self.db_name,
+            table,
+            df.schema,
+            primary_key=TESTDATA_PRIMARY_KEYS.get(table, []),
+            size_bytes=size,
+        )
+
+    def load_all(self, excludes: list[str] | None = None) -> dict[str, DataFrame]:
+        """All tables, largest-first — the reference schedules big tables
+        first (O4, src/paradump/paradump.go:1414); with lazy DataFrames the
+        ordering matters only when the caller submits jobs in list order."""
+        names = self.list_tables(excludes)
+        names.sort(key=lambda n: _path_size(self.path(n)), reverse=True)
+        return {n: self.load(n) for n in names}
+
+
+def _path_size(p: str) -> int:
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(p)
+            for f in fs
+        )
+    return os.path.getsize(p) if os.path.exists(p) else 0
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> ParquetCatalog:
+    return ParquetCatalog(spark, sf_dir)

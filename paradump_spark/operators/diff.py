@@ -1,0 +1,151 @@
+"""Table diff — the Spark restatement of parasync's sorted-merge full-outer
+diff (J1, src/parasync/parasync.go:2937-3030) and its stats monitor
+(A2, :3250-3343).
+
+The reference sorts both chunks' rows *as strings* over all columns and
+merge-walks them, classifying src-only -> INSERT, dst-only -> DELETE,
+PK-equal-payload-different -> UPDATE, parsing temporal columns on the fly
+(compareRow, src/parasync/parasync.go:2819-2910).
+
+Spark-first restatement: ONE full-outer join on the PK, then classify with
+null-safe payload comparison.  Catalyst picks sort-merge join (the exact
+algorithm the reference hand-rolls) or broadcast when one side is small; AQE
+splits skewed PK ranges at runtime.  One shuffle yields all three classes —
+strictly less data movement than the reference's re-read-both-sides design.
+
+Unlike the reference we compare *typed* values, not strings: the
+string-compare weirdness (O3) and the per-row ``time.Parse`` fallback (F11)
+disappear because both sides are already typed columns; callers who ingest
+text cast with ``to_timestamp`` up front.
+
+NULL semantics: payload equality uses Spark's null-safe ``<=>`` so
+NULL==NULL is "unchanged" — matching the reference, whose UPDATE compare
+treats two invalid NullStrings as equal (src/parasync/parasync.go:2870-2880).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DML_INSERT = "I"
+DML_UPDATE = "U"
+DML_DELETE = "D"
+DML_NOOP = "N"
+
+
+@dataclass
+class DiffResult:
+    """Classified diff: three DataFrames sharing the source/destination schema.
+
+    ``inserts``  rows present only in src (apply as INSERT on dst)
+    ``updates``  PK in both, payload differs (apply as UPDATE on dst)
+    ``deletes``  rows present only in dst (apply as DELETE on dst)
+    """
+
+    inserts: DataFrame
+    updates: DataFrame
+    deletes: DataFrame
+
+    def counts(self) -> dict[str, int]:
+        return {
+            DML_INSERT: self.inserts.count(),
+            DML_UPDATE: self.updates.count(),
+            DML_DELETE: self.deletes.count(),
+        }
+
+
+def _payload_changed(payload: Sequence[str]) -> Column:
+    """True when any non-PK column differs, null-safely."""
+    if not payload:
+        return F.lit(False)
+    terms = [~F.col(f"__src.{c}").eqNullSafe(F.col(f"__dst.{c}")) for c in payload]
+    return reduce(lambda a, b: a | b, terms)
+
+
+def diff_classified(
+    src: DataFrame,
+    dst: DataFrame,
+    pk: Sequence[str],
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """Full-outer diff -> one DataFrame with ``dmltype`` ∈ {I,U,D} plus the
+    PK and both payloads (src payload for I/U, dst payload for D).
+
+    Column layout: pk..., dmltype, then src-side payload columns (null for
+    deletes, which only need the PK / dst image to build the DELETE).
+    """
+    pk = list(pk)
+    if payload is None:
+        payload = [c for c in src.columns if c not in pk]
+    s = src.alias("__src")
+    d = dst.alias("__dst")
+    on = [F.col(f"__src.{k}").eqNullSafe(F.col(f"__dst.{k}")) for k in pk]
+    joined = s.join(d, on=reduce(lambda a, b: a & b, on), how="full_outer")
+
+    src_present = reduce(
+        lambda a, b: a | b, [F.col(f"__src.{k}").isNotNull() for k in pk]
+    )
+    dst_present = reduce(
+        lambda a, b: a | b, [F.col(f"__dst.{k}").isNotNull() for k in pk]
+    )
+    dmltype = (
+        F.when(src_present & ~dst_present, F.lit(DML_INSERT))
+        .when(~src_present & dst_present, F.lit(DML_DELETE))
+        .when(_payload_changed(payload), F.lit(DML_UPDATE))
+        .otherwise(F.lit(DML_NOOP))
+    )
+
+    key_cols = [
+        F.coalesce(F.col(f"__src.{k}"), F.col(f"__dst.{k}")).alias(k) for k in pk
+    ]
+    val_cols = [
+        F.coalesce(F.col(f"__src.{c}"), F.col(f"__dst.{c}")).alias(c)
+        for c in payload
+    ]
+    return joined.select(*key_cols, dmltype.alias("dmltype"), *val_cols).where(
+        F.col("dmltype") != DML_NOOP
+    )
+
+
+def diff_tables(
+    src: DataFrame,
+    dst: DataFrame,
+    pk: Sequence[str],
+    payload: Sequence[str] | None = None,
+) -> DiffResult:
+    """The `parasync` pipeline as three DataFrames (SURVEY §7 phase 3)."""
+    classified = diff_classified(src, dst, pk, payload).cache()
+    return DiffResult(
+        inserts=classified.where(F.col("dmltype") == DML_INSERT).drop("dmltype"),
+        updates=classified.where(F.col("dmltype") == DML_UPDATE).drop("dmltype"),
+        deletes=classified.where(F.col("dmltype") == DML_DELETE).drop("dmltype"),
+    )
+
+
+def diff_stats(classified: DataFrame, table_name: str = "table") -> DataFrame:
+    """A2 stats monitor: per (table, phase, action) row counts.
+
+    The reference accumulates these in a goroutine fed by channel events
+    (src/parasync/parasync.go:3250-3343); here it is a groupBy over the
+    classified diff — partial-aggregated map-side, one small shuffle.
+    """
+    action = (
+        F.when(F.col("dmltype") == DML_INSERT, F.lit("Insert"))
+        .when(F.col("dmltype") == DML_UPDATE, F.lit("Update"))
+        .when(F.col("dmltype") == DML_DELETE, F.lit("Delete"))
+        .otherwise(F.lit("NoOp"))
+    )
+    return (
+        classified.select(
+            F.lit(table_name).alias("table"),
+            F.lit("DstWriter").alias("phase"),
+            action.alias("action"),
+        )
+        .groupBy("table", "phase", "action")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
