@@ -21,6 +21,14 @@ text cast with ``to_timestamp`` up front.
 NULL semantics: payload equality uses Spark's null-safe ``<=>`` so
 NULL==NULL is "unchanged" — matching the reference, whose UPDATE compare
 treats two invalid NullStrings as equal (src/parasync/parasync.go:2870-2880).
+Row presence is keyed off explicit marker columns added before the join, not
+PK nullness, so all-NULL PK tuples (possible with user-supplied key lists)
+still classify correctly.
+
+Output payload follows the reference's DML row images
+(src/parasync/parasync.go:3037-3198): INSERT and UPDATE carry the *source*
+row image (an UPDATE that sets a column to NULL must carry that NULL);
+DELETE carries the destination image (only the PK matters to the DELETE).
 """
 
 from __future__ import annotations
@@ -36,6 +44,9 @@ DML_INSERT = "I"
 DML_UPDATE = "U"
 DML_DELETE = "D"
 DML_NOOP = "N"
+
+_SRC_MARK = "__src_exists"
+_DST_MARK = "__dst_exists"
 
 
 @dataclass
@@ -72,27 +83,25 @@ def diff_classified(
     dst: DataFrame,
     pk: Sequence[str],
     payload: Sequence[str] | None = None,
+    keep_noops: bool = False,
 ) -> DataFrame:
-    """Full-outer diff -> one DataFrame with ``dmltype`` ∈ {I,U,D} plus the
-    PK and both payloads (src payload for I/U, dst payload for D).
+    """Full-outer diff -> one DataFrame with ``dmltype`` ∈ {I,U,D} (+N when
+    ``keep_noops``) plus the PK and the row image to apply.
 
-    Column layout: pk..., dmltype, then src-side payload columns (null for
-    deletes, which only need the PK / dst image to build the DELETE).
+    Column layout: pk..., dmltype, payload... — src image for I/U/N, dst
+    image for D (a DELETE only needs the key; the reference renders the
+    whole dst row into the WHERE, src/parasync/parasync.go:3140-3180).
     """
     pk = list(pk)
     if payload is None:
         payload = [c for c in src.columns if c not in pk]
-    s = src.alias("__src")
-    d = dst.alias("__dst")
+    s = src.withColumn(_SRC_MARK, F.lit(True)).alias("__src")
+    d = dst.withColumn(_DST_MARK, F.lit(True)).alias("__dst")
     on = [F.col(f"__src.{k}").eqNullSafe(F.col(f"__dst.{k}")) for k in pk]
     joined = s.join(d, on=reduce(lambda a, b: a & b, on), how="full_outer")
 
-    src_present = reduce(
-        lambda a, b: a | b, [F.col(f"__src.{k}").isNotNull() for k in pk]
-    )
-    dst_present = reduce(
-        lambda a, b: a | b, [F.col(f"__dst.{k}").isNotNull() for k in pk]
-    )
+    src_present = F.col(f"__src.{_SRC_MARK}").isNotNull()
+    dst_present = F.col(f"__dst.{_DST_MARK}").isNotNull()
     dmltype = (
         F.when(src_present & ~dst_present, F.lit(DML_INSERT))
         .when(~src_present & dst_present, F.lit(DML_DELETE))
@@ -103,13 +112,20 @@ def diff_classified(
     key_cols = [
         F.coalesce(F.col(f"__src.{k}"), F.col(f"__dst.{k}")).alias(k) for k in pk
     ]
+    # Row image by class: src payload when the src row exists (I/U/N),
+    # dst payload otherwise (D).  NOT coalesce — an UPDATE to NULL must
+    # carry NULL, not the stale dst value (reference builds UPDATEs from
+    # the source row image, src/parasync/parasync.go:3100-3138).
     val_cols = [
-        F.coalesce(F.col(f"__src.{c}"), F.col(f"__dst.{c}")).alias(c)
+        F.when(src_present, F.col(f"__src.{c}"))
+        .otherwise(F.col(f"__dst.{c}"))
+        .alias(c)
         for c in payload
     ]
-    return joined.select(*key_cols, dmltype.alias("dmltype"), *val_cols).where(
-        F.col("dmltype") != DML_NOOP
-    )
+    out = joined.select(*key_cols, dmltype.alias("dmltype"), *val_cols)
+    if not keep_noops:
+        out = out.where(F.col("dmltype") != DML_NOOP)
+    return out
 
 
 def diff_tables(
@@ -118,8 +134,14 @@ def diff_tables(
     pk: Sequence[str],
     payload: Sequence[str] | None = None,
 ) -> DiffResult:
-    """The `parasync` pipeline as three DataFrames (SURVEY §7 phase 3)."""
-    classified = diff_classified(src, dst, pk, payload).cache()
+    """The `parasync` pipeline as three DataFrames (SURVEY §7 phase 3).
+
+    The classified frame is computed once and fanned out with filters; no
+    ``.cache()`` here — at 100 TB the caller decides persistence (count()
+    on each class re-scans, but each scan is one shuffle-free pass over
+    the joined output when AQE reuses the exchange).
+    """
+    classified = diff_classified(src, dst, pk, payload)
     return DiffResult(
         inserts=classified.where(F.col("dmltype") == DML_INSERT).drop("dmltype"),
         updates=classified.where(F.col("dmltype") == DML_UPDATE).drop("dmltype"),
@@ -133,6 +155,8 @@ def diff_stats(classified: DataFrame, table_name: str = "table") -> DataFrame:
     The reference accumulates these in a goroutine fed by channel events
     (src/parasync/parasync.go:3250-3343); here it is a groupBy over the
     classified diff — partial-aggregated map-side, one small shuffle.
+    Pass a ``keep_noops=True`` classified frame to get NoOp counts like
+    the reference's monitor; a filtered frame reports I/U/D only.
     """
     action = (
         F.when(F.col("dmltype") == DML_INSERT, F.lit("Insert"))

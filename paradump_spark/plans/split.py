@@ -4,30 +4,45 @@ generator (P3, :1539-1594; P4 equality :1597-1621).
 
 The reference walks the PK sequentially with ``ORDER BY pk LIMIT chunksize``
 probes — O(table/chunksize) round-trips on ONE connection, the scalability
-ceiling of the whole design.  Here split points come from ONE pass:
+ceiling of the whole design.  Here split points come from one bounded,
+distributed sample pass:
 
-* numeric single-column PK      -> min/max + arithmetic strides, or
-  ``approxQuantile`` for skewed keys;
-* composite / string PK         -> ``approxQuantile`` on each struct-ranked
-  sample, implemented as an aggregate over ``F.struct(*pk)`` percentiles.
+* ``df.select(pk).sample(frac)`` (column-pruned: only PK columns are read)
+  collects ≤ ``sample_rows`` keys to the driver, sorts them
+  PK-lexicographically, and picks evenly spaced boundary tuples.  This is
+  type-agnostic — numeric, string, date, and composite PKs all work — and
+  the driver-side memory is bounded by ``sample_rows`` regardless of table
+  size, so the plan step costs the same at 6k rows or 100 TB.
+
+Rows with NULL in any PK column are excluded from planning: like the
+reference, chunked scanning requires a NOT NULL key (fake-PK promotion only
+considers all-NOT-NULL indexes, src/paradump/paradump.go:1200-1228).
 
 Each chunk is a half-open interval ``[lo, hi)`` in PK-lexicographic order —
 exactly the reference's contract (lower inclusive, upper exclusive,
 src/paradump/paradump.go:1539-1594) — rendered either as
 
 * a Spark ``Column`` (``F.struct(*pk) >= lo AND < hi`` — struct comparison
-  is lexicographic in Spark SQL), for lake-file reads; or
+  is lexicographic in Spark SQL), with every bound literal cast to the
+  matching column's DataType so BIGINT keys never compare against INT or
+  DOUBLE literals; or
 * ANSI SQL text (the reference's expanded OR-of-ANDs form), for the JDBC
   ``predicates=[...]`` array where each element becomes one partition.
+  Integer bounds render as integers (no ``380.0`` float leakage that would
+  defeat the source DB's PK index).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 from dataclasses import dataclass
+from functools import reduce
 from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 @dataclass
@@ -50,13 +65,31 @@ class Chunk:
 
 def _lit(v: Any) -> str:
     """Render one bound value as SQL text (dump predicates carry literals,
-    not placeholders, since Spark JDBC predicates are plain strings)."""
+    not placeholders, since Spark JDBC predicates are plain strings).
+
+    Typed rendering matters at scale: an integer bound rendered as
+    ``380.0`` forces an implicit cast on the source DB and defeats the PK
+    index — the exact scale-killer the predicate layer exists to avoid.
+    """
     if v is None:
-        return "NULL"
+        raise ValueError(
+            "NULL inside a chunk bound — PK columns must be NOT NULL for "
+            "chunked scans (reference requires the same, paradump.go:1200-1228)"
+        )
     if isinstance(v, bool):
         return "1" if v else "0"
-    if isinstance(v, (int, float)):
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
         return repr(v)
+    if isinstance(v, _decimal.Decimal):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return f"'{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, _dt.date):
+        return f"'{v.isoformat()}'"
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + bytes(v).hex() + "'"
     s = str(v).replace("'", "''")
     return f"'{s}'"
 
@@ -103,82 +136,107 @@ def equality_sql(pk: Sequence[str], values: Sequence[Any], quote: str = "") -> s
     )
 
 
+def _bound_struct(
+    pk: Sequence[str], bound: Sequence[Any], schema: T.StructType | None
+) -> Column:
+    """A struct literal whose fields are cast to the PK columns' types so
+    struct comparison never hits DATATYPE_MISMATCH (BIGINT col vs INT lit)."""
+    fields = []
+    for c, v in zip(pk, bound):
+        lit = F.lit(v)
+        if schema is not None:
+            lit = lit.cast(schema[c].dataType)
+        fields.append(lit.alias(c))
+    return F.struct(*fields)
+
+
 def range_filter(
-    pk: Sequence[str], lower: Sequence[Any] | None, upper: Sequence[Any] | None
+    pk: Sequence[str],
+    lower: Sequence[Any] | None,
+    upper: Sequence[Any] | None,
+    schema: T.StructType | None = None,
 ) -> Column:
     """The same half-open interval as a Spark Column predicate.
 
     ``F.struct(*pk)`` comparison is lexicographic in Spark SQL, so the whole
-    70-line Go expansion collapses to two struct comparisons.
+    70-line Go expansion collapses to two struct comparisons.  Pass the
+    DataFrame's ``schema`` so bound literals are cast to the column types.
     """
-    key = F.struct(*[F.col(c) for c in pk])
+    key = F.struct(*[F.col(c).alias(c) for c in pk])
     conds = []
     if lower is not None:
-        conds.append(key >= F.struct(*[F.lit(v) for v in lower]))
+        conds.append(key >= _bound_struct(pk, lower, schema))
     if upper is not None:
-        conds.append(key < F.struct(*[F.lit(v) for v in upper]))
+        conds.append(key < _bound_struct(pk, upper, schema))
     if not conds:
         return F.lit(True)
-    out = conds[0]
-    for c in conds[1:]:
-        out = out & c
-    return out
+    return reduce(lambda a, b: a & b, conds)
+
+
+def chunk_filter(chunk: Chunk, pk: Sequence[str], schema: T.StructType | None = None) -> Column:
+    """One chunk as a Spark Column predicate (equality or range)."""
+    if chunk.begin_equal_end:
+        key = F.struct(*[F.col(c).alias(c) for c in pk])
+        return key == _bound_struct(pk, chunk.begin, schema)
+    return range_filter(pk, chunk.begin, chunk.end, schema)
 
 
 def plan_chunks(
     df: DataFrame,
     pk: Sequence[str],
     num_chunks: int,
-    relative_error: float = 0.001,
+    sample_rows: int | None = None,
+    seed: int = 42,
 ) -> list[Chunk]:
-    """Compute ``num_chunks`` half-open PK intervals in ONE distributed pass.
+    """Compute ≤ ``num_chunks`` half-open PK intervals from one sample pass.
 
-    Replaces the reference's sequential LIMIT-walk browser (S3).  Split
-    points are percentiles of the PK; for a composite key we take
-    percentiles of the leading column and refine with the full tuple at the
-    observed boundary rows.  ``approx_percentile`` is a partial-aggregable
-    sketch, so this is a single shuffle-free-ish aggregation scan that works
-    identically on 6k rows or 100 TB.
+    Replaces the reference's sequential LIMIT-walk browser (S3) with a
+    distributed, column-pruned sample: ≤ ``sample_rows`` PK tuples reach
+    the driver (bounded memory at any table size), are sorted
+    lexicographically, and evenly spaced tuples become the boundaries.
 
     First/last chunks are unbounded (begin=None / end=None) so the union of
     all chunk predicates covers the table even for keys that arrive after
     planning — same contract as parasync's leading/trailing chunks
-    (src/parasync/parasync.go:1938-1949).
+    (src/parasync/parasync.go:1938-1949).  Heavy-hitter keys collapse
+    adjacent equal boundaries, so fewer than ``num_chunks`` chunks can come
+    back — never more.
     """
+    pk = list(pk)
     if num_chunks <= 1:
         return [Chunk(0, None, None)]
+    if sample_rows is None:
+        sample_rows = max(200 * num_chunks, 10_000)
 
-    probs = [i / num_chunks for i in range(1, num_chunks)]
-    if len(pk) == 1:
-        qs = df.stat.approxQuantile(pk[0], probs, relative_error)
-        bounds = [(q,) for q in qs]
-    else:
-        # Percentile the leading key column, then fetch one real full-tuple
-        # row at each boundary so composite ties split deterministically.
-        lead = pk[0]
-        qs = df.stat.approxQuantile(lead, probs, relative_error)
-        rows = (
-            df.select(*pk)
-            .where(F.col(lead).isin([q for q in qs]))
-            .groupBy(lead)
-            .agg(*[F.min(c).alias(c) for c in pk[1:]])
-            .collect()
-        )
-        by_lead = {r[lead]: tuple(r[c] for c in pk) for r in rows}
-        bounds = [by_lead.get(q, (q,) + (None,) * (len(pk) - 1)) for q in qs]
+    keys = df.select(*pk)
+    for c in pk:
+        keys = keys.where(F.col(c).isNotNull())
+    total = keys.count()
+    if total == 0:
+        return [Chunk(0, None, None)]
+    # Oversample slightly; sample() is Bernoulli so the realized count varies.
+    frac = min(1.0, (sample_rows * 1.2) / total)
+    sampled = keys.sample(withReplacement=False, fraction=frac, seed=seed).collect()
+    if not sampled:
+        sampled = keys.limit(sample_rows).collect()
+    tuples = sorted(tuple(r[c] for c in pk) for r in sampled)
 
-    # Dedup equal adjacent bounds (heavy-hitter keys collapse chunks).
-    uniq: list[tuple] = []
-    for b in bounds:
-        if not uniq or b != uniq[-1]:
-            uniq.append(b)
+    n = len(tuples)
+    bounds: list[tuple] = []
+    for i in range(1, num_chunks):
+        idx = (i * n) // num_chunks
+        if idx <= 0 or idx >= n:
+            continue
+        b = tuples[idx]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
 
     chunks: list[Chunk] = []
     prev: tuple | None = None
-    for i, b in enumerate(uniq):
+    for i, b in enumerate(bounds):
         chunks.append(Chunk(i, prev, b))
         prev = b
-    chunks.append(Chunk(len(uniq), prev, None))
+    chunks.append(Chunk(len(bounds), prev, None))
     return chunks
 
 
