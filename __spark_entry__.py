@@ -1,38 +1,643 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship query (full-outer diff) on sf0.001.
+``queries()``      — one callable per implemented operator (SURVEY.md §2 +
+                     the LLM-pipeline surface).
+``oracle_sql()``   — DuckDB-runnable ANSI SQL equivalents.  Hash-bearing
+                     operators (MinHash/SimHash/fingerprints) are md5-based
+                     on both sides, so values match bit-for-bit.
+
+Queries marked rows-only (no oracle entry) are approximate by design
+(IVF top-k, LSH-bucketed near-dup) — recall < 1 is the point of the
+algorithm, so only the Spark side runs.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from paradump_spark.functions import text as TX
+from paradump_spark.operators import dedup as DD
+from paradump_spark.operators import diff as DF
+from paradump_spark.operators import multimodal as MM
+from paradump_spark.operators import similarity as SIM
+from paradump_spark.operators import text_analysis as TA
+from paradump_spark.plans.split import chunk_filter, chunk_predicates_sql, plan_chunks
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as raw nanos and floor-convert to micros —
+    the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _perturbed_customer(cust: DataFrame) -> DataFrame:
+    """Deterministic perturbation of `customer` used by the diff queries:
+    drop custkey%10==0, bump acctbal by 100 for custkey%7==0, append
+    custkey%13==0 rows shifted by +1,000,000 (new keys)."""
+    changed = cust.where(F.col("c_custkey") % 10 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    extra = cust.where(F.col("c_custkey") % 13 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    return changed.unionAll(extra)
+
+
+_DST_CTE = """
+dst AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 10 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 13 = 0
+)"""
+
+_DIFF_CLASSIFIED_SQL = (
+    "WITH "
+    + _DST_CTE
+    + """,
+classified AS (
+  SELECT coalesce(s.c_custkey, d.c_custkey) AS c_custkey,
+         CASE WHEN d.c_custkey IS NULL THEN 'I'
+              WHEN s.c_custkey IS NULL THEN 'D'
+              WHEN (s.c_name IS DISTINCT FROM d.c_name)
+                OR (s.c_nationkey IS DISTINCT FROM d.c_nationkey)
+                OR (s.c_acctbal IS DISTINCT FROM d.c_acctbal)
+                OR (s.c_mktsegment IS DISTINCT FROM d.c_mktsegment) THEN 'U'
+              ELSE 'N' END AS dmltype,
+         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE d.c_name END AS c_name,
+         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE d.c_nationkey END AS c_nationkey,
+         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE d.c_acctbal END AS c_acctbal,
+         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE d.c_mktsegment END AS c_mktsegment
+  FROM customer s FULL OUTER JOIN dst d ON s.c_custkey = d.c_custkey
+)
+SELECT * FROM classified WHERE dmltype <> 'N'"""
+)
+
+# DuckDB token-list expression shared by the text oracles.
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+
+def _shingle_cte(base: str = "documents") -> str:
+    """CTEs t (tokens) and s (3-word shingles) over ``base``."""
+    return f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM {base}),
+s AS (SELECT doc_id,
+        list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')) AS sh
+      FROM t)"""
+
+
+_MINHASH_BASE_CTE = """
+base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' the end marker' FROM documents WHERE doc_id % 5 = 0
+)"""
+
+
+def _minhash_sig_sql(num_hashes: int = 12) -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(sh, x -> md5('{k}|' || x)), 'min')"
+        for k in range(num_hashes)
+    )
+    return f"sig AS (SELECT doc_id, [{mins}] AS sg FROM s)"
+
+
+def _minhash_bands_sql(bands: int = 4, rows_per_band: int = 3) -> str:
+    hashes = []
+    for b in range(bands):
+        parts = " || ',' || ".join(
+            f"sg[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)
+        )
+        hashes.append(f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sig")
+    return "bands AS (" + " UNION ALL ".join(hashes) + ")"
+
+
+_MINHASH_CAND_SQL = (
+    "WITH "
+    + _MINHASH_BASE_CTE
+    + ","
+    + _shingle_cte("base")
+    + ",\n"
+    + _minhash_sig_sql()
+    + ",\n"
+    + _minhash_bands_sql()
+    + """
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
+)
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    fold = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, ({fold}) AS simhash FROM v"""
+
+
+_LANGS = list(TX.LANG_STOPWORDS)
+
+
+def _lang_scores_sql() -> str:
+    cols = []
+    for lang in _LANGS:
+        arr = "[" + ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang]) + "]"
+        cols.append(
+            f"CASE WHEN len(toks) > 0 THEN "
+            f"len(list_filter(toks, x -> list_contains({arr}, x)))::DOUBLE / len(toks) "
+            f"ELSE 0.0 END AS score_{lang}"
+        )
+    return ", ".join(cols)
+
+
+def _lang_case_sql() -> str:
+    whens = []
+    for lang in _LANGS[:-1]:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in _LANGS if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{_LANGS[-1]}' END"
+
+
+_EN_SW = "[" + ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS["en"]) + "]"
+
+# cosine over DOUBLE[] lists, matching functions.vectors.cosine
+_COS = (
+    "CASE WHEN sqrt(list_dot_product(qv, qv)) > 0 AND sqrt(list_dot_product(cv, cv)) > 0 "
+    "THEN list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) "
+    "ELSE 0.0 END"
+)
+
+
+# ---------------------------------------------------------------------------
+# query implementations (spark, sf_dir) -> DataFrame
+
+
+def _q_diff_classified(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return DF.diff_classified(cust, _perturbed_customer(cust), ["c_custkey"])
+
+
+def _q_diff_stats(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    cl = DF.diff_classified(cust, _perturbed_customer(cust), ["c_custkey"])
+    return DF.diff_stats(cl, "customer")
+
+
+def _chunk_coverage(df: DataFrame, pk: list[str], n: int) -> DataFrame:
+    """Σ per-chunk row counts in ONE scan; equals count(*) iff the chunks
+    cover the table disjointly — the reference's count-conservation
+    invariant (test/run_test.sh:110-129)."""
+    chunks = plan_chunks(df, pk, n)
+    sums = [
+        F.sum(F.when(chunk_filter(c, pk, df.schema), 1).otherwise(0)) for c in chunks
+    ]
+    return df.select(
+        reduce(lambda a, b: a + b, sums).cast("long").alias("rows_covered")
+    )
+
+
+def _q_chunk_coverage_orders(spark, sf_dir):
+    return _chunk_coverage(_t(spark, sf_dir, "orders"), ["o_orderkey"], 8)
+
+
+def _q_chunk_coverage_lineitem(spark, sf_dir):
+    return _chunk_coverage(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"], 12
+    )
+
+
+def _q_chunk_coverage_sqltext(spark, sf_dir):
+    """String-PK chunking through the JDBC-predicate SQL-text path (P3/P4):
+    each predicate runs as real SQL, counts must sum to the table count."""
+    cust = _t(spark, sf_dir, "customer")
+    chunks = plan_chunks(cust, ["c_name"], 6)
+    preds = chunk_predicates_sql(chunks, ["c_name"])
+    cust.createOrReplaceTempView("__cov_customer")
+    total = 0
+    for p in preds:
+        total += spark.sql(
+            f"SELECT count(*) AS c FROM __cov_customer WHERE {p}"
+        ).first()["c"]
+    return spark.createDataFrame([(total,)], "rows_covered bigint")
+
+
+def _q_client_report(spark, sf_dir):
+    """J2 parity: the reference fixture's client_report view
+    (test/mysql/create_viw_client_report.sql) — LEFT JOIN + GROUP BY."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        )
+    )
+
+
+def _q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1.  Money math in DECIMAL end-to-end: the source doubles are
+    ≤2dp so the initial cast is exact, and decimal arithmetic is exact in
+    any engine — double→decimal casts of *computed* values are NOT
+    engine-portable (Spark rounds the binary value, DuckDB rounds the
+    shortest decimal repr)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = ep * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    charge = disc * (F.lit(1).cast("decimal(18,2)") + F.col("l_tax").cast("decimal(18,2)"))
+    sum_qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.alias("sum_qty"),
+            F.sum(ep).alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.round((sum_qty / cnt).cast("double"), 4).alias("avg_qty"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+def _q_segment_order_stats(spark, sf_dir):
+    """Broadcast dim join: orders ⋈ customer (small side broadcast)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        )
+    )
+
+
+def _q_top_event_per_user(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+    )
+
+
+def _dup_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text", "lang", "source", "n_chars").unionAll(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return DD.dedup_exact(_dup_docs(spark, sf_dir), ["text"], "doc_id")
+
+
+def _near_dup_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").unionAll(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" the end marker")).alias("text"),
+        )
+    )
+
+
+def _q_minhash_lsh_candidates(spark, sf_dir):
+    return DD.minhash_lsh_candidates(
+        _near_dup_docs(spark, sf_dir), "doc_id", "text", 3, 12, 4
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    base = _near_dup_docs(spark, sf_dir)
+    cand = DD.minhash_lsh_candidates(base, "doc_id", "text", 3, 12, 4)
+    return DD.ngram_jaccard_pairs(base, "doc_id", "text", cand, 3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    return DD.simhash_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_text_quality(spark, sf_dir):
+    return TA.text_quality(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_language_id(spark, sf_dir):
+    return TA.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_fingerprints(spark, sf_dir):
+    return TA.fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_quality_filter(spark, sf_dir):
+    return TA.quality_filter(_t(spark, sf_dir, "documents"), "text").select("doc_id")
+
+
+def _q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 5), "vec_id", "embedding", k=5
+    )
+
+
+def _dup_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding").unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    return DD.embedding_near_dup_pairs(
+        _dup_embeddings(spark, sf_dir), "vec_id", "embedding", threshold=0.99
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_multimodal_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    binary = MM.attach_binary_payload(docs, "doc_id", "text")
+    return MM.extract_features(binary, "doc_id")
+
+
+def _q_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=5,
+        num_cells=16,
+        nprobe=4,
+    )
+
+
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    return DD.embedding_near_dup_pairs(
+        _dup_embeddings(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        threshold=0.99,
+        use_lsh=True,
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# the contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parasync-style full-outer diff of customer vs a
+    deterministic perturbation at sf0.001."""
+    return _q_diff_classified(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "diff_classified": _q_diff_classified,
+        "diff_stats": _q_diff_stats,
+        "chunk_coverage_orders": _q_chunk_coverage_orders,
+        "chunk_coverage_lineitem": _q_chunk_coverage_lineitem,
+        "chunk_coverage_sqltext": _q_chunk_coverage_sqltext,
+        "client_report": _q_client_report,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "segment_order_stats": _q_segment_order_stats,
+        "top_event_per_user": _q_top_event_per_user,
+        "events_hourly": _q_events_hourly,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_lsh_candidates": _q_minhash_lsh_candidates,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "text_quality": _q_text_quality,
+        "language_id": _q_language_id,
+        "fingerprints": _q_fingerprints,
+        "quality_filter": _q_quality_filter,
+        "ann_topk": _q_ann_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "multimodal_features": _q_multimodal_features,
+        # approximate by design -> rows-only checks
+        "ivf_topk": _q_ivf_topk,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "diff_classified": _DIFF_CLASSIFIED_SQL,
+        "diff_stats": (
+            "WITH "
+            + _DST_CTE
+            + """,
+classified AS (
+  SELECT CASE WHEN d.c_custkey IS NULL THEN 'I'
+              WHEN s.c_custkey IS NULL THEN 'D'
+              WHEN (s.c_name IS DISTINCT FROM d.c_name)
+                OR (s.c_nationkey IS DISTINCT FROM d.c_nationkey)
+                OR (s.c_acctbal IS DISTINCT FROM d.c_acctbal)
+                OR (s.c_mktsegment IS DISTINCT FROM d.c_mktsegment) THEN 'U'
+              ELSE 'N' END AS dmltype
+  FROM customer s FULL OUTER JOIN dst d ON s.c_custkey = d.c_custkey
+)
+SELECT 'customer' AS "table", 'DstWriter' AS phase,
+       CASE dmltype WHEN 'I' THEN 'Insert' WHEN 'U' THEN 'Update' WHEN 'D' THEN 'Delete' END AS action,
+       count(*) AS cnt
+FROM classified WHERE dmltype <> 'N' GROUP BY 1, 2, 3"""
+        ),
+        "chunk_coverage_orders": "SELECT count(*)::BIGINT AS rows_covered FROM orders",
+        "chunk_coverage_lineitem": "SELECT count(*)::BIGINT AS rows_covered FROM lineitem",
+        "chunk_coverage_sqltext": "SELECT count(*)::BIGINT AS rows_covered FROM customer",
+        "client_report": """
+SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
+       sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name""",
+        "q1_pricing_summary": """
+WITH d AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS ep,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS disc,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS charge
+  FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+       sum(qty) AS sum_qty,
+       sum(ep) AS sum_base_price,
+       sum(disc) AS sum_disc_price,
+       sum(charge) AS sum_charge,
+       round((sum(qty) / count(*))::DOUBLE, 4) AS avg_qty,
+       count(*) AS count_order
+FROM d GROUP BY l_returnflag, l_linestatus""",
+        "segment_order_stats": """
+SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority""",
+        "top_event_per_user": """
+SELECT user_id, event_id, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1""",
+        "events_hourly": """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+FROM events GROUP BY 1, 2""",
+        # the min-id row per duplicated text is always the original document
+        "dedup_exact": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "minhash_lsh_candidates": _MINHASH_CAND_SQL,
+        "ngram_jaccard": (
+            "WITH "
+            + _MINHASH_BASE_CTE
+            + ","
+            + _shingle_cte("base")
+            + ",\n"
+            + _minhash_sig_sql()
+            + ",\n"
+            + _minhash_bands_sql()
+            + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM s)
+SELECT c.id_a, c.id_b,
+       round(CASE WHEN len(list_distinct(list_concat(x.shd, y.shd))) > 0
+                  THEN len(list_intersect(x.shd, y.shd))::DOUBLE
+                       / len(list_distinct(list_concat(x.shd, y.shd)))
+                  ELSE 0.0 END, 6) AS jaccard
+FROM cand c JOIN sets x ON c.id_a = x.doc_id JOIN sets y ON c.id_b = y.doc_id"""
+        ),
+        "simhash": _simhash_sql(),
+        "text_quality": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))::BIGINT AS n_bpe_tokens,
+       length(text)::BIGINT AS n_chars,
+       round(CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x)::BIGINT))::DOUBLE / len(toks)
+                  ELSE 0.0 END, 6) AS mean_token_len,
+       round(CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> list_contains({_EN_SW}, x)))::DOUBLE / len(toks)
+                  ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+                  ELSE 0.0 END, 6) AS alpha_ratio,
+       round(CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)
+                  ELSE 0.0 END, 6) AS digit_ratio,
+       round(CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE / length(text)
+                  ELSE 0.0 END, 6) AS space_ratio
+FROM t""",
+        "language_id": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sc AS (SELECT doc_id, {_lang_scores_sql()} FROM t)
+SELECT doc_id, {_lang_case_sql()} AS lang_pred,
+       {", ".join(f"round(score_{lang}, 6) AS score_{lang}" for lang in _LANGS)}
+FROM sc""",
+        "fingerprints": """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(generate_series(1, length(text)),
+                          i -> ascii(substring(text, i, 1))::BIGINT)),
+         (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint,
+       md5(text) AS content_md5
+FROM documents""",
+        "quality_filter": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE len(toks) >= 5 AND len(toks) <= 100000
+  AND (CASE WHEN length(text) > 0
+            THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+            ELSE 0.0 END) >= 0.5
+  AND (CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, x -> list_contains({_EN_SW}, x)))::DOUBLE / len(toks)
+            ELSE 0.0 END) <= 0.9""",
+        "ann_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id, {_COS} AS cos FROM q CROSS JOIN c)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, round(cos, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= 5""",
+        "embedding_near_dup": f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding::DOUBLE[] AS qv, b.embedding::DOUBLE[] AS cv
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round({_COS}, 6) AS cosine FROM p WHERE {_COS} >= 0.99""",
+        "multimodal_features": """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS content_md5
+FROM documents""",
+    }

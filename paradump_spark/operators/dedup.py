@@ -1,0 +1,250 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference surface (the reference is a dumper/differ; these are the
+LLM-pipeline operators the build brief adds as first-class components).
+
+Every strategy is expressed as DataFrame ops that scale to 100 TB:
+
+* **exact**       — hash + window keep-first.  One shuffle on the content
+  hash; the window partitions by hash so skew = true duplicate mass.
+* **MinHash-LSH** — shingle → signature → band buckets → self-join on
+  bucket.  Candidate generation never goes all-pairs: the join key is
+  (band_idx, band_hash), so cost is Σ_bucket |bucket|², the standard LSH
+  bound.  Verification computes exact n-gram Jaccard only for candidates.
+* **SimHash**     — 60-bit fingerprint via per-bit majority vote, grouped
+  map-side (explode → groupBy doc).  Exact-bucket collisions give
+  near-dup candidates cheaply.
+* **embedding near-dup** — cosine over LSH sign-sketch buckets (scale path)
+  or brute-force pairs (oracle-checkable baseline).
+
+All hashes are md5-based (see functions.text) so the DuckDB oracle can
+reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from paradump_spark.functions import text as TX
+from paradump_spark.functions import vectors as V
+
+
+def dedup_exact(
+    df: DataFrame, content_cols: list[str], id_col: str
+) -> DataFrame:
+    """Keep one row per distinct content, the one with the smallest id.
+
+    ``row_number`` over a window partitioned by the content hash — the
+    hash-groupBy dedup.  Scale: one shuffle on md5(content); hot hash
+    values are genuine duplicate clusters, which is exactly the data the
+    operator must see together.
+    """
+    h = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """(id, sig array<string>) — the MinHash signature table."""
+    sh = TX.word_shingles(text_col, shingle_size)
+    return df.select(
+        F.col(id_col),
+        TX.minhash_signature(sh, num_hashes).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from banded MinHash-LSH.
+
+    Plan shape: per-row signature (no shuffle) → explode bands (×bands) →
+    self-join on (band_idx, band_hash) → distinct pairs.  The join is a
+    plain shuffle-hash/SMJ on the bucket key; AQE splits skewed buckets.
+    Never materializes all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, shingle_size, num_hashes)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(TX.lsh_band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: DataFrame,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: (id_a, id_b, jaccard).
+
+    Joins the candidate list against the shingle-set table twice (both
+    broadcast-able when candidates are small; otherwise shuffled on id) —
+    never touches non-candidate pairs.
+    """
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(TX.word_shingles(text_col, shingle_size)).alias("sh"),
+    )
+    j = (
+        candidates.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union)
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_size: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Drop near-duplicates: row survives unless some smaller-id row is
+    LSH-candidate-paired with it at Jaccard ≥ threshold.
+
+    Greedy keep-smallest-id (not transitive-closure clustering — matches
+    the common MinHash pipeline; connected components would need an
+    iterative step).
+    """
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, shingle_size, num_hashes, bands
+    )
+    dup = (
+        ngram_jaccard_pairs(df, id_col, text_col, cand, shingle_size)
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dup, on=id_col, how="left_anti")
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """(id, simhash BIGINT) — per-document SimHash fingerprint.
+
+    explode tokens → 60 per-bit ±1 votes → groupBy(id) sums (map-side
+    partial agg) → fold to one BIGINT.  One shuffle keyed by id.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok")
+    )
+    h = TX.token_hash60(F.col("tok"))
+    votes = tok.select(F.col(id_col), *TX.simhash_bit_votes(h, bits))
+    summed = votes.groupBy(id_col).agg(
+        *[F.sum(f"__b{i}").alias(f"__s{i}") for i in range(bits)]
+    )
+    return summed.select(
+        F.col(id_col),
+        TX.simhash_from_votes([F.col(f"__s{i}") for i in range(bits)], bits).alias(
+            "simhash"
+        ),
+    )
+
+
+def simhash_duplicate_buckets(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
+) -> DataFrame:
+    """Groups of documents sharing an identical SimHash: (simhash, ids, n).
+
+    Identical-fingerprint grouping is the exact-bucket special case; for
+    Hamming-distance ≤ k matching, re-bucket on bit-rotations of the
+    fingerprint (k+1 tables) — same plan shape, k+1× the shuffle.
+    """
+    t = simhash_table(df, id_col, text_col, bits)
+    return (
+        t.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    use_lsh: bool = False,
+    planes: int = 16,
+) -> DataFrame:
+    """Near-duplicate embedding pairs (id_a < id_b, cosine ≥ threshold).
+
+    ``use_lsh=False``: brute-force self-join — the correctness baseline,
+    O(n²); fine at test scale, oracle-checkable.
+    ``use_lsh=True``: join only within sign-sketch buckets (random
+    hyperplane LSH, see functions.vectors.sign_sketch) — the 100 TB path;
+    recall < 1 by design, so it is rows-only-checked.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    if use_lsh:
+        base = base.withColumn("__bucket", V.sign_sketch(F.col("__v"), planes))
+        a, b = base.alias("a"), base.alias("b")
+        on = [
+            F.col("a.__bucket") == F.col("b.__bucket"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ]
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        on = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    cos = V.cosine(F.col("a.__v"), F.col("b.__v"))
+    return (
+        a.join(b, on=on)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

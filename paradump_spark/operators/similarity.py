@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference surface.  Two physical strategies:
+
+* **brute-force top-k** — broadcast the (small) query set, crossJoin the
+  corpus, rank per query.  The corpus side streams: no corpus shuffle at
+  all when the query side broadcasts; the only wide op is the per-query
+  top-k, which aggregates map-side.  This is the exact baseline.
+* **IVF (inverted-file) top-k** — coarse-quantize the corpus to the
+  nearest of C deterministic sampled centroids (one broadcast join), then
+  search only the ``nprobe`` closest cells per query.  At 100 TB the
+  corpus scan becomes a partition-pruned read of ~nprobe/C of the data if
+  the corpus table is written bucketed/partitioned by cell id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from paradump_spark.functions import vectors as V
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    Output: (query_id, neighbor_id, rank, cosine) with deterministic
+    tie-break (cosine desc, neighbor id asc).
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        V.cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, num_cells: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic coarse centroids: the ``num_cells`` corpus vectors
+    with the smallest md5(id) — a hash-random, reproducible sample (a
+    k-means refinement step can replace this without changing the plan).
+    Returns (cell_id, centroid)."""
+    w = Window.orderBy(F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= num_cells)
+        .select((F.col("__r") - 1).alias("cell_id"), F.col(vec_col).alias("centroid"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid cell.
+
+    Broadcast join against the (tiny) centroid table + per-row argmax —
+    no corpus shuffle.  Output: corpus columns + cell_id.  Writing the
+    result partitioned by cell_id turns later probes into partition-pruned
+    scans.
+    """
+    cents = F.broadcast(
+        centroids.groupBy().agg(
+            F.collect_list(F.struct("cell_id", "centroid")).alias("__cells")
+        )
+    )
+    with_cells = corpus.crossJoin(cents)
+    best = F.array_max(
+        F.transform(
+            F.col("__cells"),
+            lambda cc: F.struct(
+                V.cosine(F.col(vec_col), cc["centroid"]).alias("cos"),
+                (-cc["cell_id"]).alias("neg_cell"),
+            ),
+        )
+    )
+    return with_cells.withColumn("cell_id", (-best["neg_cell"]).cast("int")).drop(
+        "__cells"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: search only the ``nprobe`` nearest cells per query.
+
+    Same output shape as :func:`brute_force_topk`; recall < 1 by design
+    (rows-only correctness check).  Scan cost ≈ nprobe/num_cells of brute
+    force once the assigned corpus is stored partitioned by cell.
+    """
+    qid = query_id_col or id_col
+    cents = ivf_centroids(corpus, id_col, vec_col, num_cells)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell_id"
+    )
+    # nprobe nearest cells per query (tiny: |queries| × num_cells).
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    qcells = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "__qv",
+            "cell_id",
+            V.cosine(F.col("__qv"), F.col("centroid")).alias("__ccos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("cell_id").asc()
+    )
+    probes = qcells.withColumn("__pr", F.row_number().over(wq)).where(
+        F.col("__pr") <= nprobe
+    ).select("query_id", "__qv", "cell_id")
+    scored = F.broadcast(probes).join(assigned, "cell_id").select(
+        "query_id",
+        "neighbor_id",
+        V.cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

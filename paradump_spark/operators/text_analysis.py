@@ -1,0 +1,78 @@
+"""Text-analysis operators over a documents table — beyond-reference
+LLM-pipeline surface: quality scoring, language-ID, token counting,
+document fingerprinting.
+
+All per-row projections built from functions.text — no shuffle, no UDFs;
+they fuse into the scan and read only the ``text`` column (column-pruned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paradump_spark.functions import text as TX
+
+
+def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality features per document: token counts, mean token length,
+    stopword/alpha/digit/punct ratios.  Ratios rounded to 6 decimals so
+    downstream hashing is stable across engines."""
+    t = TX.tokens(text_col)
+    n_tok = F.size(t)
+    sum_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        TX.bpe_token_count(text_col).cast("long").alias("n_bpe_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.round(
+            F.when(n_tok > 0, sum_len.cast("double") / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("mean_token_len"),
+        F.round(TX.stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(TX.char_class_ratio(text_col, "[A-Za-z]"), 6).alias("alpha_ratio"),
+        F.round(TX.char_class_ratio(text_col, "[0-9]"), 6).alias("digit_ratio"),
+        F.round(TX.char_class_ratio(text_col, "[ ]"), 6).alias("space_ratio"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_alpha_ratio: float = 0.5,
+    max_stopword_ratio: float = 0.9,
+) -> DataFrame:
+    """Keep documents passing the standard quality gates — the filter form
+    of :func:`text_quality`, pushed into the scan as plain predicates."""
+    n_tok = F.size(TX.tokens(text_col))
+    return df.where(
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (TX.char_class_ratio(text_col, "[A-Za-z]") >= min_alpha_ratio)
+        & (TX.stopword_ratio(text_col) <= max_stopword_ratio)
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang_pred, per-language scores) via the stopword-hit heuristic."""
+    scores = TX.lang_scores(text_col)
+    return df.select(
+        F.col(id_col),
+        TX.lang_id(text_col).alias("lang_pred"),
+        *[F.round(scores[lang], 6).alias(f"score_{lang}") for lang in scores],
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fingerprint, content_md5) — rolling-hash + exact-hash identities."""
+    return df.select(
+        F.col(id_col),
+        TX.fingerprint(text_col).alias("fingerprint"),
+        F.md5(F.col(text_col)).alias("content_md5"),
+    )
