@@ -1,0 +1,132 @@
+"""Dedup + similarity operator tests on the driver testdata."""
+
+from pyspark.sql import functions as F
+
+from paradump_spark.operators import dedup as DD
+from paradump_spark.operators import multimodal as MM
+from paradump_spark.operators import similarity as SIM
+from paradump_spark.operators import text_analysis as TA
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_dedup_exact_recovers_originals(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    kept = DD.dedup_exact(doubled, ["text"], "doc_id")
+    assert kept.count() == docs.count()
+    assert kept.where(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where(F.col("doc_id") < 100)
+    planted = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    base = docs.unionAll(planted)
+    cand = DD.minhash_lsh_candidates(base, "doc_id", "text")
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    planted_ids = [r["doc_id"] for r in planted.collect()]
+    # high-similarity planted pairs should mostly collide in some band
+    hits = sum(1 for p in planted_ids if (p - 100000, p) in pairs)
+    assert hits >= len(planted_ids) * 0.8
+
+
+def test_jaccard_of_identical_is_one(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where(F.col("doc_id") < 20)
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    base = docs.unionAll(dup)
+    cand = spark.createDataFrame(
+        [(i, i + 100000) for i in range(20)], "id_a bigint, id_b bigint"
+    )
+    jac = DD.ngram_jaccard_pairs(base, "doc_id", "text", cand)
+    assert jac.where(F.col("jaccard") != 1.0).count() == 0
+
+
+def test_dedup_minhash_drops_planted(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where(F.col("doc_id") < 50)
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    base = docs.unionAll(dup)
+    kept = DD.dedup_minhash(base, "doc_id", "text", threshold=0.99)
+    # exact duplicates always collide in every band -> all planted dropped
+    assert kept.count() == docs.count()
+
+
+def test_simhash_identical_docs_equal_hash(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where(F.col("doc_id") < 30)
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    buckets = DD.simhash_duplicate_buckets(docs.unionAll(dup), "doc_id", "text")
+    assert buckets.count() == 30
+    assert buckets.where(F.col("n") != 2).count() == 0
+
+
+def test_embedding_near_dup_finds_planted(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding").where(F.col("vec_id") < 50)
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    pairs = DD.embedding_near_dup_pairs(
+        emb.unionAll(dup), "vec_id", "embedding", threshold=0.999
+    )
+    assert pairs.count() == 50
+
+
+def test_brute_force_topk_self_is_rank1(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = SIM.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 3), "vec_id", "embedding", k=3
+    )
+    r1 = {r["query_id"]: r["neighbor_id"] for r in out.where("rank = 1").collect()}
+    assert r1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_ivf_topk_self_is_rank1(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = SIM.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 3), "vec_id", "embedding",
+        k=3, num_cells=8, nprobe=8,  # nprobe=all cells -> exact
+    )
+    r1 = {r["query_id"]: r["neighbor_id"] for r in out.where("rank = 1").collect()}
+    assert r1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_ivf_matches_brute_force_when_probing_all_cells(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 3)
+    bf = SIM.brute_force_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    ivf = SIM.ivf_topk(
+        emb, q, "vec_id", "embedding", k=5, num_cells=4, nprobe=4
+    ).collect()
+    assert sorted(map(tuple, bf)) == sorted(map(tuple, ivf))
+
+
+def test_quality_filter_bounds(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    kept = TA.quality_filter(docs, "text", min_tokens=5)
+    assert 0 < kept.count() <= docs.count()
+
+
+def test_multimodal_features_match_expected(spark, sf_dir):
+    import hashlib
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 5)
+    binary = MM.attach_binary_payload(docs, "doc_id", "text")
+    feats = {r["doc_id"]: r for r in MM.extract_features(binary).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        exp = hashlib.md5(row["text"].encode()).hexdigest()
+        assert feats[row["doc_id"]]["content_md5"] == exp
+        assert feats[row["doc_id"]]["n_bytes"] == len(row["text"].encode())
+
+
+def test_multimodal_decode_stub_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_stub(b"\x89PNG")

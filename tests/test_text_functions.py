@@ -1,0 +1,109 @@
+"""Text/vector function unit tests with known expected values."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from paradump_spark.functions import text as TX
+from paradump_spark.functions import vectors as V
+
+
+def _one(spark, expr, text="the quick brown fox jumps"):
+    return (
+        spark.createDataFrame([(text,)], "text string")
+        .select(expr.alias("v"))
+        .first()["v"]
+    )
+
+
+def test_tokens_filter_empties(spark):
+    assert _one(spark, TX.tokens("text"), "  a   b  ") == ["a", "b"]
+    assert _one(spark, TX.token_count("text"), "") == 0
+
+
+def test_bpe_token_count(spark):
+    # words + punctuation marks count separately
+    assert _one(spark, TX.bpe_token_count("text"), "a,b c!") == 5
+
+
+def test_shingles(spark):
+    assert _one(spark, TX.word_shingles("text", 3), "a b c d") == ["a b c", "b c d"]
+    # short doc -> one shingle with everything
+    assert _one(spark, TX.word_shingles("text", 3), "a b") == ["a b"]
+
+
+def test_minhash_matches_python(spark):
+    text = "a b c d e"
+    shingles = ["a b c", "b c d", "c d e"]
+    expected = [
+        min(hashlib.md5(f"{k}|{s}".encode()).hexdigest() for s in shingles)
+        for k in range(4)
+    ]
+    got = _one(spark, TX.minhash_signature(TX.word_shingles("text", 3), 4), text)
+    assert got == expected
+
+
+def test_token_hash60_matches_python(spark):
+    exp = int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+    got = _one(spark, TX.token_hash60(F.lit("hello")))
+    assert got == exp
+
+
+def test_fingerprint_matches_python(spark):
+    text = "abc"
+    acc = 0
+    for ch in text:
+        acc = (acc * 31 + ord(ch)) % TX.FINGERPRINT_MOD
+    assert _one(spark, TX.fingerprint("text"), text) == acc
+
+
+def test_lang_id_english(spark):
+    assert (
+        _one(spark, TX.lang_id("text"), "the cat and the dog in the house") == "en"
+    )
+
+
+def test_lang_id_german(spark):
+    assert _one(spark, TX.lang_id("text"), "der hund und die katze ist") == "de"
+
+
+def test_char_class_ratio(spark):
+    assert _one(spark, TX.char_class_ratio("text", "[A-Za-z]"), "ab12") == 0.5
+    assert _one(spark, TX.char_class_ratio("text", "[A-Za-z]"), "") == 0.0
+
+
+def test_stopword_ratio(spark):
+    assert _one(spark, TX.stopword_ratio("text"), "the fox") == 0.5
+
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [([1.0, 0.0], [1.0, 0.0], 1.0), ([1.0, 0.0], [0.0, 1.0], 0.0)],
+)
+def test_cosine(spark, a, b, expected):
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(V.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    assert got == pytest.approx(expected)
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], "a array<double>")
+    row = df.select(
+        V.dot(F.col("a"), F.col("a")).alias("d"), V.norm(F.col("a")).alias("n")
+    ).first()
+    assert row["d"] == 25.0 and row["n"] == 5.0
+
+
+def test_zero_vector_cosine_is_zero(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>"
+    )
+    assert df.select(V.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"] == 0.0
+
+
+def test_sign_sketch_deterministic(spark):
+    df = spark.createDataFrame([([1.0, -2.0, 3.0],)], "a array<double>")
+    s1 = df.select(V.sign_sketch(F.col("a"), 8).alias("s")).first()["s"]
+    s2 = df.select(V.sign_sketch(F.col("a"), 8).alias("s")).first()["s"]
+    assert s1 == s2 and 0 <= s1 < 256
