@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from paradump_spark.functions import text as TX
+from paradump_spark.functions.render import csv_line, values_tuple
 from paradump_spark.operators import dedup as DD
 from paradump_spark.operators import diff as DF
 from paradump_spark.operators import multimodal as MM
@@ -415,6 +416,30 @@ def _q_embedding_near_dup(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_sql_insert_render(spark, sf_dir):
+    """F1/F8/F9/K1 rendering: each orders row as a MySQL VALUES tuple."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    types = [f.dataType for f in orders.schema.fields]
+    return orders.select(
+        F.col("o_orderkey"),
+        values_tuple([F.col(c) for c in orders.columns], None, "mysql", types).alias(
+            "values_sql"
+        ),
+    )
+
+
+def _q_csv_render(spark, sf_dir):
+    """F7 CSV cell rules: quote-only-when-needed, NULL→\\N/empty by kind."""
+    cust = _t(spark, sf_dir, "customer")
+    types = [f.dataType for f in cust.schema.fields]
+    return cust.select(
+        F.col("c_custkey"),
+        csv_line([F.col(c) for c in cust.columns], None, types).alias("csv_line"),
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     binary = MM.attach_binary_payload(docs, "doc_id", "text")
@@ -477,6 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
+        "sql_insert_render": _q_sql_insert_render,
+        "csv_render": _q_csv_render,
         # approximate by design -> rows-only checks
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -640,4 +667,39 @@ SELECT id_a, id_b, round({_COS}, 6) AS cosine FROM p WHERE {_COS} >= 0.99""",
         "multimodal_features": """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS content_md5
 FROM documents""",
+        # mirrors functions.render: mysql escape chain (\\ first), shortest
+        # double repr with trailing .0 stripped, 'yyyy-MM-dd HH:mm:ss'
+        "sql_insert_render": r"""
+WITH esc AS (
+  SELECT o_orderkey,
+         replace(replace(replace(replace(replace(replace(replace(
+           o_orderstatus, '\', '\\'), chr(0), '\0'), chr(10), '\n'),
+           chr(13), '\r'), chr(26), '\Z'), '''', '\'''), '"', '\"') AS st,
+         regexp_replace(o_totalprice::VARCHAR, '\.0$', '') AS tp,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+  FROM orders)
+SELECT o_orderkey,
+       '(' || o_orderkey::VARCHAR || ',' || '''' || st || '''' || ','
+           || tp || ',' || '''' || od || '''' || ')' AS values_sql
+FROM esc""",
+        "csv_render": r"""
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_name IS NULL THEN '\N'
+              WHEN contains(c_name, '"') OR contains(c_name, ',')
+                OR contains(c_name, chr(10)) OR contains(c_name, chr(13))
+              THEN '"' || replace(c_name, '"', '""') || '"'
+              ELSE c_name END AS name_c,
+         CASE WHEN c_nationkey IS NULL THEN '' ELSE c_nationkey::VARCHAR END AS nk_c,
+         CASE WHEN c_acctbal IS NULL THEN ''
+              ELSE regexp_replace(c_acctbal::VARCHAR, '\.0$', '') END AS ab_c,
+         CASE WHEN c_mktsegment IS NULL THEN '\N'
+              WHEN contains(c_mktsegment, '"') OR contains(c_mktsegment, ',')
+                OR contains(c_mktsegment, chr(10)) OR contains(c_mktsegment, chr(13))
+              THEN '"' || replace(c_mktsegment, '"', '""') || '"'
+              ELSE c_mktsegment END AS seg_c
+  FROM customer)
+SELECT c_custkey,
+       c_custkey::VARCHAR || ',' || name_c || ',' || nk_c || ',' || ab_c || ',' || seg_c AS csv_line
+FROM c""",
     }

@@ -1,0 +1,238 @@
+"""Per-dialect value rendering — the Spark restatement of the reference's
+escaper/renderer family (F1–F10):
+
+* MySQL string escaper      — src/paradump/paradump.go:2062-2122
+* MySQL binary literal      — :2124-2215, emitted as ``_binary X'..'`` (:3016-3019)
+* PostgreSQL string escaper — :2262-2328 (E'...' strings, NUL dropped)
+* PostgreSQL binary literal — :2874-2880 (``decode('…','hex')``)
+* MSSQL string escaper      — :2332-2445 (N'...' literals, CHAR(n) splices)
+* MSSQL binary literal      — :2891-2897 (``convert(varbinary(max),'…',2)``)
+* CSV quoting               — :2217-2258, :3131-3146 (quote only when needed,
+                              ``"``→``""``, NULL→``\\N`` for quoted kinds / empty else)
+* float canonicalizer       — :2963-2983
+* fractional-second trimmer — :3111-3130 (strip trailing zeros, keep ≥2 digits)
+* NUL stripper for PG       — :2656-2657
+
+The reference escapes cell-by-cell in Go; here each escaper is a chain of
+literal ``replace`` expressions — JVM-side, whole-stage-codegen'd, no
+Python in the hot path.  A pandas-UDF fallback exists only for the exact
+Go float formatting (shortest positional decimal), which no built-in
+reproduces outside the 1e-3..1e7 range.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from paradump_spark.meta import ColumnMeta
+
+# ---------------------------------------------------------------------------
+# string escapers
+
+
+def _chain_replace(col: Column, pairs: list[tuple[str, str]]) -> Column:
+    out = col
+    for search, repl in pairs:
+        out = F.replace(out, F.lit(search), F.lit(repl))
+    return out
+
+
+# ref table src/paradump/paradump.go:2062-2122 — backslash FIRST.
+_MYSQL_PAIRS = [
+    ("\\", "\\\\"),
+    ("\x00", "\\0"),
+    ("\n", "\\n"),
+    ("\r", "\\r"),
+    ("\x1a", "\\Z"),
+    ("'", "\\'"),
+    ('"', '\\"'),
+]
+
+
+def mysql_escape(col: Column) -> Column:
+    return _chain_replace(col, _MYSQL_PAIRS)
+
+
+def pg_escape(col: Column) -> Column:
+    """PostgreSQL E'...' body: NUL dropped entirely (ref kind 'Z', :2264),
+    backslash and quote escaped, control chars as ``\\xNN`` (:2262-2328)."""
+    out = F.replace(col, F.lit("\x00"), F.lit(""))  # F10, :2656-2657
+    out = _chain_replace(out, [("\\", "\\\\"), ("'", "\\'")])
+    ctrl = [(chr(i), f"\\x{i:02x}") for i in range(1, 32)
+            if chr(i) not in ("\\", "'")]
+    return _chain_replace(out, ctrl)
+
+
+def mssql_escape(col: Column) -> Column:
+    """MSSQL N'...' body: ``'`` doubled; control chars spliced out of the
+    literal as ``'+CHAR(n)+'`` (ref :2332-2445)."""
+    out = F.replace(col, F.lit("'"), F.lit("''"))
+    ctrl = [(chr(i), f"'+CHAR({i})+'") for i in range(1, 32)]
+    return _chain_replace(out, ctrl)
+
+
+_ESCAPERS = {"mysql": mysql_escape, "postgres": pg_escape, "mssql": mssql_escape}
+
+_STRING_TEMPLATES = {"mysql": ("'", "'"), "postgres": ("E'", "'"), "mssql": ("N'", "'")}
+
+
+def string_literal(col: Column, dialect: str = "mysql") -> Column:
+    pre, post = _STRING_TEMPLATES[dialect]
+    return F.concat(F.lit(pre), _ESCAPERS[dialect](col), F.lit(post))
+
+
+def binary_literal(col: Column, dialect: str = "mysql") -> Column:
+    """Hex renderings: mysql ``_binary X'..'`` (:3016-3019), postgres
+    ``decode('..','hex')`` (:3024-3027), mssql ``convert(varbinary(max),..)``
+    (:3020-3023)."""
+    h = F.lower(F.hex(col))
+    if dialect == "mysql":
+        return F.concat(F.lit("_binary X'"), h, F.lit("'"))
+    if dialect == "postgres":
+        return F.concat(F.lit("decode('"), h, F.lit("','hex')"))
+    if dialect == "mssql":
+        return F.concat(F.lit("convert(varbinary(max),'"), h, F.lit("',2)"))
+    raise ValueError(dialect)
+
+
+# ---------------------------------------------------------------------------
+# scalar canonicalizers
+
+
+def float_canonical(col: Column) -> Column:
+    """F8 within codegen: Spark's double→string is the shortest Java repr,
+    which equals Go's ``Text('f',-1)`` for |x| ∈ [1e-3, 1e7); outside that
+    range Java uses exponent notation — use :func:`float_canonical_udf`
+    when byte parity matters there.  Integral doubles render ``5.0`` (Java)
+    vs ``5`` (Go); normalized by stripping a trailing ``.0``."""
+    s = col.cast("string")
+    return F.regexp_replace(s, r"\.0$", "")
+
+
+def float_canonical_udf():
+    """Exact Go-parity float formatting (shortest positional decimal, no
+    exponent) as an Arrow-batched pandas UDF — ref :2963-2983."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def _fmt(s):
+        import numpy as np
+        import pandas as pd
+
+        def one(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            return np.format_float_positional(v, unique=True, trim="-")
+
+        return pd.Series([one(v) for v in s])
+
+    return _fmt
+
+
+def trim_fractional_seconds(col: Column) -> Column:
+    """F9: strip trailing zeros from ``.ffffff`` but keep ≥2 digits
+    (ref :3111-3130).  Input: a formatted ``HH:mm:ss.SSSSSS`` string."""
+    return F.regexp_replace(col, r"(\.\d{2,}?)0+$", "$1")
+
+
+def timestamp_text(col: Column, dt_prec: int = 0) -> Column:
+    """Temporal cell text: UTC wall-clock, optional trimmed fraction."""
+    if dt_prec > 0:
+        return trim_fractional_seconds(
+            F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        )
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# cell -> SQL literal
+
+
+def sql_literal(
+    col: Column, meta: ColumnMeta | None = None, dialect: str = "mysql",
+    spark_type: T.DataType | None = None,
+) -> Column:
+    """One cell as SQL literal text for ``dialect``; NULL → ``NULL``.
+
+    Driven by the column's Spark type (plus ColumnMeta for fractional-
+    second precision), mirroring the reference's mustBeQuote/isKindBinary
+    flag dispatch (src/paradump/paradump.go:2709-3056)."""
+    dt = spark_type or (meta.spark_type if meta else T.StringType())
+    if isinstance(dt, T.BinaryType):
+        rendered = binary_literal(col, dialect)
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        prec = meta.dt_prec if meta else 0
+        rendered = F.concat(F.lit("'"), timestamp_text(col, prec), F.lit("'"))
+    elif isinstance(dt, T.DateType):
+        rendered = F.concat(F.lit("'"), F.date_format(col, "yyyy-MM-dd"), F.lit("'"))
+    elif isinstance(dt, (T.FloatType, T.DoubleType)):
+        rendered = float_canonical(col)
+    elif isinstance(dt, T.BooleanType):
+        rendered = F.when(col, F.lit("1")).otherwise(F.lit("0"))
+    elif isinstance(dt, (T.StringType,)):
+        rendered = string_literal(col, dialect)
+    else:  # integral / decimal kinds
+        rendered = col.cast("string")
+    return F.when(col.isNull(), F.lit("NULL")).otherwise(rendered)
+
+
+def values_tuple(
+    cols: list[Column],
+    metas: list[ColumnMeta] | None = None,
+    dialect: str = "mysql",
+    types: list[T.DataType] | None = None,
+) -> Column:
+    """``(v1,v2,…)`` — one row's VALUES tuple (ref slot template,
+    src/paradump/paradump.go:2709-2725)."""
+    metas = metas or [None] * len(cols)
+    types = types or [None] * len(cols)
+    cells = [sql_literal(c, m, dialect, t) for c, m, t in zip(cols, metas, types)]
+    return F.concat(F.lit("("), F.concat_ws(",", *cells), F.lit(")"))
+
+
+# ---------------------------------------------------------------------------
+# CSV (F7)
+
+
+def csv_cell(col: Column, meta: ColumnMeta | None = None,
+             spark_type: T.DataType | None = None) -> Column:
+    """Exact reference CSV cell: quote only if the cell contains ``"``,
+    ``,`` or a newline; ``"``→``""``; NULL → ``\\N`` for quoted kinds and
+    empty string otherwise (ref :2217-2258, :3103-3150)."""
+    dt = spark_type or (meta.spark_type if meta else T.StringType())
+    quoted_kind = isinstance(
+        dt, (T.StringType, T.BinaryType, T.DateType, T.TimestampType, T.TimestampNTZType)
+    )
+    if isinstance(dt, T.BinaryType):
+        s = col.cast("string")  # raw bytes as UTF-8 text, like the reference
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        prec = meta.dt_prec if meta else 0
+        s = timestamp_text(col, prec)
+    elif isinstance(dt, T.DateType):
+        s = F.date_format(col, "yyyy-MM-dd")
+    elif isinstance(dt, (T.FloatType, T.DoubleType)):
+        s = float_canonical(col)
+    else:
+        s = col.cast("string")
+    needs_quote = (
+        s.contains('"') | s.contains(",") | s.contains("\n") | s.contains("\r")
+    )
+    body = F.when(
+        needs_quote,
+        F.concat(F.lit('"'), F.replace(s, F.lit('"'), F.lit('""')), F.lit('"')),
+    ).otherwise(s)
+    null_text = "\\N" if quoted_kind else ""
+    return F.when(col.isNull(), F.lit(null_text)).otherwise(body)
+
+
+def csv_line(cols: list[Column], metas: list[ColumnMeta] | None = None,
+             types: list[T.DataType] | None = None) -> Column:
+    metas = metas or [None] * len(cols)
+    types = types or [None] * len(cols)
+    cells = [csv_cell(c, m, t) for c, m, t in zip(cols, metas, types)]
+    return F.concat_ws(",", *cells)

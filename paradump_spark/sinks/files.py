@@ -1,0 +1,147 @@
+"""File sinks — the Spark restatement of the reference's writer stages:
+
+* K1 SQL-insert files — dataChunkGeneratorSql src/paradump/paradump.go:2707-3056
+  + tableFileWriter :3196-3420.  Rendering is a JVM-side expression
+  (functions.render.values_tuple); only the ≤``insertsize``-row statement
+  batching runs in Arrow-batched pandas (string joins, no row loop over
+  cells).  One output file per partition replaces the reference's ``%p``
+  per-writer-thread file naming (:3207-3215).
+* K2 CSV files — :3059-3171; fast path = Spark's native CSV writer, exact
+  path = functions.render.csv_line → text writer (reference ``\\N``/empty
+  NULL convention is per-column-kind, which the native writer can't do).
+* K3 zstd — codec option (ref zstd writer :3239-3332).  Parquet zstd is
+  built into parquet-java everywhere; *text/CSV* zstd needs the Hadoop
+  native codec, absent in this environment — pass ``compression="gzip"``
+  locally, ``"zstd"`` on clusters that ship it.
+* K4 noop — :3174-3185; ``format("noop")`` keeps the full read+render path
+  for benchmarking, like the reference's null sink.
+
+Scale: every sink is ``df.write`` — distributed, no driver materialization,
+files per partition, codec-parallel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from paradump_spark.functions.render import csv_line, values_tuple
+from paradump_spark.meta import TableMeta
+
+# ref header: src/paradump/paradump.go:1779-1787
+SQL_FILE_HEADER = "SET NAMES utf8mb4;\nSET TIME_ZONE='+00:00';"
+
+
+def rendered_tuples(
+    df: DataFrame, meta: TableMeta | None = None, dialect: str = "mysql"
+) -> DataFrame:
+    """One string column ``v`` holding each row's ``(...)`` VALUES tuple."""
+    cols = [F.col(c) for c in df.columns]
+    metas = [meta.column(c) for c in df.columns] if meta else None
+    types = [f.dataType for f in df.schema.fields]
+    return df.select(values_tuple(cols, metas, dialect, types).alias("v"))
+
+
+def write_sql_inserts(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    meta: TableMeta | None = None,
+    dialect: str = "mysql",
+    insertsize: int = 500,
+    compression: str | None = None,
+    header: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """K1: multi-row ``INSERT INTO t (cols) VALUES (…),(…);`` text files.
+
+    ``insertsize`` rows per statement (ref default 500, :3490); header
+    lines at the start of each file (ref :1779-1787).  The heavy per-cell
+    rendering happens in codegen *before* mapInPandas; Python only joins
+    pre-rendered tuple strings.
+    """
+    cols_sql = ", ".join(f"`{c}`" for c in df.columns)
+    prefix = f"INSERT INTO `{table_name}` ({cols_sql}) VALUES\n"
+    rendered = rendered_tuples(df, meta, dialect)
+    out_schema = T.StructType([T.StructField("line", T.StringType())])
+
+    def to_statements(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        first = True
+        buf: list[str] = []
+        for pdf in it:
+            vals = pdf["v"].tolist()
+            lines: list[str] = []
+            if first and header:
+                lines.append(SQL_FILE_HEADER)
+                first = False
+            for v in vals:
+                buf.append(v)
+                if len(buf) >= insertsize:
+                    lines.append(prefix + ",\n".join(buf) + ";")
+                    buf.clear()
+            if lines:
+                yield pd.DataFrame({"line": lines})
+        if buf:
+            yield pd.DataFrame({"line": [prefix + ",\n".join(buf) + ";"]})
+
+    writer = rendered.mapInPandas(to_statements, out_schema).write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)  # K3: zstd etc.
+    writer.text(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    meta: TableMeta | None = None,
+    exact: bool = False,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """K2: CSV files.
+
+    ``exact=True`` renders with the reference's cell rules (quote only
+    when needed, ``\\N`` NULL for quoted kinds, empty for others,
+    trimmed fractional seconds) via one codegen'd expression per row.
+    ``exact=False`` uses Spark's native CSV writer (faster; NULL
+    convention is global ``\\N``, not per-kind).
+    """
+    if exact:
+        cols = [F.col(c) for c in df.columns]
+        metas = [meta.column(c) for c in df.columns] if meta else None
+        types = [f.dataType for f in df.schema.fields]
+        out = df.select(csv_line(cols, metas, types).alias("line"))
+        writer = out.write.mode(mode)
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.text(path)
+        return
+    writer = (
+        df.write.mode(mode)
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
+        .option("quote", '"')
+        .option("escape", '"')
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+
+
+def write_noop(df: DataFrame) -> None:
+    """K4: consume and discard — full read/render cost, no I/O
+    (ref :3174-3185)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def write_parquet(
+    df: DataFrame, path: str, compression: str = "zstd", mode: str = "overwrite"
+) -> None:
+    """Lake-native sink (beyond-reference): at 100 TB this is the format
+    the other operators read back."""
+    df.write.mode(mode).option("compression", compression).parquet(path)

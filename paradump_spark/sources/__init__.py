@@ -1,0 +1,6 @@
+"""Source layer — the reference's scan stages:
+
+``jdbc`` — live-DB introspection (S1/S2), partitioned chunk reads
+           (S4/S5) via the JDBC ``predicates[]`` array, and the
+           snapshot-consistency policy (S6).
+"""
