@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Queries mirror the reference's bench method (test/run_bench.sh: dump to
+/dev/null in sql and csv modes) plus the engine's other headline
+operators: diff, TPC-H Q1, chunk planning, MinHash dedup, SimHash, ANN,
+text analysis.  Render benches go to the noop sink so they measure
+read+render, not disk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from paradump_spark.operators import dedup as DD  # noqa: E402
+from paradump_spark.operators import similarity as SIM  # noqa: E402
+from paradump_spark.operators import text_analysis as TA  # noqa: E402
+from paradump_spark.operators.diff import diff_classified  # noqa: E402
+from paradump_spark.plans.split import chunk_filter, plan_chunks  # noqa: E402
+from paradump_spark.session import build_session  # noqa: E402
+from paradump_spark.sinks.files import rendered_tuples, write_csv, write_noop  # noqa: E402
+from paradump_spark.functions.render import csv_line  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _t(spark, name):
+    return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+
+def bench(fn):
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    spark = build_session(
+        app_name="paradump_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    # JIT/IO warmup so query times measure steady state, not JVM startup.
+    _t(spark, "lineitem").count()
+
+    li = _t(spark, "lineitem")
+    orders = _t(spark, "orders")
+    docs = _t(spark, "documents")
+    emb = _t(spark, "embeddings")
+    times: dict[str, float] = {}
+
+    # --- dump modes (reference bench: sql/csv to /dev/null) ---------------
+    times["dump_sql_noop"] = bench(lambda: write_noop(rendered_tuples(li)))
+    types = [f.dataType for f in li.schema.fields]
+    csv_df = li.select(
+        csv_line([F.col(c) for c in li.columns], None, types).alias("line")
+    )
+    times["dump_csv_noop"] = bench(lambda: write_noop(csv_df))
+
+    tmp = tempfile.mkdtemp(prefix="bench_csv_")
+    try:
+        times["dump_csv_disk"] = bench(
+            lambda: write_csv(li, os.path.join(tmp, "out"))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # --- diff (parasync): identical -> 0 DML, then 1%-ish perturbed -------
+    times["diff_identical"] = bench(
+        lambda: diff_classified(orders, orders, ["o_orderkey"]).count()
+    )
+    perturbed = orders.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    times["diff_perturbed"] = bench(
+        lambda: diff_classified(orders, perturbed, ["o_orderkey"]).count()
+    )
+
+    # --- analytics --------------------------------------------------------
+    def q1():
+        ep = F.col("l_extendedprice")
+        disc = ep * (1 - F.col("l_discount"))
+        (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum(ep).alias("sum_base_price"),
+                F.sum(disc).alias("sum_disc_price"),
+                F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .collect()
+        )
+
+    times["q1_pricing_summary"] = bench(q1)
+
+    # --- chunk planning + one-pass coverage check -------------------------
+    def chunking():
+        pk = ["l_orderkey", "l_linenumber"]
+        chunks = plan_chunks(li, pk, 32)
+        inds = [F.when(chunk_filter(c, pk, li.schema), 1).otherwise(0) for c in chunks]
+        total = inds[0]
+        for i in inds[1:]:
+            total = total + i
+        li.select(F.sum(total)).collect()
+
+    times["chunk_plan_coverage"] = bench(chunking)
+
+    # --- LLM-pipeline operators ------------------------------------------
+    times["minhash_lsh_candidates"] = bench(
+        lambda: DD.minhash_lsh_candidates(docs, "doc_id", "text").count()
+    )
+    times["simhash"] = bench(
+        lambda: DD.simhash_table(docs, "doc_id", "text").count()
+    )
+    times["text_quality"] = bench(
+        lambda: TA.text_quality(docs, "doc_id", "text").count()
+    )
+    times["language_id"] = bench(
+        lambda: TA.language_id(docs, "doc_id", "text").count()
+    )
+    times["ann_topk"] = bench(
+        lambda: SIM.brute_force_topk(
+            emb, emb.where(F.col("vec_id") < 100), "vec_id", "embedding", k=10
+        ).count()
+    )
+    times["embedding_near_dup_lsh"] = bench(
+        lambda: DD.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.9, use_lsh=True
+        ).count()
+    )
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

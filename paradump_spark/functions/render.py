@@ -110,7 +110,9 @@ def float_canonical(col: Column) -> Column:
     when byte parity matters there.  Integral doubles render ``5.0`` (Java)
     vs ``5`` (Go); normalized by stripping a trailing ``.0``."""
     s = col.cast("string")
-    return F.regexp_replace(s, r"\.0$", "")
+    return F.when(
+        s.endswith(".0"), F.substring(s, 1, F.length(s) - 2)
+    ).otherwise(s)
 
 
 def float_canonical_udf():
@@ -219,13 +221,18 @@ def csv_cell(col: Column, meta: ColumnMeta | None = None,
         s = float_canonical(col)
     else:
         s = col.cast("string")
-    needs_quote = (
-        s.contains('"') | s.contains(",") | s.contains("\n") | s.contains("\r")
-    )
-    body = F.when(
-        needs_quote,
-        F.concat(F.lit('"'), F.replace(s, F.lit('"'), F.lit('""')), F.lit('"')),
-    ).otherwise(s)
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        # only free-text kinds can contain the delimiter/quote/newline;
+        # rendered numerics and temporals never do — skip the scans.
+        needs_quote = (
+            s.contains('"') | s.contains(",") | s.contains("\n") | s.contains("\r")
+        )
+        body = F.when(
+            needs_quote,
+            F.concat(F.lit('"'), F.replace(s, F.lit('"'), F.lit('""')), F.lit('"')),
+        ).otherwise(s)
+    else:
+        body = s
     null_text = "\\N" if quoted_kind else ""
     return F.when(col.isNull(), F.lit(null_text)).otherwise(body)
 

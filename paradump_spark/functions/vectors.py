@@ -41,40 +41,68 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
 
 
-def sign_sketch(a: Column, planes: int = 16) -> Column:
+def plane_signs(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane components: sign(p,i) = parity of the
+    first md5 nibble of ``"p|i"`` — reproducible anywhere, no stored
+    model, computable at plan time."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{plane}|{i}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def sign_sketch(a: Column, planes: int = 16, dim: int | None = None) -> Column:
     """Random-hyperplane (SimHash-for-vectors) sketch: ``planes`` sign bits.
 
-    Plane p's component for dimension i is a deterministic pseudo-random
-    ±1 derived from md5(p|i) — reproducible anywhere, no stored model.
-    Bit p of the result = 1 iff Σ_i sign(p,i)·a[i] > 0.  Cosine-similar
-    vectors agree on most bits, so equal prefixes/buckets give LSH
-    candidates (used by the scalable near-dup path).
+    Bit p of the result = 1 iff Σ_i sign(p,i)·a[i] > 0, with sign(p,i)
+    from :func:`plane_signs`.  Cosine-similar vectors agree on most bits,
+    so equal buckets give LSH candidates (the scalable near-dup path).
+
+    When ``dim`` is known the sign vectors are baked in as literal arrays
+    (plan-time constants — the executor does one multiply-fold per plane);
+    otherwise they are derived per-row from md5, which is ~100× slower.
     """
     av = to_double_array(a)
 
-    def signed(p: int):
+    def proj_expr(p: int) -> Column:
+        if dim is not None:
+            signs = F.array(*[F.lit(s) for s in plane_signs(p, dim)])
+            return F.aggregate(
+                F.zip_with(av, signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
         prefix = f"{p}|"
-        # one pseudo-random bit per (plane, dim)
-        return lambda x, i: F.when(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(prefix), i.cast("string"))), 1, 1),
-                16,
-                10,
-            ).cast("int") % 2
-            == 0,
-            x,
-        ).otherwise(-x)
 
-    bits = []
-    for p in range(planes):
-        proj = F.aggregate(
-            F.zip_with(av, F.sequence(F.lit(0), F.size(av) - 1), signed(p)),
+        def signed(x, i):
+            return F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(prefix), i.cast("string"))), 1, 1
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                x,
+            ).otherwise(-x)
+
+        return F.aggregate(
+            F.zip_with(av, F.sequence(F.lit(0), F.size(av) - 1), signed),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bits.append(
-            F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    bits = [
+        F.when(proj_expr(p) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
+        for p in range(planes)
+    ]
     out = bits[0]
     for b in bits[1:]:
         out = out + b

