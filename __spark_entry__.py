@@ -118,18 +118,25 @@ base AS (
 
 
 def _minhash_sig_sql(num_hashes: int = 12) -> str:
-    mins = ", ".join(
-        f"list_aggregate(list_transform(sh, x -> md5('{k}|' || x)), 'min')"
-        for k in range(num_hashes)
-    )
-    return f"sig AS (SELECT doc_id, [{mins}] AS sg FROM s)"
+    # universal-hash family over the 31-bit md5 base hash, matching
+    # functions.text.minhash_params / base_hash31
+    p = TX.MINHASH_P
+    base = f"(('0x' || substr(md5(x), 1, 15))::BIGINT % {p})"
+    mins = []
+    for k in range(num_hashes):
+        a, b = TX.minhash_params(k)
+        mins.append(
+            f"list_aggregate(list_transform(sh, "
+            f"x -> ({base} * {a} + {b}) % {p}), 'min')"
+        )
+    return f"sig AS (SELECT doc_id, [{', '.join(mins)}] AS sg FROM s)"
 
 
 def _minhash_bands_sql(bands: int = 4, rows_per_band: int = 3) -> str:
     hashes = []
     for b in range(bands):
         parts = " || ',' || ".join(
-            f"sg[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)
+            f"sg[{b * rows_per_band + r + 1}]::VARCHAR" for r in range(rows_per_band)
         )
         hashes.append(f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sig")
     return "bands AS (" + " UNION ALL ".join(hashes) + ")"
@@ -194,12 +201,13 @@ def _lang_case_sql() -> str:
 
 _EN_SW = "[" + ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS["en"]) + "]"
 
-# cosine over DOUBLE[] lists, matching functions.vectors.cosine
-_COS = (
-    "CASE WHEN sqrt(list_dot_product(qv, qv)) > 0 AND sqrt(list_dot_product(cv, cv)) > 0 "
-    "THEN list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) "
-    "ELSE 0.0 END"
-)
+# unit-normalization of a DOUBLE[] column, matching functions.vectors.normalized
+def _norm_sql(v: str) -> str:
+    return (
+        f"CASE WHEN sqrt(list_dot_product({v}, {v})) > 0 "
+        f"THEN list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v}))) "
+        f"ELSE list_transform({v}, x -> x * 0.0) END"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -646,24 +654,27 @@ WHERE len(toks) >= 5 AND len(toks) <= 100000
             THEN len(list_filter(toks, x -> list_contains({_EN_SW}, x)))::DOUBLE / len(toks)
             ELSE 0.0 END) <= 0.9""",
         "ann_topk": f"""
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-s AS (SELECT query_id, neighbor_id, {_COS} AS cos FROM q CROSS JOIN c)
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
+q AS (SELECT query_id, {_norm_sql('v')} AS qv FROM q0),
+c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT neighbor_id, {_norm_sql('v')} AS cv FROM c0),
+s AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos FROM q CROSS JOIN c)
 SELECT query_id, neighbor_id, rank::INTEGER AS rank, round(cos, 6) AS cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM s) WHERE rank <= 5""",
         "embedding_near_dup": f"""
-WITH base AS (
-  SELECT vec_id, embedding FROM embeddings
+WITH b0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000, embedding FROM embeddings
+  SELECT vec_id + 100000, embedding::DOUBLE[] AS v FROM embeddings
 ),
+base AS (SELECT vec_id, {_norm_sql('v')} AS nv FROM b0),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         a.embedding::DOUBLE[] AS qv, b.embedding::DOUBLE[] AS cv
+         list_dot_product(a.nv, b.nv) AS cos
   FROM base a JOIN base b ON a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, round({_COS}, 6) AS cosine FROM p WHERE {_COS} >= 0.99""",
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.99""",
         "multimodal_features": """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS content_md5
 FROM documents""",

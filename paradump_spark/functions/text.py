@@ -68,24 +68,47 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
-    """MinHash signature: array of ``num_hashes`` minima of seeded md5 hashes.
+# Universal-hash MinHash family over the 31-bit md5 base hash:
+# h_k(x) = (A[k] * base(x) + B[k]) mod MINHASH_P.  One md5 per shingle,
+# then num_hashes cheap multiply-adds — the standard permutation family.
+MINHASH_P = 2147483647  # 2^31 - 1 (prime); products stay < 2^62
 
-    Hash family k = md5(k || '|' || shingle); the minimum is taken in hex
-    lexicographic order (equivalent to numeric order on the 128-bit value).
-    Engine-portable: any SQL engine with md5 reproduces it.
+def minhash_params(k: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash k; a is never 0."""
+    a = (1103515245 * (k + 1) + 12345) % MINHASH_P
+    if a == 0:
+        a = 1
+    b = (22695477 * k + 7) % MINHASH_P
+    return a, b
+
+
+def base_hash31(col: Column) -> Column:
+    """md5-derived 31-bit base hash: first 60 md5 bits mod (2^31-1).
+    Engine-portable (md5 + hex parse + mod)."""
+    h60 = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return h60 % F.lit(MINHASH_P)
+
+
+def permuted_hash(base: Column, k: int) -> Column:
+    a, b = minhash_params(k)
+    return (base * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima of the permuted
+    base hash over the shingle set — engine-portable.
 
     NB: callbacks must be single-argument lambdas built by a factory —
     PySpark dispatches on lambda arity, so a captured-default second
     parameter would silently become the array-index argument.
     """
+    bases = F.transform(shingles, base_hash31)
 
-    def seeded(k: int):
-        prefix = f"{k}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    def perm(k: int):
+        return lambda h: permuted_hash(h, k)
 
     return F.array(
-        *[F.array_min(F.transform(shingles, seeded(k))) for k in range(num_hashes)]
+        *[F.array_min(F.transform(bases, perm(k))) for k in range(num_hashes)]
     )
 
 
@@ -100,8 +123,13 @@ def lsh_band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column
         *[
             F.md5(
                 F.concat_ws(
-                    ",", *[F.element_at(signature, b * rows_per_band + r + 1)
-                           for r in range(rows_per_band)]
+                    ",",
+                    *[
+                        F.element_at(signature, b * rows_per_band + r + 1).cast(
+                            "string"
+                        )
+                        for r in range(rows_per_band)
+                    ],
                 )
             )
             for b in range(bands)

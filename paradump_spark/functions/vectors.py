@@ -41,6 +41,23 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
 
 
+def normalized(a: Column) -> Column:
+    """Unit-normalized copy of ``a`` (zeros when the norm is zero).
+
+    Pre-normalizing each side once turns per-pair cosine into a single
+    dot fold — at N×M pair counts this removes two redundant norm folds
+    per pair.  ``dot(normalized(a), normalized(b))`` replaces
+    ``cosine(a, b)`` with identical zero-norm semantics (but different
+    floating-point rounding: Σ (a_i/‖a‖)(b_i/‖b‖) — any oracle must use
+    the same formulation).
+    """
+    av = to_double_array(a)
+    n = norm(av)
+    return F.when(n > 0, F.transform(av, lambda x: x / n)).otherwise(
+        F.transform(av, lambda x: x * 0.0)
+    )
+
+
 def plane_signs(plane: int, dim: int) -> list[float]:
     """Deterministic ±1 hyperplane components: sign(p,i) = parity of the
     first md5 nibble of ``"p|i"`` — reproducible anywhere, no stored

@@ -56,23 +56,26 @@ def minhash_signatures(
     shingle_size: int = 3,
     num_hashes: int = 12,
 ) -> DataFrame:
-    """(id, sig array<string>) — the MinHash signature table.
+    """(id, sig array<bigint>) — the MinHash signature table.
 
-    Plan shape: explode shingles → ``num_hashes`` md5 projections →
-    groupBy(id) min-aggregates.  The min is map-side partial-aggregated,
-    so the shuffle carries one (id, 12×hash) row per document — this
-    beats the per-row nested-array formulation (which re-evaluates the
-    tokenizer per hash seed) by >10× and scales to any document count.
-    Semantics identical to functions.text.minhash_signature.
+    Plan shape: explode shingles → ONE md5 base hash per shingle →
+    ``num_hashes`` multiply-mod permutations → groupBy(id) min-aggregates
+    (universal-hash MinHash, functions.text.minhash_params).  Signature
+    elements are fixed-width BIGINTs: ``min(long)`` uses a mutable buffer
+    so Spark picks HashAggregate with map-side partial aggregation —
+    ``min(string)`` would fall back to SortAggregate and sort every
+    exploded shingle row.  The shuffle carries one (id, 12×long) row per
+    document.  Semantics identical to functions.text.minhash_signature.
     """
     sh = df.select(
         F.col(id_col),
         F.explode(TX.word_shingles(text_col, shingle_size)).alias("__s"),
     )
-    hashed = sh.select(
+    base = sh.select(F.col(id_col), TX.base_hash31(F.col("__s")).alias("__b"))
+    hashed = base.select(
         F.col(id_col),
         *[
-            F.md5(F.concat(F.lit(f"{k}|"), F.col("__s"))).alias(f"__h{k}")
+            TX.permuted_hash(F.col("__b"), k).alias(f"__h{k}")
             for k in range(num_hashes)
         ],
     )
@@ -249,10 +252,12 @@ def embedding_near_dup_pairs(
     hyperplane LSH, see functions.vectors.sign_sketch) — the 100 TB path;
     recall < 1 by design, so it is rows-only-checked.
     """
-    base = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    base = df.select(
+        F.col(id_col), V.normalized(F.col(vec_col)).alias("__v")
+    )
     if use_lsh:
         if dim is None:
-            row = base.select(F.size("__v").alias("d")).first()
+            row = df.select(F.size(vec_col).alias("d")).first()
             dim = row["d"] if row else None
         base = base.withColumn("__bucket", V.sign_sketch(F.col("__v"), planes, dim))
         a, b = base.alias("a"), base.alias("b")
@@ -263,7 +268,7 @@ def embedding_near_dup_pairs(
     else:
         a, b = base.alias("a"), base.alias("b")
         on = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
-    cos = V.cosine(F.col("a.__v"), F.col("b.__v"))
+    cos = V.dot(F.col("a.__v"), F.col("b.__v"))
     return (
         a.join(b, on=on)
         .select(

@@ -35,16 +35,17 @@ def brute_force_topk(
     tie-break (cosine desc, neighbor id asc).
     """
     qid = query_id_col or id_col
+    # normalize each side ONCE; per-pair work is then a single dot fold
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(qid).alias("query_id"), V.normalized(F.col(vec_col)).alias("__qv")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"), V.normalized(F.col(vec_col)).alias("__cv")
     )
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        V.cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        V.dot(F.col("__qv"), F.col("__cv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

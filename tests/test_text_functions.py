@@ -36,10 +36,14 @@ def test_shingles(spark):
 def test_minhash_matches_python(spark):
     text = "a b c d e"
     shingles = ["a b c", "b c d", "c d e"]
-    expected = [
-        min(hashlib.md5(f"{k}|{s}".encode()).hexdigest() for s in shingles)
-        for k in range(4)
-    ]
+
+    def base(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % TX.MINHASH_P
+
+    expected = []
+    for k in range(4):
+        a, b = TX.minhash_params(k)
+        expected.append(min((base(s) * a + b) % TX.MINHASH_P for s in shingles))
     got = _one(spark, TX.minhash_signature(TX.word_shingles("text", 3), 4), text)
     assert got == expected
 
