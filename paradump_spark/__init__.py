@@ -1,30 +1,39 @@
 """paradump_spark — a PySpark-native analytics engine with the query and
-data-processing capabilities of ErwanMAS/paradump (parallel consistent-snapshot
-table dumper/copier + chunk-wise table diff/repair), re-expressed Spark-first.
+data-processing capabilities of ErwanMAS/paradump (parallel consistent-
+snapshot table dumper/copier + chunk-wise table diff/repair), re-expressed
+Spark-first.
 
 The reference (/root/reference, Go) is a single-process pipelined engine:
 browser -> reader -> generator -> writer goroutine stages over bounded
-channels.  Here each of those stages maps onto Spark's execution model:
+channels.  Each stage maps onto Spark's execution model:
 
 * browser (PK-interval discovery)   -> driver-side split planning
   (:mod:`paradump_spark.plans.split`) producing JDBC ``predicates[]`` or
-  partition bounds — no sequential LIMIT-walk.
-* reader (chunk fetch)              -> partitioned DataFrame read
-  (:mod:`paradump_spark.sources`); each predicate = one partition/task.
-* generator (dialect SQL rendering) -> vectorized expressions / pandas UDFs
+  chunk Column filters — no sequential LIMIT-walk.
+* reader (chunk fetch)              -> partitioned reads
+  (:mod:`paradump_spark.sources.jdbc`); each predicate = one partition.
+* generator (dialect SQL rendering) -> codegen'd expressions
   (:mod:`paradump_spark.functions.render`).
 * writer (files / DB)               -> :mod:`paradump_spark.sinks`.
 * parasync's sorted-merge diff      -> full-outer join diff
   (:mod:`paradump_spark.operators.diff`) — Catalyst picks SMJ/broadcast.
 
-Beyond the reference surface, :mod:`paradump_spark.operators` adds the
-large-scale training-data pipeline operators: deduplication (exact,
-MinHash-LSH, SimHash, n-gram Jaccard, embedding near-dup), similarity
-search, text analysis, and multimodal column plumbing.
+Top-level orchestration: :func:`paradump_spark.dump.dump_tables` (the
+``paradump`` entry) and :func:`paradump_spark.sync.sync_tables` (the
+``parasync`` entry).
+
+Beyond the reference surface: LLM-data-pipeline operators — dedup
+(:mod:`paradump_spark.operators.dedup`: exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding near-dup), similarity search
+(:mod:`paradump_spark.operators.similarity`), text analysis
+(:mod:`paradump_spark.operators.text_analysis`), multimodal binary-column
+plumbing (:mod:`paradump_spark.operators.multimodal`), and Structured
+Streaming rollups/stateful ops/continuous sync
+(:mod:`paradump_spark.streaming`).
 """
 
 from paradump_spark.session import build_session, get_session
 
 __all__ = ["build_session", "get_session"]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -170,6 +170,42 @@ def table_stats_sql(dialect: str, schema: str, table: str) -> str:
     raise ValueError(dialect)
 
 
+def index_stats_sql(dialect: str, schema: str, table: str) -> str:
+    """Secondary-index inventory for fake-PK promotion (ref
+    GuessPrimaryKey, src/paradump/paradump.go:1200-1228)."""
+    if dialect == "mysql":
+        return (
+            "SELECT index_name, seq_in_index, column_name, cardinality, nullable "
+            "FROM information_schema.statistics "
+            f"WHERE table_schema = '{schema}' AND table_name = '{table}' "
+            "AND index_name <> 'PRIMARY' ORDER BY index_name, seq_in_index"
+        )
+    raise ValueError(f"fake-PK promotion implemented for mysql only, not {dialect}")
+
+
+def guess_primary_key(run: "QueryRunner", schema: str, table: str) -> list[str]:
+    """Promote the highest-cardinality all-NOT-NULL index to a fake PK
+    (ref :1200-1228).  A fake PK admits duplicate key runs — chunk
+    planning tolerates that (heavy-hitter boundaries collapse), unlike
+    the reference which must grow chunks ×1.5 around duplicates
+    (:1742-1747).  Returns [] when no usable index exists (error bit 2).
+    """
+    by_index: dict[str, list[tuple[int, str, int, str]]] = {}
+    for name, seq, col, card, nullable in run(index_stats_sql("mysql", schema, table)):
+        by_index.setdefault(str(name), []).append(
+            (int(seq), str(col), int(card or 0), str(nullable or ""))
+        )
+    best: tuple[int, list[str]] | None = None
+    for cols in by_index.values():
+        cols.sort()
+        if any(n.upper() == "YES" for _, _, _, n in cols):
+            continue  # nullable column -> unusable as key
+        cardinality = max(c for _, _, c, _ in cols)
+        if best is None or cardinality > best[0]:
+            best = (cardinality, [c for _, c, _, _ in cols])
+    return best[1] if best else []
+
+
 QueryRunner = Callable[[str], list[tuple[Any, ...]]]
 """Executes one SQL string on the source DB, returns rows.  Injectable so
 tests stub it; production wraps a DBAPI cursor or a 1-row spark.read.jdbc."""

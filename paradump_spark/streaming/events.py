@@ -1,0 +1,130 @@
+"""Streaming operators over an append-only events table.
+
+Patterns (all Spark-native, no reference analogue — SURVEY §2.10):
+
+* file-source stream with explicit schema (new parquet files appear →
+  new micro-batch; at 100 TB this is the landing-zone pattern),
+* watermark + tumbling-window aggregation (late data handled by the
+  watermark, state bounded),
+* ``applyInPandasWithState`` custom stateful operator (running per-key
+  accumulator with explicit GroupState),
+* ``foreachBatch`` diff-apply: each micro-batch full-outer-diffs against
+  the destination and applies only the DML delta — parasync as a
+  continuous pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (TESTDATA events.parquet)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events directory; nanos → timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_event_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window rollup: (window, event_type, n, sum).
+
+    The watermark bounds state: windows older than max(event time) −
+    watermark are finalized and evicted — the standard late-data design.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) across
+    micro-batches via ``applyInPandasWithState`` — the extension point for
+    operators Spark's built-ins can't express (sessionization, CDC
+    dedupe, feature accumulation)."""
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_sync_to_sink(
+    events: DataFrame,
+    apply_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """CDC-style continuous sync: each micro-batch is handed to
+    ``apply_batch`` (e.g. diff against the destination + sinks.dml.apply_diff)
+    under exactly-once foreachBatch semantics with checkpointing."""
+    writer = (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

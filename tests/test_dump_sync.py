@@ -1,0 +1,126 @@
+"""Top-level dump/sync orchestration tests (paradump/parasync entry
+semantics) and fake-PK promotion."""
+
+import glob
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from paradump_spark.catalog import ParquetCatalog
+from paradump_spark.dump import DumpOptions, dump_tables
+from paradump_spark.sources.jdbc import guess_primary_key
+from paradump_spark.sync import SyncOptions, apply_syncs, sync_report, sync_tables
+
+
+@pytest.fixture()
+def catalog(spark, sf_dir):
+    return ParquetCatalog(spark, sf_dir)
+
+
+def test_dump_sql_mode(catalog, tmp_path):
+    res = dump_tables(
+        catalog,
+        str(tmp_path),
+        tables=["region", "nation"],
+        options=DumpOptions(mode="sql", insertsize=10),
+    )
+    # largest-first scheduling: nation (25 rows) before region (5)
+    assert [r.table for r in res] == ["nation", "region"]
+    txt = "".join(
+        open(f).read() for f in glob.glob(str(tmp_path / "nation" / "part-*"))
+    )
+    assert txt.count("INSERT INTO `nation`") == 3  # 25 rows / 10
+
+
+def test_dump_mode_validation(catalog, tmp_path):
+    with pytest.raises(ValueError):
+        dump_tables(catalog, str(tmp_path), options=DumpOptions(mode="bogus"))
+
+
+def test_dump_excludes(catalog, tmp_path):
+    res = dump_tables(
+        catalog,
+        str(tmp_path),
+        options=DumpOptions(mode="nul", excludes=["lineitem", "orders", "events",
+                                                  "documents", "embeddings", "part",
+                                                  "customer", "supplier"]),
+    )
+    assert sorted(r.table for r in res) == ["nation", "region"]
+
+
+def test_dump_csv_and_parquet(catalog, spark, tmp_path):
+    dump_tables(
+        catalog, str(tmp_path), tables=["region"], options=DumpOptions(mode="parquet")
+    )
+    back = spark.read.parquet(str(tmp_path / "region"))
+    assert back.count() == 5
+
+
+def test_sync_noop_reports_zero_dml(spark, sf_dir, catalog):
+    """Reference invariant: no-op sync reports zero writes
+    (/root/reference/test/run_test_sync.sh:111)."""
+    syncs = sync_tables(catalog, catalog, tables=["customer", "orders"])
+    rep = {
+        (r["table"], r["action"]): r["cnt"]
+        for r in sync_report(syncs).collect()
+    }
+    assert rep == {("customer", "NoOp"): 150, ("orders", "NoOp"): 1500}
+
+
+def test_sync_apply_converges_sqlite(spark, sf_dir, catalog, tmp_path):
+    cust = catalog.load("customer")
+    db = str(tmp_path / "dst.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE customer (c_custkey INTEGER PRIMARY KEY, c_name TEXT,"
+        " c_nationkey INTEGER, c_acctbal REAL, c_mktsegment TEXT)"
+    )
+    dst_rows = [tuple(r) for r in cust.where(F.col("c_custkey") % 2 == 0).collect()]
+    con.executemany("INSERT INTO customer VALUES (?,?,?,?,?)", dst_rows)
+    con.commit()
+    con.close()
+
+    # destination catalog = parquet snapshot of the sqlite state
+    dst_dir = tmp_path / "dstcat"
+    spark.createDataFrame(dst_rows, cust.schema).coalesce(1).write.parquet(
+        str(dst_dir / "customer.parquet")
+    )
+    dst_cat = ParquetCatalog(spark, str(dst_dir))
+
+    syncs = sync_tables(catalog, dst_cat, tables=["customer"])
+    [s] = syncs
+    apply_syncs(
+        [s],
+        lambda: sqlite3.connect(db),
+        columns={"customer": list(cust.columns)},
+        quote='"',
+    )
+    got = sqlite3.connect(db).execute(
+        "SELECT * FROM customer ORDER BY c_custkey"
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in cust.collect())
+
+
+def test_sync_skips_tables_without_pk(catalog):
+    syncs = sync_tables(
+        catalog, catalog, tables=["customer"], primary_keys={"customer": []}
+    )
+    assert syncs == []
+
+
+def test_guess_primary_key_promotes_best_index():
+    rows = [
+        # (index_name, seq, column, cardinality, nullable)
+        ("idx_a", 1, "col_x", 100, ""),
+        ("idx_b", 1, "col_y", 5000, ""),
+        ("idx_b", 2, "col_z", 9000, ""),
+        ("idx_nullable", 1, "col_n", 99999, "YES"),
+    ]
+    pk = guess_primary_key(lambda sql: rows, "db", "t")
+    assert pk == ["col_y", "col_z"]  # highest non-null cardinality
+
+
+def test_guess_primary_key_no_usable_index():
+    rows = [("idx_nullable", 1, "col_n", 99999, "YES")]
+    assert guess_primary_key(lambda sql: rows, "db", "t") == []

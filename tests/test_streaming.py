@@ -1,0 +1,101 @@
+"""Structured Streaming tests: availableNow triggers over the static
+events parquet, memory sink assertions, stateful operator, foreachBatch
+sync."""
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from paradump_spark.streaming import (
+    hourly_event_counts,
+    read_event_stream,
+    running_user_totals,
+    stream_sync_to_sink,
+)
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path):
+    """Copy events.parquet into a directory layout a file stream can watch."""
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _run_to_memory(df, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_hourly_counts_match_batch(spark, sf_dir, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    name = f"hourly_{uuid.uuid4().hex[:8]}"
+    # complete mode: append would hold back windows still inside the
+    # watermark horizon (they only finalize once later data arrives)
+    q = _run_to_memory(hourly_event_counts(stream), name, "complete")
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    q.stop()
+    # batch reference
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    exp = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_running_user_totals_state(spark, events_dir, sf_dir):
+    stream = read_event_stream(spark, events_dir)
+    name = f"running_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(running_user_totals(stream), name, "update")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            f"SELECT user_id, last(n_events) n_events, last(total_value) total_value"
+            f" FROM {name} GROUP BY user_id"
+        ).collect()
+    }
+    q.stop()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exp = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_foreach_batch_sync(spark, events_dir, tmp_path):
+    stream = read_event_stream(spark, events_dir)
+    seen = {"rows": 0, "batches": 0}
+
+    def apply_batch(batch_df, batch_id):
+        seen["rows"] += batch_df.count()
+        seen["batches"] += 1
+
+    q = stream_sync_to_sink(stream, apply_batch, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    q.stop()
+    assert seen["rows"] == 1000 and seen["batches"] >= 1
