@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from paradump_spark.functions import text as TX
 from paradump_spark.functions.render import csv_line, values_tuple
+from paradump_spark.operators.asof import asof_join
 from paradump_spark.operators import dedup as DD
 from paradump_spark.operators import diff as DF
 from paradump_spark.operators import multimodal as MM
@@ -424,6 +425,63 @@ def _q_embedding_near_dup(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_asof_purchase_click(spark, sf_dir):
+    """As-of join: each purchase gets the latest click at-or-before it,
+    per user (custom operator — union + keyed window carry-forward)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    joined = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", right_cols=["event_id", "value"]
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_id_right").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+
+
+def _q_events_moving_avg(spark, sf_dir):
+    """Sliding-frame window: 3-event moving average of value per user."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+    )
+
+
+def _q_lineitem_rollup(spark, sf_dir):
+    """ROLLUP aggregation (grouping-sets family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+    )
+
+
+def _q_customer_except(spark, sf_dir):
+    """Bag set-op: src EXCEPT ALL perturbed-dst = removed/changed row images."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.exceptAll(_perturbed_customer(cust))
+
+
 def _q_sql_insert_render(spark, sf_dir):
     """F1/F8/F9/K1 rendering: each orders row as a MySQL VALUES tuple."""
     orders = _t(spark, sf_dir, "orders").select(
@@ -512,6 +570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "sql_insert_render": _q_sql_insert_render,
         "csv_render": _q_csv_render,
+        "asof_purchase_click": _q_asof_purchase_click,
+        "events_moving_avg": _q_events_moving_avg,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "customer_except": _q_customer_except,
         # approximate by design -> rows-only checks
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -678,6 +740,31 @@ SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.99""",
         "multimodal_features": """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS content_md5
 FROM documents""",
+        "asof_purchase_click": """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+p AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id, value FROM ev WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+SELECT p.user_id, p.event_id, p.ts,
+       c.event_id AS click_event_id, c.value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "events_moving_avg": """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM events""",
+        "lineitem_rollup": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "customer_except": (
+            "WITH "
+            + _DST_CTE
+            + """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+EXCEPT ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM dst"""
+        ),
         # mirrors functions.render: mysql escape chain (\\ first), shortest
         # double repr with trailing .0 stripped, 'yyyy-MM-dd HH:mm:ss'
         "sql_insert_render": r"""
