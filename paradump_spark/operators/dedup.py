@@ -30,6 +30,22 @@ from paradump_spark.functions import text as TX
 from paradump_spark.functions import vectors as V
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a small input up to cluster parallelism.
+
+    CPU-bound per-row operators (hashing, shingling, vector math) are
+    only as parallel as their input splits; a table that fits in one
+    parquet file arrives as ONE partition and serializes the whole job
+    onto one core.  At real scale inputs already have ≥ parallelism
+    splits and this is a no-op — the tiny-input shuffle it introduces is
+    bounded by the input size itself.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(
     df: DataFrame, content_cols: list[str], id_col: str
 ) -> DataFrame:
@@ -67,7 +83,7 @@ def minhash_signatures(
     exploded shingle row.  The shuffle carries one (id, 12×long) row per
     document.  Semantics identical to functions.text.minhash_signature.
     """
-    sh = df.select(
+    sh = spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(TX.word_shingles(text_col, shingle_size)).alias("__s"),
     )
@@ -202,7 +218,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> 
     explode tokens → 60 per-bit ±1 votes → groupBy(id) sums (map-side
     partial agg) → fold to one BIGINT.  One shuffle keyed by id.
     """
-    tok = df.select(
+    tok = spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok")
     )
     h = TX.token_hash60(F.col("tok"))
@@ -252,7 +268,7 @@ def embedding_near_dup_pairs(
     hyperplane LSH, see functions.vectors.sign_sketch) — the 100 TB path;
     recall < 1 by design, so it is rows-only-checked.
     """
-    base = df.select(
+    base = spread(df.select(id_col, vec_col)).select(
         F.col(id_col), V.normalized(F.col(vec_col)).alias("__v")
     )
     if use_lsh:

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from paradump_spark.functions import vectors as V
+from paradump_spark.operators.dedup import spread
 
 
 def brute_force_topk(
@@ -39,7 +40,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(qid).alias("query_id"), V.normalized(F.col(vec_col)).alias("__qv")
     )
-    c = corpus.select(
+    c = spread(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"), V.normalized(F.col(vec_col)).alias("__cv")
     )
     scored = F.broadcast(q).crossJoin(c).select(

@@ -32,7 +32,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
-    "spark.driver.memory": "8g",
+    # NB: spark.driver.memory must be set before JVM launch (spark-submit
+    # / SPARK_DRIVER_MEMORY); setting it here would silently no-op on an
+    # already-running JVM, so it is deliberately absent.
     "spark.ui.enabled": "false",
 }
 
