@@ -54,6 +54,10 @@ def main() -> None:
         app_name="paradump_spark_bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
+        # test files are single small parquets; a 100 TB table arrives as
+        # thousands of splits.  Small split target emulates that input
+        # parallelism honestly (row-group granularity still applies).
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(1024 * 1024)},
     )
     # JIT/IO warmup so query times measure steady state, not JVM startup.
     _t(spark, "lineitem").count()

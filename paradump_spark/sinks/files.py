@@ -55,6 +55,7 @@ def write_sql_inserts(
     compression: str | None = None,
     header: bool = True,
     mode: str = "overwrite",
+    partitions: int | None = None,
 ) -> None:
     """K1: multi-row ``INSERT INTO t (cols) VALUES (…),(…);`` text files.
 
@@ -62,9 +63,15 @@ def write_sql_inserts(
     lines at the start of each file (ref :1779-1787).  The heavy per-cell
     rendering happens in codegen *before* mapInPandas; Python only joins
     pre-rendered tuple strings.
+
+    ``partitions`` repartitions before rendering — use when the input is
+    a single file/row-group so the render runs N-wide (the reference's N
+    parallel readers); leave None when the scan already has splits.
     """
     cols_sql = ", ".join(f"`{c}`" for c in df.columns)
     prefix = f"INSERT INTO `{table_name}` ({cols_sql}) VALUES\n"
+    if partitions:
+        df = df.repartition(partitions)
     rendered = rendered_tuples(df, meta, dialect)
     out_schema = T.StructType([T.StructField("line", T.StringType())])
 
@@ -102,6 +109,7 @@ def write_csv(
     exact: bool = False,
     compression: str | None = None,
     mode: str = "overwrite",
+    partitions: int | None = None,
 ) -> None:
     """K2: CSV files.
 
@@ -111,6 +119,8 @@ def write_csv(
     ``exact=False`` uses Spark's native CSV writer (faster; NULL
     convention is global ``\\N``, not per-kind).
     """
+    if partitions:
+        df = df.repartition(partitions)
     if exact:
         cols = [F.col(c) for c in df.columns]
         metas = [meta.column(c) for c in df.columns] if meta else None
