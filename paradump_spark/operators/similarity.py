@@ -104,6 +104,89 @@ def ivf_assign(
     )
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    num_cells: int = 16,
+    seed: int = 42,
+) -> None:
+    """Materialize an IVF index: the corpus written PARTITIONED BY cell_id
+    (so probes become partition-pruned scans) + the centroid table.
+
+    At 100 TB this is the difference between touching nprobe/num_cells of
+    the data per query batch and scanning everything: the cell filter in
+    :func:`ivf_query_index` shows up as ``PartitionFilters`` in the scan.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, num_cells, seed)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/corpus"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Search a materialized IVF index: pick each query's ``nprobe``
+    nearest cells (vs the tiny centroid table), then scan ONLY those
+    partitions of the stored corpus.
+    """
+    qid = query_id_col or id_col
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    qcells = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "__qv",
+            "cell_id",
+            V.cosine(F.col("__qv"), F.col("centroid")).alias("__ccos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        qcells.withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", "cell_id")
+    )
+    # the union of probed cells is tiny (≤ queries × nprobe ≤ num_cells);
+    # an IN-list literal on the partition column prunes the scan
+    cells = sorted({r["cell_id"] for r in probes.select("cell_id").distinct().collect()})
+    corpus = spark.read.parquet(f"{path}/corpus").where(
+        F.col("cell_id").isin(cells)
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cell_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            V.cosine(F.col("__qv"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
