@@ -318,6 +318,49 @@ def _q_segment_order_stats(spark, sf_dir):
     )
 
 
+def _q_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join with date-range filters pushed to the
+    scans, revenue in exact decimal."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue"))
+    )
+
+
+def _q_q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 5-way join through two dimension chains (customer
+    and supplier must share the nation), revenue per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"))
+    )
+
+
 def _q_top_event_per_user(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(
@@ -555,6 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "client_report": _q_client_report,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "segment_order_stats": _q_segment_order_stats,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "q5_nation_revenue": _q_q5_nation_revenue,
         "top_event_per_user": _q_top_event_per_user,
         "events_hourly": _q_events_hourly,
         "dedup_exact": _q_dedup_exact,
@@ -634,6 +679,28 @@ SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, o_orderpriority""",
+        "q3_shipping_priority": """
+SELECT o_orderkey, o_orderdate,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate""",
+        "q5_nation_revenue": """
+SELECT n_name,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name""",
         "top_event_per_user": """
 SELECT user_id, event_id, event_type, value FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1""",

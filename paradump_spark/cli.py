@@ -1,0 +1,103 @@
+"""CLI entry points mirroring the reference binaries' flag surface.
+
+``python -m paradump_spark.cli dump --directory D --output O --mode sql …``
+replaces ``paradump -dumpmode sql …`` (flags: src/paradump/paradump.go:
+3477-3525); ``… sync --src S --dst D …`` replaces ``parasync``
+(src/parasync/parasync.go:3370-3408).  Flag validation fails with
+exit ≠ 0 like the reference's CLI-contract tests
+(/root/reference/test/run_test.sh:132-265).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from paradump_spark.dump import DUMP_MODES, DumpOptions, dump_tables
+from paradump_spark.sync import sync_report, sync_tables
+
+TEXT_COMPRESSIONS = ("gzip", "bzip2", "lz4", "deflate", "zstd", "none")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="paradump-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    d = sub.add_parser("dump", help="parallel table dump (ref: paradump)")
+    d.add_argument("--directory", required=True, help="source catalog directory")
+    d.add_argument("--output", help="output directory (required unless --mode nul)")
+    d.add_argument("--mode", default="sql", help=f"one of {DUMP_MODES}")
+    d.add_argument("--table", action="append", default=[], help="explicit table (repeatable)")
+    d.add_argument("--exclude", action="append", default=[], help="substring exclusion (repeatable)")
+    d.add_argument("--insertsize", type=int, default=500)
+    d.add_argument("--compression", default=None)
+    d.add_argument("--dialect", default="mysql", choices=("mysql", "postgres", "mssql"))
+
+    s = sub.add_parser("sync", help="table diff + stats (ref: parasync)")
+    s.add_argument("--src", required=True)
+    s.add_argument("--dst", required=True)
+    s.add_argument("--table", action="append", default=[])
+    s.add_argument("--exclude", action="append", default=[])
+    s.add_argument("--statsfile", default=None)
+    return p
+
+
+def validate(args: argparse.Namespace) -> None:
+    if args.command == "dump":
+        if args.mode not in DUMP_MODES:
+            raise SystemExit(f"invalid --mode {args.mode!r}; expected one of {DUMP_MODES}")
+        if args.mode != "nul" and not args.output:
+            raise SystemExit("--output is required unless --mode nul")
+        if args.insertsize <= 0:
+            raise SystemExit("--insertsize must be positive")
+        if args.compression and args.compression not in TEXT_COMPRESSIONS:
+            raise SystemExit(
+                f"invalid --compression {args.compression!r}; expected one of {TEXT_COMPRESSIONS}"
+            )
+        if len(args.table) != len(set(args.table)):
+            raise SystemExit("duplicate --table")  # ref test 13
+    if args.command == "sync":
+        # NB: src == dst is legal — the reference's no-op sync test relies
+        # on diffing identical endpoints reporting zero DML
+        if len(args.table) != len(set(args.table)):
+            raise SystemExit("duplicate --table")
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    validate(args)
+    # Spark session only after validation so bad flags fail fast
+    from paradump_spark.catalog import ParquetCatalog
+    from paradump_spark.session import build_session
+
+    spark = build_session(app_name=f"paradump_spark_{args.command}")
+    if args.command == "dump":
+        cat = ParquetCatalog(spark, args.directory)
+        opts = DumpOptions(
+            mode=args.mode,
+            insertsize=args.insertsize,
+            dialect=args.dialect,
+            compression=args.compression,
+            excludes=args.exclude,
+        )
+        results = dump_tables(cat, args.output or "", args.table or None, opts)
+        for r in results:
+            print(f"dumped {r.table} mode={r.mode} path={r.path}")
+        return 0
+    # sync
+    src = ParquetCatalog(spark, args.src)
+    dst = ParquetCatalog(spark, args.dst)
+    syncs = sync_tables(src, dst, args.table or None)
+    report = sync_report(syncs)
+    rows = report.collect()
+    for r in rows:
+        print(f"{r['table']} {r['action']} {r['cnt']}")
+    if args.statsfile:
+        with open(args.statsfile, "w") as fh:
+            for r in rows:
+                fh.write(f"{r['table']},{r['phase']},{r['action']},{r['cnt']}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -99,6 +99,7 @@ def composite_range_sql(
     lower: Sequence[Any] | None,
     upper: Sequence[Any] | None,
     quote: str = "",
+    col_sql: dict[str, str] | None = None,
 ) -> str:
     """Lexicographic tuple-range WHERE text, lower-inclusive / upper-exclusive.
 
@@ -109,14 +110,22 @@ def composite_range_sql(
     column.  ANSI row-value syntax ``(k1,k2) >= (b1,b2)`` would be shorter but
     MySQL's optimizer historically mis-ranges it, and Spark JDBC predicates
     must be portable text — so we emit the expanded form, like the reference.
+
+    ``col_sql`` overrides a column's SQL identifier with an expression —
+    the enum-in-PK case renders ``cast(`c` as unsigned integer)`` so the
+    source DB compares enum *indexes*, not labels (ref :1560, :1998-2002).
     """
+    col_sql = col_sql or {}
+
+    def ident(i: int) -> str:
+        return col_sql.get(pk[i], f"{quote}{pk[i]}{quote}")
 
     def one_side(bound: Sequence[Any], last_op: str, strict_op: str) -> str:
         terms = []
         for i in range(len(bound)):
-            eqs = [f"{quote}{pk[j]}{quote} = {_lit(bound[j])}" for j in range(i)]
+            eqs = [f"{ident(j)} = {_lit(bound[j])}" for j in range(i)]
             op = last_op if i == len(bound) - 1 else strict_op
-            eqs.append(f"{quote}{pk[i]}{quote} {op} {_lit(bound[i])}")
+            eqs.append(f"{ident(i)} {op} {_lit(bound[i])}")
             terms.append("(" + " AND ".join(eqs) + ")")
         return "(" + " OR ".join(terms) + ")"
 
@@ -128,11 +137,18 @@ def composite_range_sql(
     return " AND ".join(parts) if parts else "1 = 1"
 
 
-def equality_sql(pk: Sequence[str], values: Sequence[Any], quote: str = "") -> str:
+def equality_sql(
+    pk: Sequence[str],
+    values: Sequence[Any],
+    quote: str = "",
+    col_sql: dict[str, str] | None = None,
+) -> str:
     """P4: ``(k1 = v1) AND (k2 = v2)`` for begin==end chunks
     (src/paradump/paradump.go:1597-1621)."""
+    col_sql = col_sql or {}
     return " AND ".join(
-        f"({quote}{k}{quote} = {_lit(v)})" for k, v in zip(pk, values)
+        f"({col_sql.get(k, f'{quote}{k}{quote}')} = {_lit(v)})"
+        for k, v in zip(pk, values)
     )
 
 
@@ -241,7 +257,10 @@ def plan_chunks(
 
 
 def chunk_predicates_sql(
-    chunks: Sequence[Chunk], pk: Sequence[str], quote: str = ""
+    chunks: Sequence[Chunk],
+    pk: Sequence[str],
+    quote: str = "",
+    col_sql: dict[str, str] | None = None,
 ) -> list[str]:
     """Render chunks as the JDBC ``predicates=[...]`` array: each string
     becomes exactly one Spark partition reading exactly one PK slice —
@@ -249,7 +268,33 @@ def chunk_predicates_sql(
     out = []
     for c in chunks:
         if c.begin_equal_end:
-            out.append(equality_sql(pk, c.begin, quote))
+            out.append(equality_sql(pk, c.begin, quote, col_sql))
         else:
-            out.append(composite_range_sql(pk, c.begin, c.end, quote))
+            out.append(composite_range_sql(pk, c.begin, c.end, quote, col_sql))
     return out
+
+
+def enum_index(col: Column | str, enum_values: Sequence[str]) -> Column:
+    """P2: a MySQL-enum column as its 1-based index (0 = not-a-member,
+    matching MySQL's invalid-enum sentinel).  Chunk planning over an enum
+    PK must order by index, not label (ref :1560) — project this, plan on
+    the projection, and pass ``col_sql={'c': \"cast(`c` as unsigned
+    integer)\"}`` to the SQL renderers so the source DB compares the same
+    ordering."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        F.array_position(F.array(*[F.lit(v) for v in enum_values]), c),
+        F.lit(0),
+    ).cast("int")
+
+
+def enum_pk_col_sql(
+    pk: Sequence[str], enum_cols: Sequence[str], quote: str = "`"
+) -> dict[str, str]:
+    """The ``col_sql`` map for enum PK members (ref cast :1998-2002)."""
+    enum_set = set(enum_cols)
+    return {
+        c: f"cast({quote}{c}{quote} as unsigned integer)"
+        for c in pk
+        if c in enum_set
+    }

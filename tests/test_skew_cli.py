@@ -1,0 +1,94 @@
+"""Salted-skew helpers and CLI flag-contract tests (the reference's
+negative CLI tests, /root/reference/test/run_test.sh:132-265)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from paradump_spark.cli import build_parser, main, validate
+from paradump_spark.plans.skew import salted_agg, salted_join
+
+
+# --- skew helpers ---------------------------------------------------------
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    salted = {
+        (r["l_returnflag"],): (r["n"], r["s"])
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {"n": ("count", "l_orderkey"), "s": ("sum", "qty_dec")},
+            buckets=8,
+        ).collect()
+    }
+    plain = {
+        (r["l_returnflag"],): (r["n"], r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("l_orderkey").alias("n"), F.sum("qty_dec").alias("s"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_rejects_non_algebraic():
+    with pytest.raises(ValueError):
+        salted_agg(None, ["k"], {"a": ("avg", "v")})
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    salted = salted_join(orders, cust, ["o_custkey"], buckets=4)
+    plain = orders.join(cust, "o_custkey")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+# --- CLI contract ---------------------------------------------------------
+
+
+def _args(argv):
+    return build_parser().parse_args(argv)
+
+
+@pytest.mark.parametrize(
+    "argv",
+    [
+        ["dump", "--directory", "/x", "--output", "/y", "--mode", "bogus"],
+        ["dump", "--directory", "/x", "--mode", "sql"],  # missing --output
+        ["dump", "--directory", "/x", "--output", "/y", "--insertsize", "0"],
+        ["dump", "--directory", "/x", "--output", "/y", "--compression", "7z"],
+        ["dump", "--directory", "/x", "--output", "/y", "--table", "t", "--table", "t"],
+        ["sync", "--src", "/a", "--dst", "/b", "--table", "t", "--table", "t"],
+    ],
+)
+def test_invalid_flags_exit_nonzero(argv):
+    with pytest.raises(SystemExit) as e:
+        validate(_args(argv))
+    assert e.value.code not in (0, None)
+
+
+def test_missing_subcommand_exits_nonzero():
+    with pytest.raises(SystemExit):
+        _args([])
+
+
+def test_cli_dump_and_sync_run(spark, sf_dir, tmp_path, capsys):
+    rc = main(
+        ["dump", "--directory", sf_dir, "--output", str(tmp_path / "out"),
+         "--mode", "sql", "--table", "region", "--insertsize", "3"]
+    )
+    assert rc == 0
+    assert "dumped region" in capsys.readouterr().out
+    stats = tmp_path / "stats.csv"
+    rc = main(
+        ["sync", "--src", sf_dir, "--dst", sf_dir, "--table", "region",
+         "--statsfile", str(stats)]
+    )
+    assert rc == 0
+    assert stats.read_text().strip() == "region,DstWriter,NoOp,5"
