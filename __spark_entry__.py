@@ -428,6 +428,22 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: connected components of the
+    verified-Jaccard candidate graph (iterative min-label propagation;
+    oracle = recursive-CTE transitive closure)."""
+    base = _near_dup_docs(spark, sf_dir)
+    cand = DD.minhash_lsh_candidates(base, "doc_id", "text", 3, 12, 4)
+    edges = (
+        DD.ngram_jaccard_pairs(base, "doc_id", "text", cand, 3)
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    verts = base.select(F.col("doc_id").alias("id"))
+    comp = DD.connected_components(edges, verts)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 def _q_simhash(spark, sf_dir):
     return DD.simhash_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -605,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "text_quality": _q_text_quality,
         "language_id": _q_language_id,
@@ -733,6 +750,37 @@ SELECT c.id_a, c.id_b,
                        / len(list_distinct(list_concat(x.shd, y.shd)))
                   ELSE 0.0 END, 6) AS jaccard
 FROM cand c JOIN sets x ON c.id_a = x.doc_id JOIN sets y ON c.id_b = y.doc_id"""
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE "
+            + _MINHASH_BASE_CTE.lstrip()
+            + ","
+            + _shingle_cte("base")
+            + ",\n"
+            + _minhash_sig_sql()
+            + ",\n"
+            + _minhash_bands_sql()
+            + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+jac AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sets x ON c.id_a = x.doc_id JOIN sets y ON c.id_b = y.doc_id
+  WHERE len(list_distinct(list_concat(x.shd, y.shd))) > 0
+    AND len(list_intersect(x.shd, y.shd))::DOUBLE
+        / len(list_distinct(list_concat(x.shd, y.shd))) >= 0.8
+),
+sym AS (SELECT id_a AS s, id_b AS d FROM jac UNION ALL SELECT id_b, id_a FROM jac),
+reach(s, d) AS (
+  SELECT doc_id, doc_id FROM base
+  UNION
+  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+)
+SELECT s AS doc_id, min(d) AS component FROM reach GROUP BY s"""
         ),
         "simhash": _simhash_sql(),
         "text_quality": f"""

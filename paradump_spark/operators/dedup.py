@@ -212,6 +212,79 @@ def dedup_minhash(
     return df.join(dup, on=id_col, how="left_anti")
 
 
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Undirected connected components by min-label propagation.
+
+    ``edges``: (id_a, id_b).  Returns (id, component) where component is
+    the smallest id reachable.  Each iteration is two hash joins + a
+    min-agg; converges in O(graph diameter) rounds (near-dup graphs are
+    shallow — duplicate clusters, not social networks).  The driver-side
+    convergence check reads one count per round, nothing else leaves the
+    cluster.  For adversarially deep graphs swap in large-star/small-star
+    (same join primitives, O(log n) rounds).
+    """
+    sym = edges.selectExpr("id_a AS src", "id_b AS dst").unionAll(
+        edges.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    if vertices is None:
+        vertices = sym.select(F.col("src").alias("id")).distinct()
+    labels = vertices.select("id", F.col("id").alias("component"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_minhash_cc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_size: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Transitive-closure MinHash dedup: keep one row per near-duplicate
+    *cluster* (the smallest id), where clusters are connected components
+    of the verified-Jaccard candidate graph.  Closes the A~B~C chain the
+    greedy :func:`dedup_minhash` leaves open."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, shingle_size, num_hashes, bands)
+    edges = ngram_jaccard_pairs(df, id_col, text_col, cand, shingle_size).where(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(edges.select("id_a", "id_b"))
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """(id, simhash BIGINT) — per-document SimHash fingerprint.
 

@@ -274,6 +274,60 @@ _PG_TO_MYSQL_KIND = {
 }
 
 
+def single_tx_export(
+    connection_factory: Callable[[], object],
+    table: str,
+    out_path: str,
+    columns: Sequence[str] | None = None,
+    batch_rows: int = 50_000,
+    begin_sql: str | None = None,
+) -> int:
+    """S6 SINGLE_TX mode, made real: ONE driver-side connection exports the
+    table inside one transaction to a parquet file; Spark then reads the
+    export in parallel.  Consistency of the read = consistency of that
+    one transaction (REPEATABLE READ / snapshot isolation where the
+    engine supports it via ``begin_sql``).
+
+    The export itself is serialized (that's the price of a true snapshot
+    without engine support for shared snapshots); everything downstream
+    is fully parallel.  Returns the number of rows exported.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    conn = connection_factory()
+    cur = conn.cursor()
+    if begin_sql:
+        cur.execute(begin_sql)
+    cols = ", ".join(columns) if columns else "*"
+    cur.execute(f"SELECT {cols} FROM {table}")
+    names = [d[0] for d in cur.description]
+    writer = None
+    total = 0
+    try:
+        while True:
+            rows = cur.fetchmany(batch_rows)
+            if not rows:
+                break
+            batch = pa.table(
+                {n: [r[i] for r in rows] for i, n in enumerate(names)}
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(out_path, batch.schema)
+            writer.write_table(batch)
+            total += len(rows)
+        if writer is None:  # empty table: still emit a typed file
+            empty = pa.table({n: [] for n in names})
+            writer = pq.ParquetWriter(out_path, empty.schema)
+            writer.write_table(empty)
+    finally:
+        if writer is not None:
+            writer.close()
+        conn.rollback()
+        conn.close()
+    return total
+
+
 # ---------------------------------------------------------------------------
 # S4/S5 — partitioned chunk read
 
