@@ -387,6 +387,57 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_json_props_stats(spark, sf_dir):
+    """JSON extraction over the events.props column."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+def _q_orders_by_year(spark, sf_dir):
+    """Temporal part extraction + aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+    )
+
+
+def _q_part_like_filter(spark, sf_dir):
+    """String predicates: LIKE, upper, substring projection."""
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.col("p_type").like("ECO%") | F.col("p_name").like("%bolt%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        "p_size",
+    )
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    """Anti join (NOT EXISTS): customers with no in-progress order."""
+    cust = _t(spark, sf_dir, "customer")
+    pending = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return cust.join(
+        pending, cust.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
 def _dup_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", "text", "lang", "source", "n_chars").unionAll(
@@ -618,6 +669,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": _q_q5_nation_revenue,
         "top_event_per_user": _q_top_event_per_user,
         "events_hourly": _q_events_hourly,
+        "json_props_stats": _q_json_props_stats,
+        "orders_by_year": _q_orders_by_year,
+        "part_like_filter": _q_part_like_filter,
+        "customers_without_orders": _q_customers_without_orders,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -725,6 +780,25 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) =
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events,
        sum(CAST(value AS DECIMAL(18,6))) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "json_props_stats": """
+SELECT event_type, count(*) AS n,
+       min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+       max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+       sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k
+FROM events GROUP BY event_type""",
+        "orders_by_year": """
+SELECT year(o_orderdate)::INTEGER AS yr, month(o_orderdate)::INTEGER AS mo,
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+FROM orders GROUP BY 1, 2""",
+        "part_like_filter": """
+SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 10) AS name10, p_size
+FROM part WHERE p_type LIKE 'ECO%' OR p_name LIKE '%bolt%'""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+)""",
         # the min-id row per duplicated text is always the original document
         "dedup_exact": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "minhash_lsh_candidates": _MINHASH_CAND_SQL,
