@@ -142,6 +142,14 @@ def main() -> None:
     times["language_id"] = bench(
         lambda: TA.language_id(docs, "doc_id", "text").count()
     )
+    # --- as-of join (events: purchases matched to latest prior click) -----
+    def asof():
+        import __spark_entry__ as E
+
+        E._q_asof_purchase_click(spark, SF_DIR).count()
+
+    times["asof_join"] = bench(asof)
+
     times["ann_topk"] = bench(
         lambda: SIM.brute_force_topk(
             emb, emb.where(F.col("vec_id") < 100), "vec_id", "embedding", k=10
