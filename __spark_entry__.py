@@ -28,6 +28,7 @@ from paradump_spark.operators import diff as DF
 from paradump_spark.operators import multimodal as MM
 from paradump_spark.operators import similarity as SIM
 from paradump_spark.operators import text_analysis as TA
+from paradump_spark.operators.sessionize import session_stats
 from paradump_spark.plans.split import chunk_filter, chunk_predicates_sql, plan_chunks
 
 # ---------------------------------------------------------------------------
@@ -387,6 +388,21 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_sessionize_stats(spark, sf_dir):
+    """Gap-based sessionization (30-min gaps) + per-session rollup."""
+    ev = _events(spark, sf_dir)
+    return session_stats(ev, ["user_id"], "ts", 1800, order_cols=["event_id"])
+
+
+def _q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values per type."""
+    ev = _events(spark, sf_dir)
+    bucket = F.floor(F.col("value") / 25).cast("long")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def _q_json_props_stats(spark, sf_dir):
     """JSON extraction over the events.props column."""
     ev = _events(spark, sf_dir)
@@ -669,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": _q_q5_nation_revenue,
         "top_event_per_user": _q_top_event_per_user,
         "events_hourly": _q_events_hourly,
+        "sessionize_stats": _q_sessionize_stats,
+        "value_histogram": _q_value_histogram,
         "json_props_stats": _q_json_props_stats,
         "orders_by_year": _q_orders_by_year,
         "part_like_filter": _q_part_like_filter,
@@ -779,6 +797,27 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) =
         "events_hourly": """
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events,
        sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "sessionize_stats": """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS st
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS span_seconds
+FROM s2 GROUP BY user_id, session_id""",
+        "value_histogram": """
+SELECT event_type, floor(value / 25)::BIGINT AS bucket, count(*) AS n
 FROM events GROUP BY 1, 2""",
         "json_props_stats": """
 SELECT event_type, count(*) AS n,
