@@ -85,9 +85,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"dumped {r.table} mode={r.mode} path={r.path}")
         return 0
     # sync
+    from paradump_spark.sync import SyncOptions
+
     src = ParquetCatalog(spark, args.src)
     dst = ParquetCatalog(spark, args.dst)
-    syncs = sync_tables(src, dst, args.table or None)
+    syncs = sync_tables(
+        src, dst, args.table or None, options=SyncOptions(excludes=args.exclude)
+    )
     report = sync_report(syncs)
     rows = report.collect()
     for r in rows:

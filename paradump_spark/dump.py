@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from paradump_spark.catalog import ParquetCatalog
+from paradump_spark.catalog import ParquetCatalog, _path_size
 from paradump_spark.sinks.files import (
     write_csv,
     write_noop,
@@ -62,11 +62,10 @@ def dump_tables(
             f"unknown dump mode {options.mode!r}; expected one of {DUMP_MODES}"
         )
     names = tables or catalog.list_tables(options.excludes or None)
-    # O4: largest first
-    names = sorted(
-        names, key=lambda n: os.path.getsize(catalog.path(n)) if os.path.exists(catalog.path(n)) else 0,
-        reverse=True,
-    )
+    if tables and options.excludes:
+        names = [n for n in names if not any(x in n for x in options.excludes)]
+    # O4: largest first (_path_size walks directory-backed tables too)
+    names = sorted(names, key=lambda n: _path_size(catalog.path(n)), reverse=True)
     results: list[DumpResult] = []
     for name in names:
         df = catalog.load(name)

@@ -51,13 +51,14 @@ def dedup_exact(
 ) -> DataFrame:
     """Keep one row per distinct content, the one with the smallest id.
 
-    ``row_number`` over a window partitioned by the content hash — the
-    hash-groupBy dedup.  Scale: one shuffle on md5(content); hot hash
-    values are genuine duplicate clusters, which is exactly the data the
+    ``row_number`` over a window partitioned by the content columns
+    themselves (null-safe: a concat_ws hash silently skips NULL cells,
+    conflating ('a', NULL) with (NULL, 'a')) — the
+    the hash-groupBy dedup.  Scale: one shuffle keyed on the content; hot
+    keys are genuine duplicate clusters, which is exactly the data the
     operator must see together.
     """
-    h = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
-    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    w = Window.partitionBy(*[F.col(c) for c in content_cols]).orderBy(F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -257,8 +258,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(graph diameter exceeds max_iter); raise max_iter or use a "
+        "large-star/small-star variant"
+    )
 
 
 def dedup_minhash_cc(

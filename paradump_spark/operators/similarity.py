@@ -64,12 +64,22 @@ def ivf_centroids(
     """Deterministic coarse centroids: the ``num_cells`` corpus vectors
     with the smallest md5(id) — a hash-random, reproducible sample (a
     k-means refinement step can replace this without changing the plan).
-    Returns (cell_id, centroid)."""
-    w = Window.orderBy(F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))))
+    Returns (cell_id, centroid).
+
+    ``orderBy().limit(n)`` compiles to a distributed TakeOrderedAndProject
+    (per-partition top-n, then merge) — never a single-partition global
+    window, which would funnel the whole corpus through one task.  The
+    row_number window runs only on the ≤ num_cells survivors.
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    top = (
+        corpus.select(F.col(id_col), F.col(vec_col), key.alias("__k"))
+        .orderBy("__k")
+        .limit(num_cells)
+    )
+    w = Window.orderBy("__k")
     return (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= num_cells)
+        top.withColumn("__r", F.row_number().over(w))
         .select((F.col("__r") - 1).alias("cell_id"), F.col(vec_col).alias("centroid"))
     )
 

@@ -78,6 +78,11 @@ def salted_join(
     Small side grows ×``buckets`` — use only when it can't broadcast but
     fits ×buckets in the shuffle.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, not {how!r}: "
+            "unmatched small-side rows would appear once per salt replica"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(buckets))
     b = big.withColumn("__salt", salt)
     s = small.withColumn(

@@ -90,7 +90,12 @@ def _lit(v: Any) -> str:
         return f"'{v.isoformat()}'"
     if isinstance(v, (bytes, bytearray)):
         return "X'" + bytes(v).hex() + "'"
-    s = str(v).replace("'", "''")
+    # Escape backslashes as well as quotes: both MySQL (default sql_mode)
+    # and Spark SQL treat backslash as an escape inside string literals,
+    # so a literal backslash in a string PK bound must render doubled or
+    # the evaluated boundary differs from the planned one (silent row
+    # loss/duplication across chunks).
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
     return f"'{s}'"
 
 

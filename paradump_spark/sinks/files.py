@@ -68,8 +68,12 @@ def write_sql_inserts(
     a single file/row-group so the render runs N-wide (the reference's N
     parallel readers); leave None when the scan already has splits.
     """
-    cols_sql = ", ".join(f"`{c}`" for c in df.columns)
-    prefix = f"INSERT INTO `{table_name}` ({cols_sql}) VALUES\n"
+    # identifier quoting must follow the dialect like the cell rendering
+    # does: backtick-quoted identifiers are a MySQL-ism that PostgreSQL
+    # and MSSQL (QUOTED_IDENTIFIER, the default) reject
+    iq = "`" if dialect == "mysql" else '"'
+    cols_sql = ", ".join(f"{iq}{c}{iq}" for c in df.columns)
+    prefix = f"INSERT INTO {iq}{table_name}{iq} ({cols_sql}) VALUES\n"
     if partitions:
         df = df.repartition(partitions)
     rendered = rendered_tuples(df, meta, dialect)

@@ -303,23 +303,56 @@ def single_tx_export(
     cur.execute(f"SELECT {cols} FROM {table}")
     names = [d[0] for d in cur.description]
     writer = None
+    pending: list = []  # batches held until every column's type is known
     total = 0
+
+    def _resolved(schema) -> bool:
+        return not any(pa.types.is_null(f.type) for f in schema)
+
+    def _finalize_schema(schema):
+        # columns that never produced a value fall back to string
+        return pa.schema(
+            [
+                pa.field(f.name, pa.string() if pa.types.is_null(f.type) else f.type)
+                for f in schema
+            ]
+        )
+
     try:
         while True:
             rows = cur.fetchmany(batch_rows)
             if not rows:
                 break
-            batch = pa.table(
-                {n: [r[i] for r in rows] for i, n in enumerate(names)}
-            )
-            if writer is None:
-                writer = pq.ParquetWriter(out_path, batch.schema)
-            writer.write_table(batch)
+            batch = pa.table({n: [r[i] for r in rows] for i, n in enumerate(names)})
             total += len(rows)
-        if writer is None:  # empty table: still emit a typed file
-            empty = pa.table({n: [] for n in names})
-            writer = pq.ParquetWriter(out_path, empty.schema)
-            writer.write_table(empty)
+            if writer is not None:
+                writer.write_table(batch.cast(writer.schema))
+                continue
+            # schema not fixed yet: unify with what we've seen so far —
+            # a column that is all-NULL in early batches must not freeze
+            # the file schema as the null type
+            pending.append(batch)
+            unified = pa.unify_schemas(
+                [t.schema for t in pending], promote_options="permissive"
+            )
+            if _resolved(unified):
+                writer = pq.ParquetWriter(out_path, unified)
+                for t in pending:
+                    writer.write_table(t.cast(unified))
+                pending.clear()
+        if writer is None:
+            schema = _finalize_schema(
+                pa.unify_schemas(
+                    [t.schema for t in pending], promote_options="permissive"
+                )
+                if pending
+                else pa.schema([pa.field(n, pa.string()) for n in names])
+            )
+            writer = pq.ParquetWriter(out_path, schema)
+            for t in pending:
+                writer.write_table(t.cast(schema))
+            if not pending:
+                writer.write_table(schema.empty_table())
     finally:
         if writer is not None:
             writer.close()
@@ -341,12 +374,27 @@ class JdbcSource:
     properties: dict[str, str]
     dialect: str = "mysql"
     snapshot: SnapshotMode = SnapshotMode.EVENTUAL
+    snapshot_id: str | None = None  # required when snapshot=PG_SNAPSHOT
 
     @property
     def quote(self) -> str:
         return "`" if self.dialect == "mysql" else '"'
 
     def reader_options(self) -> dict[str, str]:
+        """Options honoring the declared snapshot mode — selecting
+        PG_SNAPSHOT/SINGLE_TX must not silently degrade to EVENTUAL."""
+        if self.snapshot is SnapshotMode.SINGLE_TX:
+            raise ValueError(
+                "snapshot=SINGLE_TX sources are read via single_tx_export() "
+                "+ spark.read.parquet on the export, not partitioned JDBC"
+            )
+        if self.snapshot is SnapshotMode.PG_SNAPSHOT:
+            if self.dialect != "postgres" or not self.snapshot_id:
+                raise ValueError(
+                    "snapshot=PG_SNAPSHOT requires dialect='postgres' and a "
+                    "snapshot_id from pg_export_snapshot()"
+                )
+            return self.pg_snapshot_options(self.snapshot_id)
         opts = dict(self.properties)
         # force UTC like the reference's SET TIME_ZONE (:177, :385, :538)
         if self.dialect == "mysql":
@@ -400,7 +448,7 @@ class JdbcSource:
     def pg_snapshot_options(self, snapshot_id: str) -> dict[str, str]:
         """S6 PG_SNAPSHOT: per-partition ``SET TRANSACTION SNAPSHOT`` so
         every executor connection sees one exported snapshot."""
-        opts = self.reader_options()
+        opts = dict(self.properties)
         opts["sessionInitStatement"] = (
             "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; "
             f"SET TRANSACTION SNAPSHOT '{snapshot_id}'"

@@ -50,6 +50,10 @@ def sync_tables(
     names = tables or [
         t for t in src.list_tables(options.excludes or None) if t in set(dst.list_tables())
     ]
+    if tables and options.excludes:
+        # excludes apply to explicit lists too — a flag the user passed
+        # must never be a silent no-op
+        names = [n for n in names if not any(x in n for x in options.excludes)]
     out: list[TableSync] = []
     for name in names:
         pk = pks.get(name)

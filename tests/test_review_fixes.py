@@ -1,0 +1,122 @@
+"""Regression tests for the round-2 code-review findings."""
+
+import glob
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from paradump_spark.cli import main
+from paradump_spark.operators.dedup import connected_components, dedup_exact
+from paradump_spark.plans.skew import salted_join
+from paradump_spark.plans.split import _lit, composite_range_sql
+from paradump_spark.sinks.files import write_sql_inserts
+from paradump_spark.sources.jdbc import JdbcSource, SnapshotMode, single_tx_export
+
+
+def test_lit_escapes_backslashes():
+    # a literal backslash in a string bound must render doubled, or MySQL
+    # and Spark SQL (both backslash-escaping) evaluate a different boundary
+    assert _lit("a\\nb") == "'a\\\\nb'"
+    sql = composite_range_sql(["k"], ("a\\",), None)
+    assert "'a\\\\'" in sql
+
+
+def test_lit_backslash_roundtrip_spark_sql(spark):
+    df = spark.createDataFrame([("a\\nb",), ("zzz",)], "k string")
+    df.createOrReplaceTempView("bs_t")
+    sql = composite_range_sql(["k"], ("a\\nb",), ("b",))
+    assert spark.sql(f"SELECT count(*) c FROM bs_t WHERE {sql}").first()["c"] == 1
+
+
+def test_dedup_exact_null_vs_position(spark):
+    # ('a', NULL) and (NULL, 'a') are different content — both must survive
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, "a"), (3, "a", None)],
+        "id bigint, x string, y string",
+    )
+    kept = dedup_exact(df, ["x", "y"], "id")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 2]
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 0, -1)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_cli_sync_exclude_is_honored(spark, sf_dir, tmp_path, capsys):
+    rc = main(
+        ["sync", "--src", sf_dir, "--dst", sf_dir,
+         "--exclude", "region", "--table", "region", "--table", "nation"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "nation" in out and "region" not in out
+
+
+def test_single_tx_export_all_null_first_batches(spark, tmp_path):
+    db = str(tmp_path / "n.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER, v INTEGER)")
+    # first 300 rows NULL in v (batch_rows=100 -> three all-null batches),
+    # values appear only later
+    con.executemany(
+        "INSERT INTO t VALUES (?,?)",
+        [(i, None) for i in range(300)] + [(i, i) for i in range(300, 400)],
+    )
+    con.commit()
+    con.close()
+    out = str(tmp_path / "t.parquet")
+    n = single_tx_export(lambda: sqlite3.connect(db), "t", out, batch_rows=100)
+    assert n == 400
+    back = spark.read.parquet(out)
+    assert back.where(F.col("v").isNotNull()).count() == 100
+
+
+def test_single_tx_export_never_valued_column(spark, tmp_path):
+    db = str(tmp_path / "n2.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER, v TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", [(i, None) for i in range(10)])
+    con.commit()
+    con.close()
+    out = str(tmp_path / "t.parquet")
+    assert single_tx_export(lambda: sqlite3.connect(db), "t", out) == 10
+    back = spark.read.parquet(out)
+    assert back.count() == 10  # all-null column falls back to string type
+
+
+def test_sql_insert_identifier_quoting_per_dialect(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "id bigint, name string")
+    write_sql_inserts(df, "t", str(tmp_path / "pg"), dialect="postgres")
+    txt = "".join(
+        open(f).read() for f in glob.glob(str(tmp_path / "pg" / "part-*"))
+    )
+    assert 'INSERT INTO "t" ("id", "name")' in txt
+    assert "`" not in txt
+    assert "E'x'" in txt
+
+
+def test_salted_join_rejects_full(spark):
+    with pytest.raises(ValueError):
+        salted_join(None, None, ["k"], how="full")
+
+
+def test_snapshot_mode_enforced():
+    single = JdbcSource("jdbc:mysql://h/db", {}, "mysql", SnapshotMode.SINGLE_TX)
+    with pytest.raises(ValueError, match="single_tx_export"):
+        single.reader_options()
+    pg_no_id = JdbcSource(
+        "jdbc:postgresql://h/db", {}, "postgres", SnapshotMode.PG_SNAPSHOT
+    )
+    with pytest.raises(ValueError, match="snapshot_id"):
+        pg_no_id.reader_options()
+    pg = JdbcSource(
+        "jdbc:postgresql://h/db", {}, "postgres", SnapshotMode.PG_SNAPSHOT, "00A-1"
+    )
+    assert "SET TRANSACTION SNAPSHOT '00A-1'" in pg.reader_options()[
+        "sessionInitStatement"
+    ]
