@@ -28,6 +28,7 @@ from paradump_spark.operators import diff as DF
 from paradump_spark.operators import multimodal as MM
 from paradump_spark.operators import similarity as SIM
 from paradump_spark.operators import text_analysis as TA
+from paradump_spark.operators.rangejoin import range_join
 from paradump_spark.operators.sessionize import session_stats
 from paradump_spark.plans.split import chunk_filter, chunk_predicates_sql, plan_chunks
 
@@ -388,6 +389,22 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_range_join_clicks(spark, sf_dir):
+    """Interval join: clicks within 1 hour after each purchase, per user
+    (bucketized candidate join — never a theta/cartesian plan)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    out = range_join(
+        purchases, clicks, "ts", "ts", after_seconds=3600, on=["user_id"]
+    )
+    return out.select("user_id", "purchase_id", "click_id")
+
+
 def _q_sessionize_stats(spark, sf_dir):
     """Gap-based sessionization (30-min gaps) + per-session rollup."""
     ev = _events(spark, sf_dir)
@@ -685,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": _q_q5_nation_revenue,
         "top_event_per_user": _q_top_event_per_user,
         "events_hourly": _q_events_hourly,
+        "range_join_clicks": _q_range_join_clicks,
         "sessionize_stats": _q_sessionize_stats,
         "value_histogram": _q_value_histogram,
         "json_props_stats": _q_json_props_stats,
@@ -798,6 +816,14 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) =
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events,
        sum(CAST(value AS DECIMAL(18,6))) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "range_join_clicks": """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+p AS (SELECT user_id, event_id AS purchase_id, ts FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, ts FROM ev WHERE event_type = 'click')
+SELECT p.user_id, p.purchase_id, c.click_id
+FROM p JOIN c ON p.user_id = c.user_id
+ AND floor(epoch(c.ts))::BIGINT >= floor(epoch(p.ts))::BIGINT
+ AND floor(epoch(c.ts))::BIGINT <= floor(epoch(p.ts))::BIGINT + 3600""",
         "sessionize_stats": """
 WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
 s AS (
