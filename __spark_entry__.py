@@ -389,6 +389,32 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_price_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (order statistics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.max("l_extendedprice").alias("pmax"),
+    )
+
+
+def _q_event_type_pivot(spark, sf_dir):
+    """Pivot: one row per user, one count column per event type."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
 def _q_range_join_clicks(spark, sf_dir):
     """Interval join: clicks within 1 hour after each purchase, per user
     (bucketized candidate join — never a theta/cartesian plan)."""
@@ -702,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": _q_q5_nation_revenue,
         "top_event_per_user": _q_top_event_per_user,
         "events_hourly": _q_events_hourly,
+        "price_percentiles": _q_price_percentiles,
+        "event_type_pivot": _q_event_type_pivot,
         "range_join_clicks": _q_range_join_clicks,
         "sessionize_stats": _q_sessionize_stats,
         "value_histogram": _q_value_histogram,
@@ -816,6 +844,21 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) =
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events,
        sum(CAST(value AS DECIMAL(18,6))) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "price_percentiles": """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       max(l_extendedprice) AS pmax
+FROM lineitem GROUP BY l_returnflag""",
+        "event_type_pivot": """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY user_id""",
         "range_join_clicks": """
 WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
 p AS (SELECT user_id, event_id AS purchase_id, ts FROM ev WHERE event_type = 'purchase'),

@@ -12,7 +12,15 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = build_session(app_name="paradump_spark_tests", master="local[4]", shuffle_partitions=8)
+    import tempfile
+
+    s = build_session(
+        app_name="paradump_spark_tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        # static conf: bucketed-table tests saveAsTable into a tmp warehouse
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="sparkwh_")},
+    )
     yield s
 
 
