@@ -415,6 +415,116 @@ def _q_event_type_pivot(spark, sf_dir):
     )
 
 
+def _q_cube_order_stats(spark, sf_dir):
+    """CUBE over (status, priority) with grouping-id disambiguation —
+    one pass produces all 4 grouping sets via partial aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+
+
+def _q_open_order_customers(spark, sf_dir):
+    """EXISTS → left-semi join: customers holding an open order > 200k.
+    Semi-join never duplicates or widens the probe side; the filter on
+    orders is pushed below the join build."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000)
+    ).select("o_custkey")
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+
+
+def _q_customer_spend_quartiles(spark, sf_dir):
+    """NTILE(4) over total spend.  The quartile window is a global
+    ordering — inherently one partition; the heavy part (the per-customer
+    sum) shuffles on the key first, so only (custkey, spend) pairs reach
+    the single sort, not raw orders."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    return spend.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+
+
+def _q_nation_customer_names(spark, sf_dir):
+    """Deterministic ordered string_agg: BUILDING-segment customer names
+    per nation, sorted then joined (order-insensitive engines agree)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(F.sort_array(F.collect_list("c_name")), "|").alias(
+                "names"
+            ),
+        )
+    )
+
+
+def _q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension corpus stats via posexplode — arrays unnested JVM-side
+    (generator, no UDF), partial-aggregated before the dim shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "val"))
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("val").cast("double").alias("min_val"),
+        F.max("val").cast("double").alias("max_val"),
+    )
+
+
+def _q_corr_qty_price(spark, sf_dir):
+    """Pearson correlation + sample stddev per group, computed from EXACT
+    decimal moment sums (sum x, x², y, y², xy are associative and
+    order-insensitive in decimal) with one fixed float formula at the end —
+    bit-stable under any partitioning, unlike naive float corr()/stddev()."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.sqrt(vx / (n * (n - 1))), 6).alias("stddev_qty"),
+    )
+
+
+def _q_doc_split_counts(spark, sf_dir):
+    """Deterministic train/val/test hash-split assignment (operators.
+    sampling) — per-split document counts, reproducible in any md5 engine."""
+    from paradump_spark.operators import sampling as S
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = S.split_column(
+        F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, seed="v1"
+    )
+    return docs.select(lab.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 def _q_range_join_clicks(spark, sf_dir):
     """Interval join: clicks within 1 hour after each purchase, per user
     (bucketized candidate join — never a theta/cartesian plan)."""
@@ -730,6 +840,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "price_percentiles": _q_price_percentiles,
         "event_type_pivot": _q_event_type_pivot,
+        "cube_order_stats": _q_cube_order_stats,
+        "open_order_customers": _q_open_order_customers,
+        "customer_spend_quartiles": _q_customer_spend_quartiles,
+        "nation_customer_names": _q_nation_customer_names,
+        "embedding_dim_stats": _q_embedding_dim_stats,
+        "corr_qty_price": _q_corr_qty_price,
+        "doc_split_counts": _q_doc_split_counts,
         "range_join_clicks": _q_range_join_clicks,
         "sessionize_stats": _q_sessionize_stats,
         "value_histogram": _q_value_histogram,
@@ -859,6 +976,59 @@ SELECT user_id,
        count(*) FILTER (event_type = 'signup') AS n_signup,
        count(*) FILTER (event_type = 'error') AS n_error
 FROM events GROUP BY user_id""",
+        "cube_order_stats": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+        "open_order_customers": """
+SELECT * FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'O' AND o.o_totalprice > 200000)""",
+        "customer_spend_quartiles": """
+WITH s AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+           FROM orders GROUP BY o_custkey)
+SELECT o_custkey, spend,
+       CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS quartile
+FROM s""",
+        "nation_customer_names": """
+SELECT n_name, count(*) AS n_customers,
+       string_agg(c_name, '|' ORDER BY c_name) AS names
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY n_name""",
+        "embedding_dim_stats": """
+SELECT dim, count(*) AS n,
+       CAST(min(val) AS DOUBLE) AS min_val, CAST(max(val) AS DOUBLE) AS max_val
+FROM (SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+             unnest(embedding) AS val
+      FROM embeddings)
+GROUP BY dim""",
+        "corr_qty_price": """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS corr_qty_price,
+       round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
+FROM m""",
+        "doc_split_counts": """
+WITH b AS (SELECT ('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 AS bucket FROM documents)
+SELECT CASE WHEN bucket < 800000 THEN 'train'
+            WHEN bucket < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1""",
         "range_join_clicks": """
 WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
 p AS (SELECT user_id, event_id AS purchase_id, ts FROM ev WHERE event_type = 'purchase'),

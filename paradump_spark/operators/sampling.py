@@ -1,0 +1,118 @@
+"""Deterministic sampling and dataset-split operators for training-data
+pipelines — beyond-reference LLM-pipeline surface.
+
+A 100 TB corpus is never split by ``rand()``: re-runs must land every
+document in the same split, late-arriving shards must not reshuffle old
+assignments, and train/val leakage must be impossible by construction.
+The standard trick is content-hash bucketing: ``bucket = H(id) mod D``,
+split = first weight interval containing the bucket.  Everything here is
+a pure per-row projection/filter — no shuffle, no state, fuses into the
+scan — and the hash is md5-based so an external engine (the DuckDB
+oracle, a feature store, a downstream trainer) can reproduce the exact
+assignment with one SQL expression.
+
+``sample_fraction`` / ``split_column`` / ``split`` are exact-deterministic;
+``stratified_sample`` wraps Spark's ``sampleBy`` (seeded Bernoulli per
+stratum) for when statistical rather than reproducible-by-id sampling is
+wanted.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket modulus. 1e6 buckets keeps weight quantization error ≤ 1e-6.
+DENOM = 1_000_000
+
+
+def hash_bucket(col: Column, seed: str = "", denom: int = DENOM) -> Column:
+    """Stable bucket in ``[0, denom)`` from a value's md5.
+
+    15 hex digits = 60 bits through an exact BIGINT (no float rounding),
+    identical in any engine with md5 — DuckDB spelling:
+    ``('0x' || substr(md5(seed || CAST(v AS VARCHAR)), 1, 15))::BIGINT % denom``.
+    """
+    h = F.md5(F.concat(F.lit(seed), col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % denom
+
+
+def sample_fraction(
+    df: DataFrame, id_col: str, fraction: float, seed: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows keyed by ``id_col``.
+
+    Unlike ``df.sample()`` this is stable across runs, partitionings, and
+    engines: membership depends only on the id value (and ``seed``).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(hash_bucket(F.col(id_col), seed) < int(round(fraction * DENOM)))
+
+
+def split_column(
+    id_col: Column, weights: Mapping[str, float], seed: str = ""
+) -> Column:
+    """A ``split`` label column: the bucket falls into the half-open
+    cumulative-weight interval of its split (insertion order of
+    ``weights``).  Weights must sum to 1 (±1e-9)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket(id_col, seed)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * DENOM))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def split(
+    df: DataFrame, id_col: str, weights: Mapping[str, float], seed: str = ""
+) -> dict[str, DataFrame]:
+    """Partition ``df`` into named splits (e.g. train/val/test).
+
+    Returns one filtered DataFrame per split; the union is exactly ``df``
+    and the splits are disjoint, both by construction (half-open bucket
+    intervals).  Each split is a filter over the same scan — Catalyst
+    pushes it down; no shuffle, no materialization.
+    """
+    lab = split_column(F.col(id_col), weights, seed)
+    return {name: df.where(lab == name) for name in weights}
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[object, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``df.sampleBy``) — seeded but NOT
+    id-stable; use :func:`sample_fraction` when reproducibility by key
+    matters more than exact statistical independence."""
+    return df.sampleBy(strata_col, dict(fractions), seed=seed)
+
+
+def mixture(
+    sources: Sequence[tuple[DataFrame, str, float]], seed: str = ""
+) -> DataFrame:
+    """Deterministic training mixture: for each ``(df, id_col, fraction)``
+    take the hash-stable fraction and union the results (by column name).
+
+    The standard "20% of crawl + 100% of curated + 5% of chat" mix; every
+    source keeps its own keying column so ids only need uniqueness within
+    a source.
+    """
+    parts = [
+        sample_fraction(df, id_col, frac, seed) for df, id_col, frac in sources
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,101 @@
+"""Z-order (Morton-curve) data layout — multi-dimensional clustering for
+file skipping.
+
+A single ``ORDER BY a`` layout makes parquet min/max pruning perfect on
+``a`` and useless on ``b``.  Interleaving the bits of several normalized
+key columns into one Morton code and range-partitioning + sorting by it
+gives every participating column locality, so a predicate on ANY of them
+prunes most files/row-groups via their min/max stats.  This is the lake
+layout companion to the PK-interval chunking in ``plans/split``: chunks
+optimize a *known* scan order, Z-order optimizes *unknown* future filters
+(the standard technique behind Delta/Iceberg ``OPTIMIZE ZORDER BY``).
+
+Everything is expression-level (shifts/masks in whole-stage codegen); the
+only wide operation is the ``repartitionByRange`` any clustered write
+needs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _interleave(norms: list[Column], bits: int) -> Column:
+    """Bit-interleave ``len(norms)`` columns already scaled to [0, 2^bits):
+    output bit ``i*n + j`` = bit ``i`` of column ``j``."""
+    n = len(norms)
+    terms = [
+        ((c.bitwiseAND(F.lit(1 << i)) / (1 << i)).cast("long") * (1 << (i * n + j)))
+        for i in range(bits)
+        for j, c in enumerate(norms)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def zvalue(
+    df: DataFrame, cols: Sequence[str], bits: int = 16
+) -> Column:
+    """Morton code over ``cols`` (numeric or date/timestamp).
+
+    Each column is rank-normalized to ``[0, 2^bits)`` by linear min/max
+    scaling (one tiny agg job at plan time — the same cost class as
+    ``plan_chunks``'s sample).  ``bits * len(cols)`` must fit a signed
+    long (≤ 62).
+    """
+    cols = list(cols)
+    if bits * len(cols) > 62:
+        raise ValueError(f"bits({bits}) * cols({len(cols)}) exceeds a signed long")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    norms = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+        scaled = ((F.col(c).cast("double") - F.lit(mn or 0.0)) / F.lit(span)) * top
+        # NULL keys sort first: normalized to 0
+        norms.append(F.coalesce(F.round(scaled).cast("long"), F.lit(0)))
+    return _interleave(norms, bits)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered on the Morton code of ``cols``:
+    range-partitioned into ``num_files`` Z-contiguous files, sorted within
+    each so row-group min/max stats stay tight on every ``cols`` member."""
+    z = zvalue(df, cols, bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_overlap_count(
+    spark, path: str, col: str, lo, hi
+) -> int:
+    """Diagnostic: number of distinct parquet files whose rows intersect
+    ``col ∈ [lo, hi]`` — the quantity Z-ordering minimizes across ALL
+    clustered columns (a linear sort minimizes it for one)."""
+    df = spark.read.parquet(path)
+    return (
+        df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )

@@ -1,0 +1,83 @@
+"""Deterministic sampling/split operators: stability, disjointness, parity
+with the DuckDB-reproducible hash spelling."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from paradump_spark.operators import sampling as S
+
+
+def test_split_is_partition(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = S.split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    counts = {k: v.count() for k, v in parts.items()}
+    assert sum(counts.values()) == n  # disjoint + covering
+    ids = None
+    for p in parts.values():
+        cur = {r[0] for r in p.select("doc_id").collect()}
+        assert ids is None or not (ids & cur)
+        ids = (ids or set()) | cur
+    # roughly proportional (hash uniformity; 500 docs -> loose bounds)
+    assert counts["train"] > counts["val"]
+    assert counts["train"] > counts["test"]
+
+
+def test_sample_fraction_stable_and_nested(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s20 = S.sample_fraction(docs, "doc_id", 0.2)
+    s50 = S.sample_fraction(docs, "doc_id", 0.5)
+    a = {r[0] for r in s20.select("doc_id").collect()}
+    b = {r[0] for r in s20.select("doc_id").collect()}
+    assert a == b  # rerun-stable
+    big = {r[0] for r in s50.select("doc_id").collect()}
+    assert a <= big  # fractions are nested prefixes of the bucket space
+
+
+def test_hash_bucket_matches_duckdb(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["doc_id"], r["b"])
+        for r in docs.select(
+            "doc_id", S.hash_bucket(F.col("doc_id"), seed="s1").alias("b")
+        ).collect()
+    }
+    exp = set(
+        duckdb.sql(
+            f"""SELECT doc_id,
+                ('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % {S.DENOM} AS b
+                FROM '{sf_dir}/documents.parquet'"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_mixture_and_weight_validation(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        F.lit("e").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("emb").alias("source"),
+        F.lit(1).cast("long").alias("n_chars"),
+    )
+    mix = S.mixture([(docs, "doc_id", 0.5), (emb, "doc_id", 0.1)])
+    n_docs = S.sample_fraction(docs, "doc_id", 0.5).count()
+    n_emb = S.sample_fraction(emb, "doc_id", 0.1).count()
+    assert mix.count() == n_docs + n_emb
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        S.split_column(F.col("doc_id"), {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError):
+        S.sample_fraction(docs, "doc_id", 1.5)
+
+
+def test_stratified_sample_respects_strata(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = S.stratified_sample(docs, "lang", {"en": 1.0}, seed=7)
+    langs = {r[0] for r in out.select("lang").distinct().collect()}
+    assert langs <= {"en"}
+    assert out.count() == docs.where(F.col("lang") == "en").count()
