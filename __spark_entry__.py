@@ -511,6 +511,23 @@ def _q_corr_qty_price(spark, sf_dir):
     )
 
 
+def _q_pack_stats(spark, sf_dir):
+    """Document packing (FFD sequence binning) fill diagnostics — rows-only:
+    partition-local greedy state is not SQL-expressible."""
+    from paradump_spark.operators import packing as PK
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", TX.token_count("text").cast("long").alias("n_tokens"))
+    packed = PK.pack_documents(d, "doc_id", "n_tokens", 256, partitions=8)
+    return PK.packing_stats(packed, "n_tokens", 256)
+
+
+def _q_repetition_ratios(spark, sf_dir):
+    """Duplicate n-gram / duplicate-line fractions per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.repetition_ratios(docs, "doc_id", "text")
+
+
 def _q_doc_split_counts(spark, sf_dir):
     """Deterministic train/val/test hash-split assignment (operators.
     sampling) — per-split document counts, reproducible in any md5 engine."""
@@ -846,7 +863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_customer_names": _q_nation_customer_names,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "corr_qty_price": _q_corr_qty_price,
+        "repetition_ratios": _q_repetition_ratios,
         "doc_split_counts": _q_doc_split_counts,
+        "pack_stats": _q_pack_stats,
         "range_join_clicks": _q_range_join_clicks,
         "sessionize_stats": _q_sessionize_stats,
         "value_histogram": _q_value_histogram,
@@ -1021,6 +1040,28 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
          AS corr_qty_price,
        round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
 FROM m""",
+        "repetition_ratios": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+1], ' ')) AS g2,
+         list_transform(generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' ')) AS g3,
+         lines
+  FROM tok)
+SELECT doc_id,
+       round(CASE WHEN len(g2) > 0 THEN 1.0 - list_unique(g2) / len(g2) ELSE 0.0 END, 6)
+         AS dup_2gram_frac,
+       round(CASE WHEN len(g3) > 0 THEN 1.0 - list_unique(g3) / len(g3) ELSE 0.0 END, 6)
+         AS dup_3gram_frac,
+       round(CASE WHEN len(lines) > 0 THEN 1.0 - list_unique(lines) / len(lines) ELSE 0.0 END, 6)
+         AS dup_line_frac
+FROM g""",
         "doc_split_counts": """
 WITH b AS (SELECT ('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                   % 1000000 AS bucket FROM documents)

@@ -69,6 +69,49 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_ratios(
+    df: DataFrame, id_col: str, text_col: str, ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Within-document repetition signals: for each ``n`` the fraction of
+    duplicate word n-grams (``1 - distinct/total``), plus the duplicate-line
+    fraction — the standard quality gates that catch boilerplate, keyword
+    stuffing, and decode loops in crawled corpora.
+
+    Pure array expressions over one row (no shuffle, no UDF): tokens →
+    sliced n-grams → ``array_distinct`` cardinality.  Cost is linear in
+    document length and fuses into the scan.
+    """
+    t = TX.tokens(text_col)
+    cols = [F.col(id_col)]
+
+    def gram_at(n: int):
+        # closure factory, NOT a default arg: HOF callbacks dispatch on
+        # lambda arity, so a second parameter would become the array index
+        return lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))
+
+    for n in ns:
+        grams = F.when(
+            F.size(t) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(t) - n), gram_at(n)),
+        ).otherwise(F.array().cast("array<string>"))
+        frac = F.when(
+            F.size(grams) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / F.size(grams).cast("double"),
+        ).otherwise(F.lit(0.0))
+        cols.append(F.round(frac, 6).alias(f"dup_{n}gram_frac"))
+    lines = F.split(F.col(text_col), "\n")
+    line_frac = F.when(
+        F.size(lines) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double")
+        / F.size(lines).cast("double"),
+    ).otherwise(F.lit(0.0))
+    cols.append(F.round(line_frac, 6).alias("dup_line_frac"))
+    return df.select(*cols)
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fingerprint, content_md5) — rolling-hash + exact-hash identities."""
     return df.select(

@@ -8,8 +8,8 @@ def test_oracle_keys_subset_of_queries():
     q = set(E.queries())
     o = set(E.oracle_sql())
     assert o <= q
-    # only the two approximate ops may be rows-only
-    assert q - o == {"ivf_topk", "embedding_near_dup_lsh"}
+    # only approximate / non-SQL-expressible ops may be rows-only
+    assert q - o == {"ivf_topk", "embedding_near_dup_lsh", "pack_stats"}
 
 
 def test_entry_runs_and_has_rows(spark):

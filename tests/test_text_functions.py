@@ -111,3 +111,24 @@ def test_sign_sketch_deterministic(spark):
     s1 = df.select(V.sign_sketch(F.col("a"), 8).alias("s")).first()["s"]
     s2 = df.select(V.sign_sketch(F.col("a"), 8).alias("s")).first()["s"]
     assert s1 == s2 and 0 <= s1 < 256
+
+
+def test_repetition_ratios_known_values(spark):
+    from paradump_spark.operators.text_analysis import repetition_ratios
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # bigrams: ab,ba,ab,ba -> 2/4 dup
+            (2, "x y z"),            # all distinct
+            (3, "w"),                # too short for any n-gram
+            (4, "l1\nl2\nl1"),       # duplicate line
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_ratios(df, "doc_id", "text").collect()}
+    assert got[1]["dup_2gram_frac"] == 0.5
+    assert got[1]["dup_3gram_frac"] == pytest.approx(1.0 - 2.0 / 3.0, abs=1e-6)
+    assert got[2]["dup_2gram_frac"] == 0.0
+    assert got[3]["dup_2gram_frac"] == 0.0 and got[3]["dup_3gram_frac"] == 0.0
+    assert got[4]["dup_line_frac"] == pytest.approx(1.0 / 3.0, abs=1e-6)
+    assert got[1]["dup_line_frac"] == 0.0
