@@ -66,3 +66,37 @@ def test_minhash_partial_aggregates_before_shuffle(spark, sf_dir):
 def test_ann_broadcasts_queries(spark, sf_dir):
     p = _plan(E._q_ann_topk(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_exists_semi_join_broadcasts_filtered_side(spark, sf_dir):
+    p = _plan(E._q_open_order_customers(spark, sf_dir))
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+    # the status/price filter runs below the join build, not above it
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_cube_expands_then_partially_aggregates(spark, sf_dir):
+    p = _plan(E._q_cube_order_stats(spark, sf_dir))
+    assert "Expand" in p and "partial" in p
+    assert p.count("Exchange") == 1  # one shuffle on (keys, grouping id)
+
+
+def test_embedding_dim_stats_partial_agg_below_exchange(spark, sf_dir):
+    p = _plan(E._q_embedding_dim_stats(spark, sf_dir))
+    # plan prints top-down: exploded rows must combine per-dim (partial agg)
+    # BELOW the exchange, i.e. later in the string
+    assert "Generate posexplode" in p
+    assert p.index("partial_min") > p.index("Exchange")
+    assert "ReadSchema: struct<embedding" in p  # only the array column is read
+
+
+def test_repetition_ratios_is_shuffle_free_scan(spark, sf_dir):
+    p = _plan(E._q_repetition_ratios(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_split_column_fuses_into_scan(spark, sf_dir):
+    p = _plan(E._q_doc_split_counts(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "ReadSchema: struct<doc_id" in p  # only the id column is read
