@@ -9,7 +9,9 @@ CDC-style continuous sync.
 """
 
 from paradump_spark.streaming.events import (
+    dedup_event_stream,
     hourly_event_counts,
+    purchase_click_stream_join,
     read_event_stream,
     running_user_totals,
     stream_sync_to_sink,
@@ -20,4 +22,6 @@ __all__ = [
     "hourly_event_counts",
     "running_user_totals",
     "stream_sync_to_sink",
+    "dedup_event_stream",
+    "purchase_click_stream_join",
 ]

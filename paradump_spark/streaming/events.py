@@ -128,3 +128,56 @@ def stream_sync_to_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_event_stream(
+    events: DataFrame, id_col: str = "event_id", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each seen key only until the
+    watermark passes it, so state size tracks the duplicate-arrival window
+    — not the whole stream history (which plain ``dropDuplicates`` on an
+    unbounded stream would)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
+def purchase_click_stream_join(
+    events: DataFrame,
+    within_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the following ``within_seconds``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can compute how long to buffer each side and evict
+    — the canonical bounded-state stream-stream join shape.
+    """
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id", "p_ts", "c_ts"
+    )

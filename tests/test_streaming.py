@@ -99,3 +99,65 @@ def test_foreach_batch_sync(spark, events_dir, tmp_path):
     q.awaitTermination(120)
     q.stop()
     assert seen["rows"] == 1000 and seen["batches"] >= 1
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, events_dir, tmp_path):
+    """Duplicate the input file so real duplicates arrive; the stream must
+    emit each event_id exactly once, equal to the batch distinct set."""
+    import shutil as _sh
+
+    from paradump_spark.streaming import dedup_event_stream
+
+    _sh.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-001.parquet")
+    stream = read_event_stream(spark, events_dir)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(dedup_event_stream(stream), name, "append")
+    got = [r["event_id"] for r in spark.sql(f"SELECT event_id FROM {name}").collect()]
+    q.stop()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    exp = {
+        r["event_id"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id")
+        .collect()
+    }
+    assert len(got) == len(set(got)) == len(exp)  # once each, none lost
+    assert set(got) == exp
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
+    from paradump_spark.streaming import purchase_click_stream_join
+
+    stream = read_event_stream(spark, events_dir)
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(purchase_click_stream_join(stream), name, "append")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    q.stop()
+    # batch reference: same interval join on the static table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    exp = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") >= F.col("pts"))
+            & (F.col("cts") <= F.col("pts") + F.expr("INTERVAL 3600 SECONDS")),
+        ).collect()
+    }
+    assert got == exp and len(exp) > 0
