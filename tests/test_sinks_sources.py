@@ -276,3 +276,18 @@ def test_chunk_predicates_reach_reader():
         "((`id` >= 10)) AND ((`id` < 20))",
         "((`id` >= 20))",
     ]
+
+
+def test_csv_dump_round_trip_diffs_clean(spark, sf_dir, tmp_path):
+    """dump → read back → diff == 0 DML: the end-to-end completeness check."""
+    from paradump_spark.operators.diff import diff_classified
+    from paradump_spark.sinks.files import write_csv
+    from paradump_spark.sources.files import read_csv_dump
+
+    for table, pk in [("customer", ["c_custkey"]), ("orders", ["o_orderkey"])]:
+        src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        out = str(tmp_path / f"csv_{table}")
+        write_csv(src, out)
+        back = read_csv_dump(spark, out, src.schema)
+        assert back.count() == src.count()
+        assert diff_classified(src, back, pk).count() == 0
