@@ -150,6 +150,32 @@ def main() -> None:
 
     times["asof_join"] = bench(asof)
 
+    times["repetition_ratios"] = bench(
+        lambda: TA.repetition_ratios(docs, "doc_id", "text").count()
+    )
+
+    def packing():
+        from paradump_spark.functions.text import token_count
+        from paradump_spark.operators.packing import pack_documents
+
+        d = docs.select(
+            "doc_id", token_count("text").cast("long").alias("n_tokens")
+        )
+        pack_documents(d, "doc_id", "n_tokens", 256, partitions=8).count()
+
+    times["pack_documents"] = bench(packing)
+
+    def zorder():
+        from paradump_spark.plans.zorder import zorder_write
+
+        out = tempfile.mkdtemp(prefix="bench_zorder_")
+        try:
+            zorder_write(li, os.path.join(out, "z"), ["l_orderkey", "l_partkey"], 32)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    times["zorder_write"] = bench(zorder)
+
     times["ann_topk"] = bench(
         lambda: SIM.brute_force_topk(
             emb, emb.where(F.col("vec_id") < 100), "vec_id", "embedding", k=10

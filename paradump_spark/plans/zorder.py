@@ -26,14 +26,15 @@ from pyspark.sql import functions as F
 
 def _interleave(norms: list[Column], bits: int) -> Column:
     """Bit-interleave ``len(norms)`` columns already scaled to [0, 2^bits):
-    output bit ``i*n + j`` = bit ``i`` of column ``j``."""
+    output bit ``i*n + j`` = bit ``i`` of column ``j``.  Pure shift/and/or
+    terms — integer-only codegen, no float division in the per-row path."""
     n = len(norms)
     terms = [
-        ((c.bitwiseAND(F.lit(1 << i)) / (1 << i)).cast("long") * (1 << (i * n + j)))
+        F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
         for i in range(bits)
         for j, c in enumerate(norms)
     ]
-    return reduce(lambda a, b: a + b, terms)
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
 
 
 def zvalue(
