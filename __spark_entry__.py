@@ -511,6 +511,44 @@ def _q_corr_qty_price(spark, sf_dir):
     )
 
 
+def _q_segment_nation_intersect(spark, sf_dir):
+    """INTERSECT (set semantics): nations present in both segments."""
+    c = _t(spark, sf_dir, "customer")
+    b = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    a = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return b.intersect(a)
+
+
+def _q_order_price_rankstats(spark, sf_dir):
+    """percent_rank + cume_dist per status — rank family is tie-stable, so
+    values are deterministic even where prices collide."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
+def _q_first_last_order_value(spark, sf_dir):
+    """first_value/last_value over an explicit unbounded frame: each
+    customer's earliest and latest order price side by side."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    )
+
+
 def _q_pack_stats(spark, sf_dir):
     """Document packing (FFD sequence binning) fill diagnostics — rows-only:
     partition-local greedy state is not SQL-expressible."""
@@ -865,6 +903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_qty_price": _q_corr_qty_price,
         "repetition_ratios": _q_repetition_ratios,
         "doc_split_counts": _q_doc_split_counts,
+        "segment_nation_intersect": _q_segment_nation_intersect,
+        "order_price_rankstats": _q_order_price_rankstats,
+        "first_last_order_value": _q_first_last_order_value,
         "pack_stats": _q_pack_stats,
         "range_join_clicks": _q_range_join_clicks,
         "sessionize_stats": _q_sessionize_stats,
@@ -1040,6 +1081,24 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
          AS corr_qty_price,
        round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
 FROM m""",
+        "segment_nation_intersect": """
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""",
+        "order_price_rankstats": """
+SELECT o_orderkey, o_orderstatus,
+       round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6)
+         AS price_pct_rank,
+       round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6)
+         AS price_cume_dist
+FROM orders""",
+        "first_last_order_value": """
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
         "repetition_ratios": """
 WITH tok AS (
   SELECT doc_id,

@@ -93,3 +93,102 @@ def extract_features(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return binary_df.select(F.col(id_col), F.col("payload")).mapInPandas(
         batches, FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    binary_df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling plumbing: each media row fans out to ``n_frames``
+    rows of (frame_idx, timestamp, frame bytes) — the 1→N Arrow-batch
+    shape a real video decoder fills in.  The decode itself is stubbed
+    with a deterministic fake (md5-keyed bytes, evenly spaced timestamps
+    over ``media_meta.duration_ms``) so tests pin schema, cardinality,
+    and determinism without codecs."""
+    if n_frames <= 0:
+        raise ValueError(f"n_frames must be positive, got {n_frames}")
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, payload, dur in zip(
+                pdf[id_col], pdf["payload"], pdf["duration_ms"]
+            ):
+                total = int(dur) if dur and dur > 0 else n_frames
+                for k in range(n_frames):
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    tss.append((k * total) // n_frames)
+                    # deterministic fake "decoded frame": keyed digest bytes
+                    frames.append(
+                        hashlib.md5(bytes(payload) + k.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ms": pd.Series(tss, dtype="int64"),
+                    "frame_payload": frames,
+                }
+            )
+
+    src = binary_df.select(
+        F.col(id_col),
+        F.col("payload"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    )
+    return src.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize_stub(
+    binary_df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize plumbing: payload → payload' with updated metadata dims.
+    The pixel work is a stub (deterministic digest bytes sized to the
+    target) — swap the inner function for PIL in production; the Spark
+    side (schema preservation, Arrow batching, metadata rewrite) is real."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        fake_len = max(16, (width * height) // 64)  # stand-in byte budget
+        for pdf in it:
+            resized = [
+                (hashlib.md5(bytes(b)).digest() * (fake_len // 16 + 1))[:fake_len]
+                for b in pdf["payload"]
+            ]
+            metas = [
+                {
+                    "media_type": m["media_type"],
+                    "codec": m["codec"],
+                    "width": width,
+                    "height": height,
+                    "duration_ms": m["duration_ms"],
+                }
+                for m in pdf["media_meta"]
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "payload": resized, "media_meta": metas}
+            )
+
+    return binary_df.mapInPandas(batches, out_schema)

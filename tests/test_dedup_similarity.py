@@ -130,3 +130,45 @@ def test_multimodal_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         MM.decode_stub(b"\x89PNG")
+
+
+def test_frame_sampling_shape_and_determinism(spark, sf_dir):
+    from paradump_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = MM.attach_binary_payload(docs, "doc_id", "text", media_type="video")
+    frames = MM.sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 50 * 4  # 1 -> N fan-out
+    assert frames.columns == ["doc_id", "frame_idx", "frame_ms", "frame_payload"]
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+    # deterministic payloads across runs
+    again = {(r["doc_id"], r["frame_idx"]): bytes(r["frame_payload"]) for r in rows}
+    rerun = {
+        (r["doc_id"], r["frame_idx"]): bytes(r["frame_payload"])
+        for r in MM.sample_frames(media, n_frames=4).collect()
+    }
+    assert again == rerun
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        MM.sample_frames(media, n_frames=0)
+
+
+def test_resize_stub_rewrites_dims_and_preserves_schema(spark, sf_dir):
+    from paradump_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = MM.attach_binary_payload(docs, "doc_id", "text", media_type="image")
+    out = MM.resize_stub(media, width=64, height=64)
+    assert out.schema["media_meta"].dataType == MM.MEDIA_META
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["media_meta"]["width"] == 64 and r["media_meta"]["height"] == 64
+        assert r["media_meta"]["media_type"] == "image"  # rest of meta kept
+        assert len(bytes(r["payload"])) == max(16, (64 * 64) // 64)
