@@ -99,3 +99,89 @@ def test_csv_cell_roundtrip(spark, s):
     else:
         parsed = ""
     assert parsed == s
+
+
+@_slow
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=120),
+    cap=st.integers(min_value=64, max_value=512),
+)
+def test_packing_matches_python_ffd_reference(spark, toks, cap):
+    """Single-partition packing must equal classic first-fit-decreasing
+    run in plain Python on the same (tokens desc, id asc) order."""
+    from paradump_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+    ).coalesce(1)
+    got = {
+        r["doc_id"]: r["bin_id"] % (1 << 40)
+        for r in pack_documents(df, "doc_id", "n_tokens", cap).collect()
+    }
+    order = sorted(range(len(toks)), key=lambda i: (-toks[i], i))
+    bins: list[int] = []
+    exp = {}
+    for i in order:
+        need = toks[i]
+        for b, rem in enumerate(bins):
+            if rem >= need:
+                bins[b] -= need
+                exp[i] = b
+                break
+        else:
+            bins.append(max(cap - need, 0))
+            exp[i] = len(bins) - 1
+    assert got == exp
+
+
+@_slow
+@given(
+    w=st.lists(st.floats(min_value=0.05, max_value=1.0), min_size=2, max_size=5),
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=150, unique=True),
+)
+def test_split_weights_partition_exactly(spark, w, ids):
+    """Any normalized weight vector yields disjoint covering splits."""
+    from paradump_spark.operators.sampling import split
+
+    total = sum(w)
+    weights = {f"s{i}": x / total for i, x in enumerate(w)}
+    # fix float-sum drift on the last weight so they sum to exactly 1
+    weights[f"s{len(w)-1}"] = 1.0 - sum(list(weights.values())[:-1])
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    parts = split(df, "doc_id", weights)
+    seen: set[int] = set()
+    n = 0
+    for p in parts.values():
+        cur = {r[0] for r in p.collect()}
+        assert not (seen & cur)
+        seen |= cur
+        n += len(cur)
+    assert n == len(ids)
+
+
+@_slow
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=2,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_morton_code_preserves_quadrant_order(spark, pts):
+    """Points in a strictly lower quadrant (both coords' high bits smaller)
+    always sort before points in a higher quadrant — the property that
+    makes Z-order range scans prune files."""
+    from paradump_spark.plans.zorder import _interleave
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    z = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", _interleave([F.col("x"), F.col("y")], 8)
+        ).collect()
+    }
+    for (x1, y1), z1 in z.items():
+        for (x2, y2), z2 in z.items():
+            if x1 >> 4 < x2 >> 4 and y1 >> 4 < y2 >> 4:
+                assert z1 < z2, ((x1, y1, z1), (x2, y2, z2))
