@@ -95,16 +95,6 @@ def extract_features(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-FRAME_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("frame_ms", T.LongType()),
-        T.StructField("frame_payload", T.BinaryType()),
-    ]
-)
-
-
 def sample_frames(
     binary_df: DataFrame,
     n_frames: int = 4,
@@ -118,6 +108,15 @@ def sample_frames(
     and determinism without codecs."""
     if n_frames <= 0:
         raise ValueError(f"n_frames must be positive, got {n_frames}")
+    # keep the caller's id column name AND type (string/long/... ids all work)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, binary_df.schema[id_col].dataType),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ms", T.LongType()),
+            T.StructField("frame_payload", T.BinaryType()),
+        ]
+    )
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -129,7 +128,7 @@ def sample_frames(
             ):
                 total = int(dur) if dur and dur > 0 else n_frames
                 for k in range(n_frames):
-                    ids.append(int(doc_id))
+                    ids.append(doc_id)
                     idxs.append(k)
                     tss.append((k * total) // n_frames)
                     # deterministic fake "decoded frame": keyed digest bytes
@@ -138,7 +137,7 @@ def sample_frames(
                     )
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids),
                     "frame_idx": pd.Series(idxs, dtype="int32"),
                     "frame_ms": pd.Series(tss, dtype="int64"),
                     "frame_payload": frames,
@@ -150,7 +149,7 @@ def sample_frames(
         F.col("payload"),
         F.col("media_meta.duration_ms").alias("duration_ms"),
     )
-    return src.mapInPandas(batches, FRAME_SCHEMA)
+    return src.mapInPandas(batches, out_schema)
 
 
 def resize_stub(

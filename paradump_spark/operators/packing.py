@@ -66,28 +66,57 @@ def pack_documents(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
-        if pdf is None or len(pdf) == 0:
+        parts = list(batches)  # NB: a generator is truthy even when empty
+        if not parts:
             return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        # nullable longs arrive as float64 + NaN; a missing count packs as 0
+        # (the doc still gets a bin) rather than killing a 100-TB stage
+        pdf[tokens_col] = pdf[tokens_col].fillna(0)
         pdf = pdf.sort_values(
             [tokens_col, id_col], ascending=[False, True], ignore_index=True
         )
-        bins_remaining: list[int] = []  # remaining capacity per local bin
+        n = len(pdf)
+        # First-fit via a max segment tree over bin capacities: leaf i =
+        # remaining capacity of bin i, unopened bins start at max_tokens,
+        # so "leftmost leaf with cap >= need" both finds the first open
+        # bin that fits AND falls through to the next fresh bin —
+        # O(log n) per doc instead of a linear scan over open bins.
+        tsize = 1
+        while tsize < n:
+            tsize *= 2
+        tree = [max_tokens] * (2 * tsize)
+
+        def tree_set(pos: int, val: int) -> None:
+            i = tsize + pos
+            tree[i] = val
+            i //= 2
+            while i:
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
+                i //= 2
+
+        def tree_first_fit(need: int) -> int:
+            if tree[1] < need:
+                return -1
+            i = 1
+            while i < tsize:
+                i = 2 * i if tree[2 * i] >= need else 2 * i + 1
+            return i - tsize
+
+        opened = 0
         assigned: list[int] = []
         base = pid * _PART_STRIDE
         for tok in pdf[tokens_col]:
             need = int(tok)
-            placed = None
-            # first-fit over open bins; oversize docs get a fresh bin
-            for i, rem in enumerate(bins_remaining):
-                if rem >= need:
-                    placed = i
-                    break
-            if placed is None:
-                bins_remaining.append(max(max_tokens - need, 0))
-                placed = len(bins_remaining) - 1
+            placed = tree_first_fit(need)
+            if placed < 0:  # oversize doc: singleton bin, capacity spent
+                placed = opened
+                tree_set(placed, 0)
             else:
-                bins_remaining[placed] -= need
+                tree_set(placed, tree[tsize + placed] - need)
+            opened = max(opened, placed + 1)
             assigned.append(base + placed)
         pdf["bin_id"] = pd.Series(assigned, dtype="int64")
         yield pdf

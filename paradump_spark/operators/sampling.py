@@ -109,6 +109,8 @@ def mixture(
     source keeps its own keying column so ids only need uniqueness within
     a source.
     """
+    if not sources:
+        raise ValueError("mixture requires at least one (df, id_col, fraction) source")
     parts = [
         sample_fraction(df, id_col, frac, seed) for df, id_col, frac in sources
     ]

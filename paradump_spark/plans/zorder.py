@@ -22,6 +22,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _interleave(norms: list[Column], bits: int) -> Column:
@@ -50,16 +51,29 @@ def zvalue(
     cols = list(cols)
     if bits * len(cols) > 62:
         raise ValueError(f"bits({bits}) * cols({len(cols)}) exceeds a signed long")
+
+    def as_num(c: str):
+        # DATE/TIMESTAMP don't cast to double directly; go through their
+        # integer epoch forms first
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.DateType):
+            return F.unix_date(F.col(c)).cast("double")
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            # unix_micros wants TIMESTAMP; NTZ→TZ cast is monotonic, which
+            # is the only property the Morton scaling needs
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        return F.col(c).cast("double")
+
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        *[F.min(as_num(c)).alias(f"mn_{c}") for c in cols],
+        *[F.max(as_num(c)).alias(f"mx_{c}") for c in cols],
     ).collect()[0]
     top = (1 << bits) - 1
     norms = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
         span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
-        scaled = ((F.col(c).cast("double") - F.lit(mn or 0.0)) / F.lit(span)) * top
+        scaled = ((as_num(c) - F.lit(mn or 0.0)) / F.lit(span)) * top
         # NULL keys sort first: normalized to 0
         norms.append(F.coalesce(F.round(scaled).cast("long"), F.lit(0)))
     return _interleave(norms, bits)

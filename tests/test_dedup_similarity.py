@@ -172,3 +172,19 @@ def test_resize_stub_rewrites_dims_and_preserves_schema(spark, sf_dir):
         assert r["media_meta"]["width"] == 64 and r["media_meta"]["height"] == 64
         assert r["media_meta"]["media_type"] == "image"  # rest of meta kept
         assert len(bytes(r["payload"])) == max(16, (64 * 64) // 64)
+
+
+def test_frame_sampling_keeps_custom_id_name_and_type(spark, sf_dir):
+    """Regression: id column name/type must pass through sample_frames."""
+    from paradump_spark.operators import multimodal as MM
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(5)
+        .select(F.concat(F.lit("d-"), F.col("doc_id")).alias("file_id"), "text")
+    )
+    media = MM.attach_binary_payload(docs, "file_id", "text", media_type="video")
+    frames = MM.sample_frames(media, n_frames=2, id_col="file_id")
+    assert frames.columns[0] == "file_id"
+    rows = frames.collect()
+    assert len(rows) == 10 and all(r["file_id"].startswith("d-") for r in rows)

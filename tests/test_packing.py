@@ -59,3 +59,13 @@ def test_pack_rejects_bad_budget(spark, sf_dir):
     d = _docs_with_counts(spark, sf_dir)
     with pytest.raises(ValueError):
         pack_documents(d, "doc_id", "n_tokens", 0)
+
+
+def test_pack_handles_empty_partitions_and_null_counts(spark):
+    """Regression: 1 row over 8 partitions (7 empty) must not crash, and a
+    NULL token count packs as 0 instead of killing the task."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None)], "doc_id long, n_tokens long"
+    )
+    out = pack_documents(df, "doc_id", "n_tokens", 64, partitions=8).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}

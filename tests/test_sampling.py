@@ -81,3 +81,10 @@ def test_stratified_sample_respects_strata(spark, sf_dir):
     langs = {r[0] for r in out.select("lang").distinct().collect()}
     assert langs <= {"en"}
     assert out.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_mixture_rejects_empty_sources():
+    import pytest
+
+    with pytest.raises(ValueError):
+        S.mixture([])

@@ -63,3 +63,15 @@ def test_zorder_write_skips_files_on_second_dim(spark, sf_dir):
         assert z_files < l_files, (z_files, l_files)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_zvalue_supports_date_and_timestamp_columns(spark, sf_dir):
+    """Regression: temporal columns must z-order via their epoch forms."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_date", F.to_date("o_orderdate")
+    )
+    z = zvalue(orders, ["o_date", "o_custkey"], bits=8)
+    n = orders.withColumn("z", z).where(F.col("z").isNotNull()).count()
+    assert n == orders.count()
+    z2 = zvalue(orders, ["o_orderdate", "o_custkey"], bits=8)  # timestamp
+    assert orders.withColumn("z", z2).where(F.col("z").isNotNull()).count() == n
