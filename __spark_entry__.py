@@ -511,6 +511,13 @@ def _q_corr_qty_price(spark, sf_dir):
     )
 
 
+def _q_profile_orders(spark, sf_dir):
+    """One-pass column profile (nulls / exact distincts / min / max)."""
+    from paradump_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
 def _q_segment_nation_intersect(spark, sf_dir):
     """INTERSECT (set semantics): nations present in both segments."""
     c = _t(spark, sf_dir, "customer")
@@ -903,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_qty_price": _q_corr_qty_price,
         "repetition_ratios": _q_repetition_ratios,
         "doc_split_counts": _q_doc_split_counts,
+        "profile_orders": _q_profile_orders,
         "segment_nation_intersect": _q_segment_nation_intersect,
         "order_price_rankstats": _q_order_price_rankstats,
         "first_last_order_value": _q_first_last_order_value,
@@ -1081,6 +1089,39 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
          AS corr_qty_price,
        round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
 FROM m""",
+        "profile_orders": """
+SELECT 'o_orderkey' AS column_name,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_text,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_text
+FROM orders
+UNION ALL
+SELECT 'o_custkey', sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderstatus),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_totalprice),
+       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderdate),
+       CAST(CAST(min(o_orderdate) AS TIMESTAMP) AS VARCHAR),
+       CAST(CAST(max(o_orderdate) AS TIMESTAMP) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders""",
         "segment_nation_intersect": """
 SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
 INTERSECT

@@ -1,0 +1,56 @@
+"""Table profiling — one-pass per-column statistics in long format.
+
+The reference's metadata aggregates (A3: size/rows from information_schema,
+src/paradump/paradump.go:773) stop at table granularity; real pipelines
+profile columns before choosing split keys, dedup keys, or quality gates.
+This computes every column's null count, exact distinct count, and
+min/max (rendered to text) in ONE wide aggregation — a single scan and a
+single reduce regardless of column count — then unpivots to
+``(column, n_nulls, n_distinct, min_text, max_text)`` rows.
+
+``count(DISTINCT x)`` per column would shuffle once per column; here each
+distinct is an exact HLL-free two-level aggregate only when asked
+(``exact_distinct=False`` switches to ``approx_count_distinct``, the
+100 TB default — one pass, mergeable sketches, ~2% error).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Long-format profile of ``columns`` (default: all).
+
+    ``exact_distinct=True`` uses ``count_distinct`` (exact, needed for
+    oracle parity and small data); ``False`` uses
+    ``approx_count_distinct`` — the scale choice, since exact distinct on
+    every column of a wide 100 TB table is one full shuffle per column.
+    """
+    cols = columns or df.columns
+    distinct_of = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            distinct_of(col).alias(f"__nd_{c}"),
+            F.min(col).cast("string").alias(f"__mn_{c}"),
+            F.max(col).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot via stack: 5 expressions per column, all plan-time constants
+    stack_args = ", ".join(
+        f"'{c}', `__nn_{c}`, `__nd_{c}`, `__mn_{c}`, `__mx_{c}`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) "
+            "AS (column_name, n_nulls, n_distinct, min_text, max_text)"
+        )
+    )
