@@ -511,6 +511,12 @@ def _q_corr_qty_price(spark, sf_dir):
     )
 
 
+def _q_vocab_top_tokens(spark, sf_dir):
+    """Top-100 corpus vocabulary with tf/df and deterministic ranks."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.vocab_top_tokens(docs, "doc_id", "text", k=100)
+
+
 def _q_profile_orders(spark, sf_dir):
     """One-pass column profile (nulls / exact distincts / min / max)."""
     from paradump_spark.operators.profile import profile_table
@@ -910,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_qty_price": _q_corr_qty_price,
         "repetition_ratios": _q_repetition_ratios,
         "doc_split_counts": _q_doc_split_counts,
+        "vocab_top_tokens": _q_vocab_top_tokens,
         "profile_orders": _q_profile_orders,
         "segment_nation_intersect": _q_segment_nation_intersect,
         "order_price_rankstats": _q_order_price_rankstats,
@@ -1089,6 +1096,16 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
          AS corr_qty_price,
        round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
 FROM m""",
+        "vocab_top_tokens": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
+  FROM documents),
+s AS (
+  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM tok GROUP BY token)
+SELECT CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS BIGINT) AS rank,
+       token, tf, df
+FROM s ORDER BY tf DESC, token ASC LIMIT 100""",
         "profile_orders": """
 SELECT 'o_orderkey' AS column_name,
        sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,

@@ -372,3 +372,99 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def write_signature_store(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the banded-signature index of a corpus: one
+    (id, band_idx, band_hash) row per band, written partitioned by
+    ``band_idx`` so incremental probes scan band-by-band.
+
+    This is the production dedup shape at 100 TB: the historical corpus
+    is indexed ONCE; each new shard only computes its own signatures and
+    joins against the store — never re-shingling old data.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, shingle_size, num_hashes)
+    banded = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(TX.lsh_band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    banded.write.mode(mode).partitionBy("band_idx").parquet(path)
+
+
+def incremental_dedup(
+    spark,
+    store_path: str,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    append_fresh: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a new shard against the historical signature store.
+
+    Returns ``(fresh_docs, matches)``: ``matches`` is
+    (new_id, existing_id) candidate pairs (any shared band); ``fresh_docs``
+    are new rows with no candidate match.  With ``append_fresh`` the fresh
+    rows' bands are appended to the store, so the index stays current
+    without ever recomputing old signatures.
+
+    Plan shape: signatures for the NEW shard only (small), one join
+    against the store on (band_idx, band_hash) — band partitioning prunes
+    the store scan; the store side streams, only the new side's buckets
+    are built.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        new_docs, id_col, text_col, shingle_size, num_hashes
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("new_id"),
+        F.posexplode(TX.lsh_band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    ).persist()
+    try:
+        # Pin the store SNAPSHOT by listing its files now: the append below
+        # adds new files, and a lazy re-evaluation of `matches`/`fresh`
+        # after that append would otherwise see the new shard's own bands
+        # in the store and match every fresh doc against itself.
+        store_now = spark.read.parquet(store_path)
+        files = store_now.inputFiles()
+        store = (
+            spark.read.option("basePath", store_path).parquet(*files)
+            if files
+            else store_now
+        )
+        matches = (
+            banded.join(store, on=["band_idx", "band_hash"])
+            .select("new_id", F.col("doc_id").alias("existing_id"))
+            .distinct()
+        )
+        matched_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
+        fresh = new_docs.join(matched_ids, on=id_col, how="left_anti")
+        if append_fresh:
+            fresh_bands = banded.join(
+                matched_ids.select(F.col(id_col).alias("new_id")),
+                on="new_id",
+                how="left_anti",
+            ).select(F.col("new_id").alias("doc_id"), "band_idx", "band_hash")
+            fresh_bands.write.mode("append").partitionBy("band_idx").parquet(
+                store_path
+            )
+        return fresh, matches
+    finally:
+        banded.unpersist()

@@ -8,7 +8,7 @@ they fuse into the scan and read only the ``text`` column (column-pruned).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from paradump_spark.functions import text as TX
@@ -110,6 +110,55 @@ def repetition_ratios(
     ).otherwise(F.lit(0.0))
     cols.append(F.round(line_frac, 6).alias("dup_line_frac"))
     return df.select(*cols)
+
+
+def token_stats(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 1
+) -> DataFrame:
+    """Corpus vocabulary statistics: per token its total occurrence count
+    (``tf``) and the number of distinct documents containing it (``df``)
+    — the inputs to vocabulary construction and IDF-style rarity scores.
+
+    One explode + one aggregation: ``tf`` is a plain count and ``df``
+    counts distinct doc ids, both partial-aggregated map-side before the
+    single token-keyed shuffle.  Tokens are whitespace tokens
+    (``functions.text.tokens``); at 100 TB the token key space is large
+    but uniform — no skew mitigation needed beyond AQE.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(TX.tokens(text_col)).alias("token")
+    )
+    out = ex.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct(F.col(id_col)).alias("df"),
+    )
+    if min_df > 1:
+        out = out.where(F.col("df") >= min_df)
+    return out
+
+
+def vocab_top_tokens(
+    df: DataFrame, id_col: str, text_col: str, k: int = 100
+) -> DataFrame:
+    """The ``k`` most frequent tokens with deterministic tie-break
+    (tf desc, token asc) and their ranks — top-k over the token-stats
+    aggregate, i.e. a tiny second shuffle after the big one."""
+    stats = token_stats(df, id_col, text_col)
+    return (
+        stats.orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+            )
+            .cast("long")
+            .alias("rank"),
+            "token",
+            "tf",
+            "df",
+        )
+    )
 
 
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
