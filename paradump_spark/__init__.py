@@ -23,12 +23,17 @@ Top-level orchestration: :func:`paradump_spark.dump.dump_tables` (the
 ``parasync`` entry).
 
 Beyond the reference surface: LLM-data-pipeline operators — dedup
-(:mod:`paradump_spark.operators.dedup`: exact, MinHash-LSH, SimHash,
-n-gram Jaccard, embedding near-dup), similarity search
-(:mod:`paradump_spark.operators.similarity`), text analysis
-(:mod:`paradump_spark.operators.text_analysis`), multimodal binary-column
-plumbing (:mod:`paradump_spark.operators.multimodal`), and Structured
-Streaming rollups/stateful ops/continuous sync
+(:mod:`paradump_spark.operators.dedup`: exact, MinHash-LSH incl. an
+incremental signature-store mode, SimHash, n-gram Jaccard, embedding
+near-dup), similarity search (:mod:`paradump_spark.operators.similarity`),
+text analysis (:mod:`paradump_spark.operators.text_analysis`: quality,
+language-ID, repetition signals, vocabulary tf-df), deterministic
+sampling/splits (:mod:`paradump_spark.operators.sampling`), FFD document
+packing (:mod:`paradump_spark.operators.packing`), one-pass profiling
+(:mod:`paradump_spark.operators.profile`), multimodal binary-column
+plumbing (:mod:`paradump_spark.operators.multimodal`), lake layout
+(:mod:`paradump_spark.plans.bucketing`, :mod:`paradump_spark.plans.zorder`),
+and Structured Streaming rollups/stateful ops/dedup/continuous sync
 (:mod:`paradump_spark.streaming`).
 """
 

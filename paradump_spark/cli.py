@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--table", action="append", default=[])
     s.add_argument("--exclude", action="append", default=[])
     s.add_argument("--statsfile", default=None)
+
+    pr = sub.add_parser("profile", help="one-pass per-column table profile")
+    pr.add_argument("--directory", required=True, help="source catalog directory")
+    pr.add_argument("--table", action="append", default=[], help="explicit table (repeatable)")
+    pr.add_argument("--approx", action="store_true",
+                    help="approx_count_distinct instead of exact (the 100 TB default)")
     return p
 
 
@@ -56,6 +62,9 @@ def validate(args: argparse.Namespace) -> None:
             )
         if len(args.table) != len(set(args.table)):
             raise SystemExit("duplicate --table")  # ref test 13
+    if args.command == "profile":
+        if len(args.table) != len(set(args.table)):
+            raise SystemExit("duplicate --table")
     if args.command == "sync":
         # NB: src == dst is legal — the reference's no-op sync test relies
         # on diffing identical endpoints reporting zero DML
@@ -83,6 +92,19 @@ def main(argv: list[str] | None = None) -> int:
         results = dump_tables(cat, args.output or "", args.table or None, opts)
         for r in results:
             print(f"dumped {r.table} mode={r.mode} path={r.path}")
+        return 0
+    if args.command == "profile":
+        from paradump_spark.operators.profile import profile_table
+
+        cat = ParquetCatalog(spark, args.directory)
+        for t in args.table or cat.list_tables():
+            for r in profile_table(
+                cat.load(t), exact_distinct=not args.approx
+            ).collect():
+                print(
+                    f"{t}.{r['column_name']} nulls={r['n_nulls']} "
+                    f"distinct={r['n_distinct']} min={r['min_text']} max={r['max_text']}"
+                )
         return 0
     # sync
     from paradump_spark.sync import SyncOptions

@@ -92,3 +92,17 @@ def test_cli_dump_and_sync_run(spark, sf_dir, tmp_path, capsys):
     )
     assert rc == 0
     assert stats.read_text().strip() == "region,DstWriter,NoOp,5"
+
+
+def test_cli_profile_runs_and_validates(spark, sf_dir, capsys):
+    from paradump_spark.cli import main
+
+    rc = main(["profile", "--directory", sf_dir, "--table", "nation", "--approx"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "nation.n_name" in out and "nulls=0" in out
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["profile", "--directory", sf_dir, "--table", "nation", "--table", "nation"])
