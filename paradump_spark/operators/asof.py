@@ -34,21 +34,36 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Backward-inclusive as-of join.
+    """As-of join, backward (default) or forward, optionally bounded.
+
+    ``direction="backward"``: latest right row with ts ≤ left ts (the
+    DuckDB ``ASOF JOIN`` contract); ``"forward"``: earliest right row with
+    ts ≥ left ts.  ``tolerance_seconds`` nulls out matches farther than
+    the bound from the probe (pandas ``merge_asof(tolerance=…)``) — same
+    single-shuffle plan, the bound is applied after the carry.
 
     Output: every left row + the matched right columns (renamed with
-    ``suffix`` on collisions), NULL when no right row precedes it.
+    ``suffix`` on collisions), NULL when no right row qualifies.
     The right side must be unique per (key, ts) — pre-dedup it (e.g.
     keep max id per key+ts); multiple right rows at one instant are
     ambiguous under any as-of contract (DuckDB's ASOF JOIN included).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in on]
     out_names = [
         c if c not in left.columns else f"{c}{suffix}" for c in right_cols
     ]
 
-    payload = F.struct(*[F.col(c) for c in right_cols])
+    # carry the right timestamp alongside the payload so a tolerance
+    # bound can be applied after the window carry
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c) for c in right_cols],
+    )
     l_tag = left.select(
         *[F.col(c) for c in on],
         F.col(left_ts).alias("__ts"),
@@ -70,14 +85,26 @@ def asof_join(
         payload.alias("__r"),
     )
     u = l_tag.unionByName(r_tag)
-    # right rows (probe=0) sort before a probe at the same ts -> inclusive
+    # right rows (probe=0) sort before a probe at the same ts -> inclusive;
+    # forward direction flips the ts ordering so "last preceding" becomes
+    # "nearest following"
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__probe").asc())
+        .orderBy(ts_order, F.col("__probe").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last("__r", ignorenulls=True).over(w)
     probes = u.withColumn("__carried", carried).where(F.col("__probe") == 1)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__ts").cast("double")
+            - F.col("__carried").getField("__rts").cast("double")
+        )
+        probes = probes.withColumn(
+            "__carried",
+            F.when(gap <= F.lit(float(tolerance_seconds)), F.col("__carried")),
+        )
     return probes.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         *[
