@@ -159,3 +159,60 @@ def write_parquet(
     """Lake-native sink (beyond-reference): at 100 TB this is the format
     the other operators read back."""
     df.write.mode(mode).option("compression", compression).parquet(path)
+
+
+def render_file_template(
+    template: str,
+    db_name: str,
+    table_name: str,
+    part_id: int,
+    mode: str,
+    compression: str | None = None,
+) -> str:
+    """The reference's dump-file naming template
+    (``dump_%d_%t_%p%m%z``, src/paradump/paradump.go:3207-3215):
+    ``%d`` db, ``%t`` table, ``%p`` writer/partition id, ``%m`` ``.mode``,
+    ``%z`` compression suffix, ``%%`` literal percent."""
+    ext = {"zstd": ".zst", "gzip": ".gz", "bzip2": ".bz2", "lz4": ".lz4"}.get(
+        compression or "", ""
+    )
+    out = (
+        template.replace("%d", db_name)
+        .replace("%t", table_name)
+        .replace("%p", str(part_id))
+        .replace("%m", f".{mode}")
+        .replace("%z", ext)
+    )
+    return out.replace("%%", "%")
+
+
+def rename_dump_files(
+    path: str,
+    template: str,
+    db_name: str,
+    table_name: str,
+    mode: str,
+    compression: str | None = None,
+) -> list[str]:
+    """Rename Spark's ``part-*`` output files to the reference's template.
+
+    Spark names files per write task; the reference names them per writer
+    thread (``%p``).  After the job commits, one driver-side pass maps
+    part index → ``%p`` — metadata-only renames on any FS/object store
+    with atomic rename.  Returns the new file names in part order.
+    """
+    import os
+
+    parts = sorted(
+        f
+        for f in os.listdir(path)
+        if f.startswith("part-") and not f.endswith((".crc", "_SUCCESS"))
+    )
+    renamed = []
+    for i, f in enumerate(parts):
+        new = render_file_template(
+            template, db_name, table_name, i, mode, compression
+        )
+        os.rename(os.path.join(path, f), os.path.join(path, new))
+        renamed.append(new)
+    return renamed

@@ -291,3 +291,27 @@ def test_csv_dump_round_trip_diffs_clean(spark, sf_dir, tmp_path):
         back = read_csv_dump(spark, out, src.schema)
         assert back.count() == src.count()
         assert diff_classified(src, back, pk).count() == 0
+
+
+def test_dump_file_template_rename(spark, sf_dir, tmp_path):
+    """K1 %p naming parity: part files renamed per the reference template."""
+    from paradump_spark.sinks.files import (
+        render_file_template,
+        rename_dump_files,
+        write_sql_inserts,
+    )
+
+    assert (
+        render_file_template("dump_%d_%t_%p%m%z", "db", "cust", 3, "sql", "zstd")
+        == "dump_db_cust_3.sql.zst"
+    )
+    assert render_file_template("a%%b%p", "d", "t", 0, "csv") == "a%b0"
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = str(tmp_path / "sqldump")
+    write_sql_inserts(cust, "customer", out, partitions=2)
+    names = rename_dump_files(out, "dump_%d_%t_%p%m%z", "tpch", "customer", "sql")
+    assert names == ["dump_tpch_customer_0.sql", "dump_tpch_customer_1.sql"]
+    import os
+
+    assert all(os.path.exists(os.path.join(out, n)) for n in names)
