@@ -1236,7 +1236,15 @@ WHERE NOT EXISTS (
   SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
 )""",
         # the min-id row per duplicated text is always the original document
-        "dedup_exact": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        # NB: not just SELECT * FROM documents — texts are not unique at
+        # sf>=0.1, so the oracle must express min-id-per-text itself
+        "dedup_exact": """
+WITH dup AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source, n_chars FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM dup)
+SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn = 1""",
         "minhash_lsh_candidates": _MINHASH_CAND_SQL,
         "ngram_jaccard": (
             "WITH "
