@@ -222,3 +222,17 @@ def lang_id(col: Column | str) -> Column:
         )
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def base_hash31_fast(col: Column) -> Column:
+    """xxhash64-derived 31-bit base hash — the JVM-native fast path.
+
+    ``F.xxhash64`` is one codegen'd long op per shingle vs md5's digest +
+    hex text + parse; 2-4x cheaper on shingle-heavy corpora.  NOT
+    engine-portable (no DuckDB equivalent), so the oracle-checked queries
+    stay on :func:`base_hash31`; pick this via
+    ``minhash_signatures(..., hash_fn="xxhash64")`` when cross-engine
+    reproducibility isn't required.  Same (a·x+b) mod p permutation family
+    applies on top, so only the base hash differs.
+    """
+    return F.pmod(F.xxhash64(col), F.lit(MINHASH_P))

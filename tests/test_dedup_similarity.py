@@ -232,3 +232,28 @@ def test_incremental_dedup_matches_full_run(spark, sf_dir, tmp_path):
     stored = spark.read.parquet(store)
     n_old = old.count()
     assert stored.select("doc_id").distinct().count() == n_old + len(fresh_ids)
+
+
+def test_minhash_xxhash64_fast_path_finds_exact_dups(spark, sf_dir):
+    """The xxhash64 base-hash mode must find every exact-duplicate pair
+    (identical shingles => identical signatures regardless of hash fn)."""
+    from paradump_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            doubled, "doc_id", "text", hash_fn="xxhash64"
+        ).collect()
+    }
+    ids = [r[0] for r in docs.select("doc_id").collect()]
+    missing = [(i, i + 100000) for i in ids if (i, i + 100000) not in cands]
+    assert not missing, missing[:5]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_lsh_candidates(doubled, "doc_id", "text", hash_fn="sha1")
