@@ -511,6 +511,36 @@ def _q_corr_qty_price(spark, sf_dir):
     )
 
 
+def _q_orders_by_weekday(spark, sf_dir):
+    """Weekday-name extraction parity (locale-stable English names)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format("o_orderdate", "EEEE").alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+
+
+def _q_part_color_stats(spark, sf_dir):
+    """String-split families: first word of p_name (the color) x p_type."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy(
+        F.element_at(F.split(F.col("p_name"), " "), 1).alias("color"),
+        F.col("p_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        # exact decimal sum, then one double division — order-insensitive
+        # (float avg() would be partitioning-dependent in the last bits)
+        F.round(
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_price"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
 def _q_vocab_top_tokens(spark, sf_dir):
     """Top-100 corpus vocabulary with tf/df and deterministic ranks."""
     docs = _t(spark, sf_dir, "documents")
@@ -917,6 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratios": _q_repetition_ratios,
         "doc_split_counts": _q_doc_split_counts,
         "vocab_top_tokens": _q_vocab_top_tokens,
+        "orders_by_weekday": _q_orders_by_weekday,
+        "part_color_stats": _q_part_color_stats,
         "profile_orders": _q_profile_orders,
         "segment_nation_intersect": _q_segment_nation_intersect,
         "order_price_rankstats": _q_order_price_rankstats,
@@ -1096,6 +1128,18 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
          AS corr_qty_price,
        round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
 FROM m""",
+        "orders_by_weekday": """
+SELECT dayname(CAST(o_orderdate AS TIMESTAMP)) AS weekday,
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+FROM orders GROUP BY 1""",
+        "part_color_stats": """
+SELECT split_part(p_name, ' ', 1) AS color, p_type,
+       count(*) AS n_parts,
+       round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+         AS avg_price,
+       max(p_size) AS max_size
+FROM part GROUP BY 1, 2""",
         "vocab_top_tokens": """
 WITH tok AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
