@@ -511,6 +511,13 @@ def _q_corr_qty_price(spark, sf_dir):
     )
 
 
+def _q_table_checksum(spark, sf_dir):
+    """Order-insensitive whole-table checksum (fast identity probe)."""
+    from paradump_spark.operators.checksum import table_checksum
+
+    return table_checksum(_t(spark, sf_dir, "customer"))
+
+
 def _q_orders_by_weekday(spark, sf_dir):
     """Weekday-name extraction parity (locale-stable English names)."""
     o = _t(spark, sf_dir, "orders")
@@ -947,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratios": _q_repetition_ratios,
         "doc_split_counts": _q_doc_split_counts,
         "vocab_top_tokens": _q_vocab_top_tokens,
+        "table_checksum": _q_table_checksum,
         "orders_by_weekday": _q_orders_by_weekday,
         "part_color_stats": _q_part_color_stats,
         "profile_orders": _q_profile_orders,
@@ -1128,6 +1136,16 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
          AS corr_qty_price,
        round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
 FROM m""",
+        "table_checksum": """
+SELECT count(*) AS n_rows,
+       CAST(sum(('0x' || substr(md5(concat_ws(chr(0),
+           coalesce('v' || CAST(c_custkey AS VARCHAR), 'NULL'),
+           coalesce('v' || c_name, 'NULL'),
+           coalesce('v' || CAST(c_nationkey AS VARCHAR), 'NULL'),
+           coalesce('v' || CAST(c_acctbal AS VARCHAR), 'NULL'),
+           coalesce('v' || c_mktsegment, 'NULL'))), 1, 15))::BIGINT)
+         AS DECIMAL(38,0)) AS hash_sum
+FROM customer""",
         "orders_by_weekday": """
 SELECT dayname(CAST(o_orderdate AS TIMESTAMP)) AS weekday,
        count(*) AS n_orders,

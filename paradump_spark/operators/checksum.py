@@ -1,0 +1,162 @@
+"""Chunk-level table checksums — skip identical data before diffing.
+
+The reference's parasync re-reads EVERY chunk of both tables on every run
+(src/parasync/parasync.go:3581-3603: src readers + dst readers + full
+sorted-merge compare).  At 100 TB that is the dominant cost when the
+tables are 99.9% identical.  The scale answer is a two-phase compare:
+
+1. both sides compute one order-insensitive hash per PK chunk (a sum of
+   per-row 60-bit md5 hashes — commutative, so partitioning and row order
+   don't matter, and any md5-capable engine reproduces it);
+2. only chunks whose (hash, count) differ are re-read and row-diffed
+   (:func:`paradump_spark.operators.diff.diff_classified` on the chunk
+   predicate).
+
+Phase 1 is a single scan + one tiny shuffle per side (chunk_id keyed);
+phase 2 touches only changed data.  ``row_signature`` renders cells to
+text with the ``\\0`` separator + ``NULL`` marker so (a, NULL) never
+collides with (aNULL,) — the same concern as the CSV ``\\N`` convention.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from paradump_spark.plans.split import Chunk, chunk_filter
+
+#: 60-bit per-row hashes; sums accumulate in DECIMAL(38,0) — exact up to
+#: ~10^19 rows per chunk (a long sum would overflow ~2^3 rows shy of 2^63
+#: and Spark's ANSI mode throws on overflow rather than wrapping).
+_HASH_HEX_DIGITS = 15
+
+
+def row_signature(cols: Sequence[str]) -> Column:
+    """60-bit md5 hash of the row's text image.
+
+    Engine-portable: DuckDB spelling is
+    ``('0x' || substr(md5(concat_ws(chr(0), coalesce(CAST(c AS VARCHAR),
+    'NULL'), ...)), 1, 15))::BIGINT``.  Cells are NUL-separated and NULL
+    is marked distinctly from the string 'NULL' by prefixing non-null
+    cells with ``v``.
+    """
+    parts = [
+        F.coalesce(
+            F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("NULL")
+        )
+        for c in cols
+    ]
+    img = F.concat_ws("\x00", *parts)
+    return F.conv(F.substring(F.md5(img), 1, _HASH_HEX_DIGITS), 16, 10).cast(
+        "long"
+    )
+
+
+def table_checksum(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """One (n_rows, hash_sum) row for the whole table — the O(1)-output
+    "are these tables identical" probe (commutative, engine-portable)."""
+    cols = list(cols or df.columns)
+    return df.select(row_signature(cols).alias("__sig")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("__sig").cast("decimal(38,0)")).alias("hash_sum"),
+    )
+
+
+def chunk_checksums(
+    df: DataFrame,
+    chunks: Sequence[Chunk],
+    pk: Sequence[str],
+    cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """(chunk_id, n_rows, hash_sum) per PK chunk — one scan, commutative
+    per-chunk hash aggregation (sum of row signatures)."""
+    cols = list(cols or df.columns)
+    cid = None
+    for ch in chunks:
+        cond = chunk_filter(ch, pk, df.schema)
+        cid = F.when(cond, F.lit(ch.chunk_id)) if cid is None else cid.when(
+            cond, F.lit(ch.chunk_id)
+        )
+    sig = row_signature(cols)
+    return (
+        df.select(cid.alias("chunk_id"), sig.alias("__sig"))
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("__sig").cast("decimal(38,0)")).alias("hash_sum"),
+        )
+    )
+
+
+def changed_chunks(
+    src: DataFrame,
+    dst: DataFrame,
+    chunks: Sequence[Chunk],
+    pk: Sequence[str],
+    cols: Sequence[str] | None = None,
+) -> list[Chunk]:
+    """The chunks whose (count, hash) differ between ``src`` and ``dst`` —
+    the only ones a subsequent row-level diff needs to read."""
+    s = chunk_checksums(src, chunks, pk, cols).withColumnRenamed(
+        "n_rows", "sn"
+    ).withColumnRenamed("hash_sum", "sh")
+    d = chunk_checksums(dst, chunks, pk, cols).withColumnRenamed(
+        "n_rows", "dn"
+    ).withColumnRenamed("hash_sum", "dh")
+    joined = s.join(d, on="chunk_id", how="full_outer")
+    diff_ids = _changed_ids(joined)
+    return [c for c in chunks if c.chunk_id in diff_ids]
+
+
+def _changed_ids(joined: DataFrame) -> set:
+    """chunk_ids whose (count, hash) pairs differ — NULL id included
+    (the pseudo-chunk of rows with NULL PK components)."""
+    return {
+        r["chunk_id"]
+        for r in joined.where(
+            ~(
+                F.col("sn").eqNullSafe(F.col("dn"))
+                & F.col("sh").eqNullSafe(F.col("dh"))
+            )
+        ).collect()
+    }
+
+
+def incremental_diff(
+    src: DataFrame,
+    dst: DataFrame,
+    pk: Sequence[str],
+    num_chunks: int = 32,
+    cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Two-phase diff: checksum-compare ``num_chunks`` PK chunks, then
+    row-diff ONLY the changed chunks.  Returns the same classified frame
+    as ``diff_classified`` (I/U/D rows), but reads changed data twice and
+    unchanged data once — vs twice for everything in the naive diff."""
+    from functools import reduce
+
+    from paradump_spark.operators.diff import diff_classified
+    from paradump_spark.plans.split import plan_chunks
+
+    chunks = plan_chunks(src, list(pk), num_chunks)
+    s = chunk_checksums(src, chunks, pk, cols).withColumnRenamed(
+        "n_rows", "sn"
+    ).withColumnRenamed("hash_sum", "sh")
+    d = chunk_checksums(dst, chunks, pk, cols).withColumnRenamed(
+        "n_rows", "dn"
+    ).withColumnRenamed("hash_sum", "dh")
+    dirty_ids = _changed_ids(s.join(d, on="chunk_id", how="full_outer"))
+    dirty = [c for c in chunks if c.chunk_id in dirty_ids]
+    conds = [chunk_filter(c, pk, src.schema) for c in dirty]
+    if None in dirty_ids:
+        # rows whose PK contains NULL land in the NULL pseudo-chunk —
+        # no chunk predicate covers them, so add one explicitly
+        conds.append(
+            reduce(lambda a, b: a | b, [F.col(k).isNull() for k in pk])
+        )
+    if not conds:
+        return diff_classified(src.limit(0), dst.limit(0), list(pk))
+    cond = reduce(lambda a, b: a | b, conds)
+    return diff_classified(src.where(cond), dst.where(cond), list(pk))

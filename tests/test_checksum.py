@@ -1,0 +1,79 @@
+"""Chunk checksums + two-phase incremental diff."""
+
+from pyspark.sql import functions as F
+
+from paradump_spark.operators.checksum import (
+    changed_chunks,
+    chunk_checksums,
+    incremental_diff,
+    table_checksum,
+)
+from paradump_spark.operators.diff import diff_classified
+from paradump_spark.plans.split import plan_chunks
+
+
+def _perturb(orders):
+    """Bump one narrow key range so only chunks covering it change."""
+    return orders.withColumn(
+        "o_totalprice",
+        F.when(
+            (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 120),
+            F.col("o_totalprice") + 1.0,
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+
+def test_identical_tables_have_no_changed_chunks(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    chunks = plan_chunks(orders, ["o_orderkey"], 16)
+    assert changed_chunks(orders, orders, chunks, ["o_orderkey"]) == []
+    a = table_checksum(orders).collect()[0]
+    b = table_checksum(orders).collect()[0]
+    assert (a["n_rows"], a["hash_sum"]) == (b["n_rows"], b["hash_sum"])
+
+
+def test_changed_chunks_localize_the_perturbation(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dst = _perturb(orders)
+    chunks = plan_chunks(orders, ["o_orderkey"], 16)
+    dirty = changed_chunks(orders, dst, chunks, ["o_orderkey"])
+    assert 0 < len(dirty) < len(chunks)  # found it, and localized it
+    # checksum totals per chunk must conserve rows
+    cs = chunk_checksums(orders, chunks, ["o_orderkey"])
+    assert cs.agg(F.sum("n_rows")).collect()[0][0] == orders.count()
+
+
+def test_incremental_diff_equals_full_diff(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dst = _perturb(orders).where(F.col("o_orderkey") % 97 != 3)  # + deletes
+    inc = {
+        (r["o_orderkey"], r["dmltype"])
+        for r in incremental_diff(orders, dst, ["o_orderkey"], 16).collect()
+    }
+    full = {
+        (r["o_orderkey"], r["dmltype"])
+        for r in diff_classified(orders, dst, ["o_orderkey"]).collect()
+    }
+    assert inc == full and len(full) > 0
+
+
+def test_incremental_diff_catches_null_pk_rows(spark):
+    src = spark.createDataFrame(
+        [(1, "a"), (None, "x")], "k bigint, v string"
+    )
+    dst = spark.createDataFrame(
+        [(1, "a"), (None, "CHANGED")], "k bigint, v string"
+    )
+    out = incremental_diff(src, dst, ["k"], 4).collect()
+    assert {r["dmltype"] for r in out} == {"U"} and len(out) == 1
+
+
+def test_row_signature_distinguishes_null_from_literal(spark):
+    from paradump_spark.operators.checksum import row_signature
+
+    df = spark.createDataFrame(
+        [("NULL", "b"), (None, "b"), ("a", None), ("aNULL", None)],
+        "x string, y string",
+    )
+    sigs = [r[0] for r in df.select(row_signature(["x", "y"])).collect()]
+    assert len(set(sigs)) == 4  # no collisions across NULL-marker shapes
