@@ -130,11 +130,16 @@ def incremental_diff(
     pk: Sequence[str],
     num_chunks: int = 32,
     cols: Sequence[str] | None = None,
+    keep_noops: bool = False,
 ) -> DataFrame:
     """Two-phase diff: checksum-compare ``num_chunks`` PK chunks, then
     row-diff ONLY the changed chunks.  Returns the same classified frame
     as ``diff_classified`` (I/U/D rows), but reads changed data twice and
-    unchanged data once — vs twice for everything in the naive diff."""
+    unchanged data once — vs twice for everything in the naive diff.
+
+    ``keep_noops=True`` keeps NoOp rows of the CHANGED chunks only —
+    clean chunks are never row-read, which is the point; their rows are
+    all NoOps by construction (matching checksums + counts)."""
     from functools import reduce
 
     from paradump_spark.operators.diff import diff_classified
@@ -157,6 +162,10 @@ def incremental_diff(
             reduce(lambda a, b: a | b, [F.col(k).isNull() for k in pk])
         )
     if not conds:
-        return diff_classified(src.limit(0), dst.limit(0), list(pk))
+        return diff_classified(
+            src.limit(0), dst.limit(0), list(pk), keep_noops=keep_noops
+        )
     cond = reduce(lambda a, b: a | b, conds)
-    return diff_classified(src.where(cond), dst.where(cond), list(pk))
+    return diff_classified(
+        src.where(cond), dst.where(cond), list(pk), keep_noops=keep_noops
+    )

@@ -27,6 +27,11 @@ class SyncOptions:
     apply: ApplyOptions = field(default_factory=ApplyOptions)
     excludes: list[str] = field(default_factory=list)
     keep_noops_in_stats: bool = True  # ref stats monitor counts NoOps
+    # two-phase mode: checksum-compare this many PK chunks per table and
+    # row-diff only the changed ones (operators.checksum.incremental_diff);
+    # None = classic full diff.  NB: NoOp counts then cover changed chunks
+    # only — clean chunks are proven identical by checksum, not row-read.
+    incremental_chunks: int | None = None
 
 
 @dataclass
@@ -59,9 +64,20 @@ def sync_tables(
         pk = pks.get(name)
         if not pk:
             continue  # ref: tables without a usable PK are skipped (err bit 1)
-        classified = diff_classified(
-            src.load(name), dst.load(name), pk, keep_noops=options.keep_noops_in_stats
-        )
+        if options.incremental_chunks:
+            from paradump_spark.operators.checksum import incremental_diff
+
+            classified = incremental_diff(
+                src.load(name),
+                dst.load(name),
+                pk,
+                num_chunks=options.incremental_chunks,
+                keep_noops=options.keep_noops_in_stats,
+            )
+        else:
+            classified = diff_classified(
+                src.load(name), dst.load(name), pk, keep_noops=options.keep_noops_in_stats
+            )
         out.append(TableSync(name, classified, diff_stats(classified, name)))
     return out
 

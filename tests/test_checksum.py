@@ -77,3 +77,31 @@ def test_row_signature_distinguishes_null_from_literal(spark):
     )
     sigs = [r[0] for r in df.select(row_signature(["x", "y"])).collect()]
     assert len(set(sigs)) == 4  # no collisions across NULL-marker shapes
+
+
+def test_sync_incremental_mode_matches_full(spark, sf_dir, tmp_path):
+    """sync_tables(incremental_chunks=N) reports the same I/U/D counts as
+    the classic full-diff path."""
+    from paradump_spark.catalog import ParquetCatalog
+    from paradump_spark.sync import SyncOptions, sync_report, sync_tables
+
+    src = ParquetCatalog(spark, sf_dir)
+    # build a perturbed destination catalog on disk
+    dstdir = str(tmp_path / "dst")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    _perturb(orders).where(F.col("o_orderkey") % 101 != 7).write.parquet(
+        f"{dstdir}/orders.parquet"
+    )
+    dst = ParquetCatalog(spark, dstdir)
+
+    def counts(opts):
+        syncs = sync_tables(src, dst, tables=["orders"], options=opts)
+        return {
+            (r["action"]): r["cnt"]
+            for r in sync_report(syncs).collect()
+            if r["action"] in ("Insert", "Update", "Delete")
+        }
+
+    full = counts(SyncOptions(keep_noops_in_stats=False))
+    inc = counts(SyncOptions(keep_noops_in_stats=False, incremental_chunks=16))
+    assert inc == full and sum(full.values()) > 0
