@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--table", action="append", default=[])
     s.add_argument("--exclude", action="append", default=[])
     s.add_argument("--statsfile", default=None)
+    s.add_argument("--incremental-chunks", type=int, default=None,
+                   help="two-phase mode: checksum N PK chunks, row-diff only changed ones")
 
     pr = sub.add_parser("profile", help="one-pass per-column table profile")
     pr.add_argument("--directory", required=True, help="source catalog directory")
@@ -70,6 +72,8 @@ def validate(args: argparse.Namespace) -> None:
         # on diffing identical endpoints reporting zero DML
         if len(args.table) != len(set(args.table)):
             raise SystemExit("duplicate --table")
+        if args.incremental_chunks is not None and args.incremental_chunks < 2:
+            raise SystemExit("--incremental-chunks must be >= 2")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -112,7 +116,12 @@ def main(argv: list[str] | None = None) -> int:
     src = ParquetCatalog(spark, args.src)
     dst = ParquetCatalog(spark, args.dst)
     syncs = sync_tables(
-        src, dst, args.table or None, options=SyncOptions(excludes=args.exclude)
+        src,
+        dst,
+        args.table or None,
+        options=SyncOptions(
+            excludes=args.exclude, incremental_chunks=args.incremental_chunks
+        ),
     )
     report = sync_report(syncs)
     rows = report.collect()

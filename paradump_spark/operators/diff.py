@@ -173,3 +173,27 @@ def diff_stats(classified: DataFrame, table_name: str = "table") -> DataFrame:
         .groupBy("table", "phase", "action")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def schema_drift(src: DataFrame, dst: DataFrame) -> dict:
+    """Schema comparison before a diff/sync — the Spark restatement of the
+    reference's destination DDL check (CheckTableOnDestination,
+    src/paradump/paradump.go:1419-1454, which DeepEquals columnInfos and
+    refuses mismatched tables).
+
+    Returns ``{"only_src": [...], "only_dst": [...], "type_mismatch":
+    [(col, src_type, dst_type)...], "common": [...]}``.  ``common`` (minus
+    mismatches) is the payload to pass to :func:`diff_classified` when
+    syncing across a lagging migration — compare what both sides have,
+    surface the drift instead of flooding UPDATEs or failing."""
+    st = {f.name: f.dataType for f in src.schema.fields}
+    dt = {f.name: f.dataType for f in dst.schema.fields}
+    common = [c for c in st if c in dt]
+    return {
+        "only_src": [c for c in st if c not in dt],
+        "only_dst": [c for c in dt if c not in st],
+        "type_mismatch": [
+            (c, str(st[c]), str(dt[c])) for c in common if st[c] != dt[c]
+        ],
+        "common": [c for c in common if st[c] == dt[c]],
+    }

@@ -80,3 +80,26 @@ def test_keep_noops_and_stats(spark, sf_dir):
     cl = diff_classified(cust, cust, ["c_custkey"], keep_noops=True)
     stats = {r["action"]: r["cnt"] for r in diff_stats(cl, "c").collect()}
     assert stats == {"NoOp": cust.count()}
+
+
+def test_schema_drift_and_common_payload_diff(spark, sf_dir):
+    """Drift report + diffing only the common columns across a migration."""
+    from paradump_spark.operators.diff import diff_classified, schema_drift
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    migrated = cust.drop("c_mktsegment").withColumn(
+        "c_tier", (F.col("c_custkey") % 3).cast("int")
+    )
+    drift = schema_drift(cust, migrated)
+    assert drift["only_src"] == ["c_mktsegment"]
+    assert drift["only_dst"] == ["c_tier"]
+    assert drift["type_mismatch"] == []
+    assert "c_acctbal" in drift["common"]
+
+    payload = [c for c in drift["common"] if c != "c_custkey"]
+    d = diff_classified(
+        cust.select("c_custkey", *payload),
+        migrated.select("c_custkey", *payload),
+        ["c_custkey"],
+    )
+    assert d.count() == 0  # identical on the shared columns
