@@ -511,6 +511,36 @@ def _q_corr_qty_price(spark, sf_dir):
     )
 
 
+def _q_cumulative_revenue_range(spark, sf_dir):
+    """RANGE-frame cumulative sum: same-date orders share the cumulative
+    value (peer rows), unlike a ROWS frame — the tie-semantics case."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .alias("cum_revenue"),
+    )
+
+
+def _q_regexp_extract_ids(spark, sf_dir):
+    """Regex capture-group extraction parity: numeric id out of c_name,
+    plus a consistency flag against the real key."""
+    c = _t(spark, sf_dir, "customer")
+    extracted = F.regexp_extract(F.col("c_name"), "([0-9]+)$", 1).cast("long")
+    return c.select(
+        "c_custkey",
+        extracted.alias("name_id"),
+        (extracted == F.col("c_custkey")).alias("consistent"),
+    )
+
+
 def _q_table_checksum(spark, sf_dir):
     """Order-insensitive whole-table checksum (fast identity probe)."""
     from paradump_spark.operators.checksum import table_checksum
@@ -954,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratios": _q_repetition_ratios,
         "doc_split_counts": _q_doc_split_counts,
         "vocab_top_tokens": _q_vocab_top_tokens,
+        "cumulative_revenue_range": _q_cumulative_revenue_range,
+        "regexp_extract_ids": _q_regexp_extract_ids,
         "table_checksum": _q_table_checksum,
         "orders_by_weekday": _q_orders_by_weekday,
         "part_color_stats": _q_part_color_stats,
@@ -1136,6 +1168,17 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
          AS corr_qty_price,
        round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
 FROM m""",
+        "cumulative_revenue_range": """
+SELECT o_custkey, o_orderkey,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue
+FROM orders""",
+        "regexp_extract_ids": """
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_id,
+       CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) = c_custkey AS consistent
+FROM customer""",
         "table_checksum": """
 SELECT count(*) AS n_rows,
        CAST(sum(('0x' || substr(md5(concat_ws(chr(0),

@@ -95,3 +95,56 @@ def dump_tables(
         rows = df.count() if options.count_rows else None
         results.append(DumpResult(name, options.mode, path, rows))
     return results
+
+
+def write_manifest(
+    catalog: ParquetCatalog,
+    out_dir: str,
+    results: list[DumpResult],
+) -> str:
+    """Write ``_manifest.json`` next to a dump: per-table row count and
+    order-insensitive content checksum (operators.checksum.table_checksum)
+    computed from the SOURCE tables at dump time.
+
+    A later :func:`verify_dump` (or any md5-capable engine) recomputes the
+    same numbers from the restored data — end-to-end dump/restore
+    verification without row-by-row comparison.  One extra scan per table;
+    skip it when the dump itself is the verification (noop mode).
+    """
+    import json
+    import os
+
+    from paradump_spark.operators.checksum import table_checksum
+
+    entries = {}
+    for r in results:
+        row = table_checksum(catalog.load(r.table)).collect()[0]
+        entries[r.table] = {
+            "mode": r.mode,
+            "path": r.path,
+            "n_rows": int(row["n_rows"]),
+            "hash_sum": str(row["hash_sum"]),
+        }
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    with open(manifest_path, "w") as fh:
+        json.dump(entries, fh, indent=2, sort_keys=True)
+    return manifest_path
+
+
+def verify_dump(catalog: ParquetCatalog, manifest_path: str) -> dict[str, bool]:
+    """Recompute each manifest entry's (n_rows, hash_sum) against the
+    tables visible in ``catalog`` (e.g. a restored copy); True = match."""
+    import json
+
+    from paradump_spark.operators.checksum import table_checksum
+
+    with open(manifest_path) as fh:
+        entries = json.load(fh)
+    out = {}
+    for table, meta in entries.items():
+        row = table_checksum(catalog.load(table)).collect()[0]
+        out[table] = (
+            int(row["n_rows"]) == meta["n_rows"]
+            and str(row["hash_sum"]) == meta["hash_sum"]
+        )
+    return out

@@ -191,3 +191,38 @@ def resize_stub(
             )
 
     return binary_df.mapInPandas(batches, out_schema)
+
+
+def read_media_dir(
+    spark,
+    path: str,
+    media_type: str = "image",
+    glob: str | None = None,
+) -> DataFrame:
+    """Real multimodal ingest: ``binaryFile`` source over a directory →
+    the same (doc_id, payload, media_meta) shape :func:`extract_features`
+    / :func:`sample_frames` consume.
+
+    ``binaryFile`` streams each file's bytes as one row (path, length,
+    modificationTime, content) — distributed, no driver involvement;
+    ``doc_id`` is the path's 60-bit md5 (stable across re-ingests).
+    Dimension/duration metadata stays NULL until a real decoder fills it.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("path"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(None).cast("string").alias("codec"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("media_meta"),
+    )

@@ -257,3 +257,22 @@ def test_minhash_xxhash64_fast_path_finds_exact_dups(spark, sf_dir):
 
     with pytest.raises(ValueError):
         minhash_lsh_candidates(doubled, "doc_id", "text", hash_fn="sha1")
+
+
+def test_read_media_dir_binary_file_source(spark, tmp_path):
+    from paradump_spark.operators import multimodal as MM
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.img").write_bytes(b"\x89fakepng" * 10)
+    (d / "b.img").write_bytes(b"\x00\x01\x02")
+    (d / "skip.txt").write_text("not media")
+
+    media = MM.read_media_dir(spark, str(d), media_type="image", glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert bytes(rows["b.img"]["payload"]) == b"\x00\x01\x02"
+    assert rows["a.img"]["media_meta"]["media_type"] == "image"
+    # plumbing composes with the feature extractor downstream
+    feats = MM.extract_features(media).collect()
+    assert {f["n_bytes"] for f in feats} == {80, 3}

@@ -124,3 +124,35 @@ def test_guess_primary_key_promotes_best_index():
 def test_guess_primary_key_no_usable_index():
     rows = [("idx_nullable", 1, "col_n", 99999, "YES")]
     assert guess_primary_key(lambda sql: rows, "db", "t") == []
+
+
+def test_dump_manifest_round_trip_verifies(spark, sf_dir, tmp_path):
+    """Manifest written at dump time verifies a faithful restore and
+    flags a corrupted one."""
+    from paradump_spark.catalog import ParquetCatalog
+    from paradump_spark.dump import (
+        DumpOptions,
+        DumpResult,
+        dump_tables,
+        verify_dump,
+        write_manifest,
+    )
+
+    cat = ParquetCatalog(spark, sf_dir)
+    out = str(tmp_path / "dump")
+    results = dump_tables(cat, out, ["nation", "region"], DumpOptions(mode="csv"))
+    mpath = write_manifest(cat, out, results)
+
+    ok = verify_dump(cat, mpath)  # source verifies against itself
+    assert ok == {"nation": True, "region": True}
+
+    # corrupted restore: nation with a mutated row
+    baddir = str(tmp_path / "restored")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").withColumn(
+        "n_regionkey", F.col("n_regionkey") + 1
+    ).write.parquet(f"{baddir}/nation.parquet")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(
+        f"{baddir}/region.parquet"
+    )
+    bad = verify_dump(ParquetCatalog(spark, baddir), mpath)
+    assert bad == {"nation": False, "region": True}
