@@ -22,7 +22,7 @@ twice and explodes on wide time ranges.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -97,9 +97,20 @@ def asof_join(
     carried = F.last("__r", ignorenulls=True).over(w)
     probes = u.withColumn("__carried", carried).where(F.col("__probe") == 1)
     if tolerance_seconds is not None:
+        # DATE doesn't cast to double; route temporals through epoch forms
+        lts_type = left.schema[left_ts].dataType
+
+        def _secs(c: Column) -> Column:
+            import pyspark.sql.types as T
+
+            if isinstance(lts_type, T.DateType):
+                return (F.unix_date(c) * 86400).cast("double")
+            if isinstance(lts_type, (T.TimestampType, T.TimestampNTZType)):
+                return F.unix_micros(c.cast("timestamp")).cast("double") / 1e6
+            return c.cast("double")
+
         gap = F.abs(
-            F.col("__ts").cast("double")
-            - F.col("__carried").getField("__rts").cast("double")
+            _secs(F.col("__ts")) - _secs(F.col("__carried").getField("__rts"))
         )
         probes = probes.withColumn(
             "__carried",

@@ -403,6 +403,9 @@ def write_signature_store(
     is indexed ONCE; each new shard only computes its own signatures and
     joins against the store — never re-shingling old data.
     """
+    import json
+    import os
+
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, shingle_size, num_hashes)
     banded = sigs.select(
@@ -412,6 +415,17 @@ def write_signature_store(
         ),
     )
     banded.write.mode(mode).partitionBy("band_idx").parquet(path)
+    # record the hash parameters: a probe with different params would
+    # produce incomparable band hashes and silently match nothing
+    with open(os.path.join(path, "_sig_params.json"), "w") as fh:
+        json.dump(
+            {
+                "shingle_size": shingle_size,
+                "num_hashes": num_hashes,
+                "bands": bands,
+            },
+            fh,
+        )
 
 
 def incremental_dedup(
@@ -436,8 +450,28 @@ def incremental_dedup(
     Plan shape: signatures for the NEW shard only (small), one join
     against the store on (band_idx, band_hash) — band partitioning prunes
     the store scan; the store side streams, only the new side's buckets
-    are built.
+    are built.  Duplicates WITHIN the shard are also caught (banded
+    self-join, earlier id wins) so two new copies of one document never
+    both enter the store.  Probing with hash parameters different from
+    the store's raises (the band hashes would be incomparable).
     """
+    import json
+    import os
+
+    params_file = os.path.join(store_path, "_sig_params.json")
+    if os.path.exists(params_file):
+        with open(params_file) as fh:
+            stored = json.load(fh)
+        mine = {
+            "shingle_size": shingle_size,
+            "num_hashes": num_hashes,
+            "bands": bands,
+        }
+        if stored != mine:
+            raise ValueError(
+                f"signature store {store_path} was built with {stored}; "
+                f"probe uses {mine} — band hashes would be incomparable"
+            )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         new_docs, id_col, text_col, shingle_size, num_hashes
@@ -460,11 +494,22 @@ def incremental_dedup(
             if files
             else store_now
         )
-        matches = (
-            banded.join(store, on=["band_idx", "band_hash"])
-            .select("new_id", F.col("doc_id").alias("existing_id"))
-            .distinct()
+        hist = banded.join(store, on=["band_idx", "band_hash"]).select(
+            "new_id", F.col("doc_id").alias("existing_id")
         )
+        # intra-shard duplicates: banded self-join, the EARLIER id plays
+        # the "existing" role so exactly one copy of a new dup cluster
+        # survives into fresh/store
+        a, b = banded.alias("a"), banded.alias("b")
+        intra = a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.new_id") > F.col("b.new_id"),
+            ],
+        ).select(F.col("a.new_id").alias("new_id"), F.col("b.new_id").alias("existing_id"))
+        matches = hist.unionByName(intra).distinct()
         matched_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
         fresh = new_docs.join(matched_ids, on=id_col, how="left_anti")
         if append_fresh:

@@ -44,9 +44,20 @@ def profile_table(
             F.max(col).cast("string").alias(f"__mx_{c}"),
         ]
     wide = df.agg(*aggs)
-    # unpivot via stack: 5 expressions per column, all plan-time constants
+
+    # unpivot via stack: 5 expressions per column, all plan-time constants.
+    # Escape quotes/backticks — column names are data here, and the CLI
+    # profiles arbitrary tables
+    def lit_str(c: str) -> str:
+        return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def ident(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
     stack_args = ", ".join(
-        f"'{c}', `__nn_{c}`, `__nd_{c}`, `__mn_{c}`, `__mx_{c}`" for c in cols
+        f"{lit_str(c)}, {ident(f'__nn_{c}')}, {ident(f'__nd_{c}')}, "
+        f"{ident(f'__mn_{c}')}, {ident(f'__mx_{c}')}"
+        for c in cols
     )
     return wide.select(
         F.expr(

@@ -173,17 +173,22 @@ def render_file_template(
     (``dump_%d_%t_%p%m%z``, src/paradump/paradump.go:3207-3215):
     ``%d`` db, ``%t`` table, ``%p`` writer/partition id, ``%m`` ``.mode``,
     ``%z`` compression suffix, ``%%`` literal percent."""
+    import re
+
     ext = {"zstd": ".zst", "gzip": ".gz", "bzip2": ".bz2", "lz4": ".lz4"}.get(
         compression or "", ""
     )
-    out = (
-        template.replace("%d", db_name)
-        .replace("%t", table_name)
-        .replace("%p", str(part_id))
-        .replace("%m", f".{mode}")
-        .replace("%z", ext)
-    )
-    return out.replace("%%", "%")
+    subst = {
+        "%": "%",
+        "d": db_name,
+        "t": table_name,
+        "p": str(part_id),
+        "m": f".{mode}",
+        "z": ext,
+    }
+    # single pass: %% never re-matches, and directive-like substrings in
+    # substituted VALUES (a db named "a%tb") are never re-expanded
+    return re.sub(r"%(%|d|t|p|m|z)", lambda m: subst[m.group(1)], template)
 
 
 def rename_dump_files(
@@ -208,11 +213,17 @@ def rename_dump_files(
         for f in os.listdir(path)
         if f.startswith("part-") and not f.endswith((".crc", "_SUCCESS"))
     )
-    renamed = []
-    for i, f in enumerate(parts):
-        new = render_file_template(
-            template, db_name, table_name, i, mode, compression
+    renamed = [
+        render_file_template(template, db_name, table_name, i, mode, compression)
+        for i in range(len(parts))
+    ]
+    if len(set(renamed)) != len(renamed):
+        # a template without %p renders every part to the same name; the
+        # renames would silently overwrite each other — refuse instead
+        raise ValueError(
+            f"template {template!r} renders non-unique names for "
+            f"{len(parts)} parts (missing %p?)"
         )
+    for f, new in zip(parts, renamed):
         os.rename(os.path.join(path, f), os.path.join(path, new))
-        renamed.append(new)
     return renamed

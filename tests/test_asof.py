@@ -133,3 +133,22 @@ def test_asof_forward_matches_bruteforce_on_events(spark, sf_dir):
     for pid, cid in exp.items():
         assert got[pid] == cid, pid
     assert all(got[p] is None for p in got.keys() - exp.keys())
+
+
+def test_asof_tolerance_on_date_columns(spark):
+    """Regression: DATE-typed as-of columns must work with tolerance."""
+    left = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 10), "p1"), (1, datetime.date(2024, 3, 1), "p2")],
+        "k bigint, ld date, lname string",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 8), 5.0)], "k bigint, rd date, rv double"
+    )
+    out = {
+        r["lname"]: r["rv"]
+        for r in asof_join(
+            left, right, ["k"], "ld", "rd", ["rv"],
+            tolerance_seconds=7 * 86400,
+        ).collect()
+    }
+    assert out == {"p1": 5.0, "p2": None}  # 2 days in, 53 days out

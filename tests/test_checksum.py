@@ -105,3 +105,37 @@ def test_sync_incremental_mode_matches_full(spark, sf_dir, tmp_path):
     full = counts(SyncOptions(keep_noops_in_stats=False))
     inc = counts(SyncOptions(keep_noops_in_stats=False, incremental_chunks=16))
     assert inc == full and sum(full.values()) > 0
+
+
+def test_identical_null_pk_rows_are_not_dirty(spark):
+    """Regression: the NULL-PK pseudo-chunk must checksum-MATCH across
+    sides (sentinel join key), not be re-diffed on every run."""
+    df = spark.createDataFrame([(1, "a"), (None, "x")], "k bigint, v string")
+    assert incremental_diff(df, df, ["k"], 4).count() == 0
+
+
+def test_binary_tree_chunk_assignment_equals_linear(spark, sf_dir):
+    """The O(log n) search tree assigns every row the same chunk as the
+    linear predicate chain."""
+    from paradump_spark.operators.checksum import _chunk_id_expr, _is_contiguous
+    from paradump_spark.plans.split import chunk_filter
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pk = ["l_orderkey", "l_linenumber"]
+    chunks = plan_chunks(li, pk, 16)
+    assert _is_contiguous(chunks)
+
+    tree = _chunk_id_expr(chunks, pk, li.schema)
+    cid = None
+    for ch in chunks:
+        cond = chunk_filter(ch, pk, li.schema)
+        cid = F.when(cond, F.lit(ch.chunk_id)) if cid is None else cid.when(
+            cond, F.lit(ch.chunk_id)
+        )
+    linear = F.coalesce(cid, F.lit(-1))
+    mismatches = (
+        li.select(tree.alias("t"), linear.alias("l"))
+        .where(F.col("t") != F.col("l"))
+        .count()
+    )
+    assert mismatches == 0

@@ -214,17 +214,19 @@ def test_incremental_dedup_matches_full_run(spark, sf_dir, tmp_path):
     got = {(r["new_id"], r["existing_id"]) for r in matches.collect()}
 
     full = minhash_lsh_candidates(docs, "doc_id", "text")
-    cross = set()
+    cross, intra = set(), set()
     for r in full.collect():
         a, b = r["id_a"], r["id_b"]
-        if a % 2 != b % 2:  # one in each half
+        if a % 2 != b % 2:  # one in each half: history match
             new_id, old_id = (a, b) if a % 2 == 1 else (b, a)
             cross.add((new_id, old_id))
-    assert got == cross and len(cross) > 0
+        elif a % 2 == 1:  # both in the shard: intra match, earlier id wins
+            intra.add((b, a))
+    assert got == cross | intra and len(cross) > 0
 
     fresh_ids = {r["doc_id"] for r in fresh.select("doc_id").collect()}
     assert fresh_ids == {r[0] for r in new.select("doc_id").collect()} - {
-        n for n, _ in cross
+        n for n, _ in (cross | intra)
     }
     # snapshot pinning: matches/fresh re-evaluated AFTER the append (the
     # collects above ran post-append) did not self-match — implied by the
@@ -276,3 +278,39 @@ def test_read_media_dir_binary_file_source(spark, tmp_path):
     # plumbing composes with the feature extractor downstream
     feats = MM.extract_features(media).collect()
     assert {f["n_bytes"] for f in feats} == {80, 3}
+
+
+def test_incremental_dedup_catches_intra_shard_dups_and_param_mismatch(
+    spark, sf_dir, tmp_path
+):
+    from paradump_spark.operators.dedup import incremental_dedup, write_signature_store
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") < 100)
+    store = str(tmp_path / "store2")
+    write_signature_store(old, store, "doc_id", "text")
+
+    # shard: two copies of one brand-new text + one genuinely new text
+    shard = spark.createDataFrame(
+        [
+            (9001, "zq xv qp zq xv qp zq xv"),
+            (9002, "zq xv qp zq xv qp zq xv"),  # intra-shard dup of 9001
+            (9003, "completely different words entirely here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    fresh, matches = incremental_dedup(
+        spark, store, shard, "doc_id", "text", append_fresh=True
+    )
+    fresh_ids = {r["doc_id"] for r in fresh.collect()}
+    got = {(r["new_id"], r["existing_id"]) for r in matches.collect()}
+    assert (9002, 9001) in got  # earlier id wins
+    assert 9001 in fresh_ids and 9002 not in fresh_ids
+    # only ONE copy of the dup cluster entered the store
+    stored = {r[0] for r in spark.read.parquet(store).select("doc_id").distinct().collect()}
+    assert 9001 in stored and 9002 not in stored
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        incremental_dedup(spark, store, shard, "doc_id", "text", bands=6)

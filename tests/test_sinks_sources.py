@@ -315,3 +315,20 @@ def test_dump_file_template_rename(spark, sf_dir, tmp_path):
     import os
 
     assert all(os.path.exists(os.path.join(out, n)) for n in names)
+
+
+def test_file_template_escaping_and_collision_guard(spark, sf_dir, tmp_path):
+    from paradump_spark.sinks.files import render_file_template, rename_dump_files, write_csv
+
+    # %% is a literal percent and never re-expands; values with directive-
+    # like substrings don't cascade
+    assert render_file_template("x%%py", "d", "t", 3, "sql") == "x%py"
+    assert render_file_template("%d_%t", "a%tb", "T", 0, "csv") == "a%tb_T"
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = str(tmp_path / "c")
+    write_csv(cust.repartition(2), out)
+    import pytest
+
+    with pytest.raises(ValueError):
+        rename_dump_files(out, "dump_%d_%t%m", "db", "cust", "csv")  # no %p
