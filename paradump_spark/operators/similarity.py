@@ -249,3 +249,42 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ann_recall(
+    approx: DataFrame, exact: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one.
+
+    Both inputs are (query_id, neighbor_id[, rank, ...]) frames (the shape
+    :func:`brute_force_topk` / :func:`ivf_topk` return).  Output: one row
+    (n_queries, mean_recall).  The standard ANN quality gate — run it on a
+    sample before trusting an IVF/LSH configuration at full scale.
+    """
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    if k is not None and "rank" in approx.columns:
+        a = approx.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    if k is not None and "rank" in exact.columns:
+        e = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = e.join(a, on=["query_id", "neighbor_id"], how="left_semi")
+    per_q = (
+        e.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            on="query_id",
+            how="left",
+        )
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+    )

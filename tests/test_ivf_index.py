@@ -32,3 +32,26 @@ def test_ivf_index_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     # and self must still be its own rank-1 neighbor
     r1 = {r["query_id"]: r["neighbor_id"] for r in out2.collect() if r["rank"] == 1}
     assert r1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_ann_recall_is_one_at_full_probe_and_detects_loss(spark, sf_dir, tmp_path):
+    from paradump_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+
+    path = str(tmp_path / "ivf")
+    ivf_build_index(emb, path, "vec_id", "embedding", num_cells=8)
+    full = ivf_query_index(spark, path, queries, "vec_id", "embedding", k=5, nprobe=8)
+    r = ann_recall(full, exact).collect()[0]
+    assert r["n_queries"] == 20 and r["mean_recall"] == 1.0
+
+    narrow = ivf_query_index(spark, path, queries, "vec_id", "embedding", k=5, nprobe=1)
+    r1 = ann_recall(narrow, exact).collect()[0]
+    assert 0.0 < r1["mean_recall"] <= 1.0
