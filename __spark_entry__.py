@@ -511,6 +511,51 @@ def _q_corr_qty_price(spark, sf_dir):
     )
 
 
+def _q_union_segments(spark, sf_dir):
+    """UNION (distinct) completes the set-op family (∪, ∩, −, anti)."""
+    c = _t(spark, sf_dir, "customer")
+    b = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    a = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return b.union(a).distinct()
+
+
+def _q_grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS ((status), (priority)) — two independent
+    rollups in ONE scan via Expand, vs two scans for two groupBys."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def _q_lateral_top_order(spark, sf_dir):
+    """LATERAL correlated subquery: each customer's single most expensive
+    order — Catalyst decorrelates to a ranked join, no per-row execution."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("v_customer")
+    o.createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM v_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) t
+        """
+    )
+
+
 def _q_cumulative_revenue_range(spark, sf_dir):
     """RANGE-frame cumulative sum: same-date orders share the cumulative
     value (peer rows), unlike a ROWS frame — the tie-semantics case."""
@@ -984,6 +1029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratios": _q_repetition_ratios,
         "doc_split_counts": _q_doc_split_counts,
         "vocab_top_tokens": _q_vocab_top_tokens,
+        "union_segments": _q_union_segments,
+        "grouping_sets_orders": _q_grouping_sets_orders,
+        "lateral_top_order": _q_lateral_top_order,
         "cumulative_revenue_range": _q_cumulative_revenue_range,
         "regexp_extract_ids": _q_regexp_extract_ids,
         "table_checksum": _q_table_checksum,
@@ -1168,6 +1216,23 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
          AS corr_qty_price,
        round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
 FROM m""",
+        "union_segments": """
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""",
+        "grouping_sets_orders": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+        "lateral_top_order": """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+) t""",
         "cumulative_revenue_range": """
 SELECT o_custkey, o_orderkey,
        sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
