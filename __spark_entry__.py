@@ -511,6 +511,42 @@ def _q_corr_qty_price(spark, sf_dir):
     )
 
 
+def _q_order_age_buckets(spark, sf_dir):
+    """Temporal arithmetic: age in days vs a fixed as-of date, bucketed
+    by quarter-year — datediff/date_trunc family parity."""
+    o = _t(spark, sf_dir, "orders")
+    asof = F.lit("1998-12-01").cast("date")
+    age = F.datediff(asof, F.to_date("o_orderdate"))
+    return o.groupBy(
+        (F.floor(age / 91)).cast("long").alias("age_quarters")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.to_date("o_orderdate")).alias("oldest"),
+        F.max(F.to_date("o_orderdate")).alias("newest"),
+    )
+
+
+def _q_session_window_stats(spark, sf_dir):
+    """Spark's BUILT-IN session_window (merge-on-overlap gap sessions),
+    verified against the explicit lag/cumsum construction the custom
+    operators use — the two formulations must agree.  NB: session_window
+    starts a NEW session when the gap is >= the duration (strict overlap
+    merge), so the oracle compares with >=, not >."""
+    ev = _events(spark, sf_dir)
+    g = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"),
+          F.max("ts").alias("last_ts"))
+    return g.select(
+        "user_id",
+        "session_start",
+        "n_events",
+        (
+            (F.unix_micros("last_ts") - F.unix_micros("session_start")) / 1000000
+        ).cast("long").alias("span_seconds"),
+    )
+
+
 def _q_union_segments(spark, sf_dir):
     """UNION (distinct) completes the set-op family (∪, ∩, −, anti)."""
     c = _t(spark, sf_dir, "customer")
@@ -1029,6 +1065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratios": _q_repetition_ratios,
         "doc_split_counts": _q_doc_split_counts,
         "vocab_top_tokens": _q_vocab_top_tokens,
+        "order_age_buckets": _q_order_age_buckets,
+        "session_window_stats": _q_session_window_stats,
         "union_segments": _q_union_segments,
         "grouping_sets_orders": _q_grouping_sets_orders,
         "lateral_top_order": _q_lateral_top_order,
@@ -1216,6 +1254,30 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
          AS corr_qty_price,
        round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty
 FROM m""",
+        "order_age_buckets": """
+SELECT CAST(floor(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') / 91) AS BIGINT)
+         AS age_quarters,
+       count(*) AS n_orders,
+       min(CAST(o_orderdate AS DATE)) AS oldest,
+       max(CAST(o_orderdate AS DATE)) AS newest
+FROM orders GROUP BY 1""",
+        "session_window_stats": """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS st
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_seconds
+FROM s2 GROUP BY user_id, sid""",
         "union_segments": """
 SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
 UNION
