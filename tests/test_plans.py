@@ -100,3 +100,19 @@ def test_split_column_fuses_into_scan(spark, sf_dir):
     p = _plan(E._q_doc_split_counts(spark, sf_dir))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "ReadSchema: struct<doc_id" in p  # only the id column is read
+
+
+def test_every_contract_query_plan_is_sane(spark, sf_dir):
+    """Blanket regression over ALL contract queries: no cartesian
+    products, no row-at-a-time Python eval anywhere (Arrow-batched
+    MapInPandas is the sanctioned Python path)."""
+    for name, fn in E.queries().items():
+        df = fn(spark, sf_dir)
+        p = _plan(df)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+
+
+def test_entry_flagship_runs(spark):
+    out = E.entry(spark)
+    assert out.count() >= 0 and len(out.columns) > 0
