@@ -114,3 +114,46 @@ def file_overlap_count(
         .distinct()
         .count()
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_mb: int = 512,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    size-targeted files (optionally re-sorted for min/max locality).
+
+    The small-files problem is the standard decay mode of any
+    incrementally-appended lake table (e.g. the signature store's
+    per-shard appends, streaming sinks): thousands of tiny files mean
+    thousands of tasks and dead parquet metadata overhead.  This is the
+    maintenance pass — read, repartition to ceil(bytes/target), rewrite,
+    atomic swap.  Returns the new file count.
+
+    Local-FS swap via rename; on an object store run the same logic with
+    a versioned directory + pointer flip (or a table format's OPTIMIZE).
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compacting"
+    out = df.repartition(n_files)
+    if sort_col:
+        out = out.sortWithinPartitions(sort_col)
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files
