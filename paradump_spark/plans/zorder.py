@@ -121,6 +121,7 @@ def compact_parquet(
     path: str,
     target_mb: int = 512,
     sort_col: str | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into
     size-targeted files (optionally re-sorted for min/max locality).
@@ -131,6 +132,10 @@ def compact_parquet(
     thousands of tasks and dead parquet metadata overhead.  This is the
     maintenance pass — read, repartition to ceil(bytes/target), rewrite,
     atomic swap.  Returns the new file count.
+
+    Pass ``partition_by`` when compacting a PARTITIONED directory (e.g.
+    the band-partitioned signature store) — without it the rewrite would
+    silently flatten the layout and lose partition pruning.
 
     Local-FS swap via rename; on an object store run the same logic with
     a versioned directory + pointer flip (or a table format's OPTIMIZE).
@@ -148,10 +153,22 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + "__compacting"
-    out = df.repartition(n_files)
+    if partition_by:
+        # one file per (partition value) after repartitioning on the keys
+        out = df.repartition(n_files, *partition_by)
+    else:
+        out = df.repartition(n_files)
     if sort_col:
         out = out.sortWithinPartitions(sort_col)
-    out.write.mode("overwrite").parquet(tmp)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    # carry non-parquet sidecars (e.g. the signature store's params file)
+    for f in os.listdir(path):
+        full = os.path.join(path, f)
+        if os.path.isfile(full) and not f.endswith(".parquet") and not f.startswith("_SUCCESS") and not f.endswith(".crc"):
+            shutil.copy2(full, os.path.join(tmp, f))
     old = path.rstrip("/") + "__old"
     os.rename(path, old)
     os.rename(tmp, path)

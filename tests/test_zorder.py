@@ -97,3 +97,40 @@ def test_compaction_reduces_files_and_preserves_content(spark, sf_dir, tmp_path)
     after = table_checksum(spark.read.parquet(p)).collect()[0]
     # content-identical rewrite, proven by the order-insensitive checksum
     assert (before["n_rows"], before["hash_sum"]) == (after["n_rows"], after["hash_sum"])
+
+
+def test_compaction_preserves_partition_layout_and_sidecars(spark, sf_dir, tmp_path):
+    """Compacting the band-partitioned signature store keeps band_idx
+    directories (pruning intact) and the params sidecar."""
+    import os
+
+    from paradump_spark.operators.dedup import write_signature_store
+    from paradump_spark.plans.zorder import compact_parquet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store = str(tmp_path / "store")
+    write_signature_store(docs, store, "doc_id", "text")
+    # decay: several appends
+    for i in range(3):
+        shard = docs.where(F.col("doc_id") % 7 == i).select(
+            (F.col("doc_id") + 10000 * (i + 1)).alias("doc_id"), "text"
+        )
+        from paradump_spark.operators.dedup import minhash_signatures
+        from paradump_spark.functions.text import lsh_band_hashes
+
+        sigs = minhash_signatures(shard, "doc_id", "text")
+        sigs.select(
+            "doc_id", F.posexplode(lsh_band_hashes(F.col("sig"), 4, 3)).alias("band_idx", "band_hash")
+        ).write.mode("append").partitionBy("band_idx").parquet(store)
+
+    before = spark.read.parquet(store)
+    n_before = before.count()
+    compact_parquet(spark, store, target_mb=512, partition_by=["band_idx"])
+
+    assert os.path.isdir(f"{store}/band_idx=0")  # layout preserved
+    assert os.path.exists(f"{store}/_sig_params.json")  # sidecar carried
+    after = spark.read.parquet(store)
+    assert after.count() == n_before
+    # partition pruning still works on the compacted store
+    p = after.where(F.col("band_idx") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "band_idx" in p.split("PartitionFilters")[1][:120]
