@@ -577,14 +577,14 @@ def _q_lateral_top_order(spark, sf_dir):
     order — Catalyst decorrelates to a ranked join, no per-row execution."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    c.createOrReplaceTempView("v_customer")
-    o.createOrReplaceTempView("v_orders")
+    c.createOrReplaceTempView("__lat_customer")
+    o.createOrReplaceTempView("__lat_orders")
     return spark.sql(
         """
         SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-        FROM v_customer c,
+        FROM __lat_customer c,
         LATERAL (
-          SELECT o_orderkey, o_totalprice FROM v_orders o
+          SELECT o_orderkey, o_totalprice FROM __lat_orders o
           WHERE o.o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
         ) t

@@ -85,12 +85,13 @@ class ParquetCatalog:
         return {n: self.load(n) for n in names}
 
 
-def _path_size(p: str) -> int:
+def _path_size(p: str, suffix: str | None = None) -> int:
     if os.path.isdir(p):
         return sum(
             os.path.getsize(os.path.join(d, f))
             for d, _, fs in os.walk(p)
             for f in fs
+            if suffix is None or f.endswith(suffix)
         )
     return os.path.getsize(p) if os.path.exists(p) else 0
 

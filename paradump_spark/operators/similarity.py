@@ -261,12 +261,22 @@ def ann_recall(
     (n_queries, mean_recall).  The standard ANN quality gate — run it on a
     sample before trusting an IVF/LSH configuration at full scale.
     """
-    a = approx.select("query_id", "neighbor_id")
-    e = exact.select("query_id", "neighbor_id")
-    if k is not None and "rank" in approx.columns:
+    if k is not None:
+        missing = [
+            side
+            for side, frame in (("approx", approx), ("exact", exact))
+            if "rank" not in frame.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"k={k} requires a 'rank' column on both inputs; missing on "
+                f"{missing} — truncating only one side would misstate recall"
+            )
         a = approx.where(F.col("rank") <= k).select("query_id", "neighbor_id")
-    if k is not None and "rank" in exact.columns:
         e = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    else:
+        a = approx.select("query_id", "neighbor_id")
+        e = exact.select("query_id", "neighbor_id")
     hits = e.join(a, on=["query_id", "neighbor_id"], how="left_semi")
     per_q = (
         e.groupBy("query_id")

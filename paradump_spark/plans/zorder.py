@@ -135,31 +135,46 @@ def compact_parquet(
 
     Pass ``partition_by`` when compacting a PARTITIONED directory (e.g.
     the band-partitioned signature store) — without it the rewrite would
-    silently flatten the layout and lose partition pruning.
+    silently flatten the layout and lose partition pruning.  In
+    partitioned mode the file budget is spread over the partition values
+    via a salt (≈ ``ceil(n_files / n_values)`` files per value), and
+    ``sort_col`` sorts AFTER the partition keys so the dynamic-partition
+    writer's required ordering is already satisfied and the within-file
+    order survives.
 
-    Local-FS swap via rename; on an object store run the same logic with
-    a versioned directory + pointer flip (or a table format's OPTIMIZE).
+    Local-FS swap via rename (stale dirs from an interrupted run are
+    cleaned on entry, so re-runs succeed); the rename pair itself is not
+    atomic — on an object store use a versioned directory + pointer flip
+    (or a table format's OPTIMIZE) for crash-safe publication.
     """
     import math
     import os
     import shutil
 
-    df = spark.read.parquet(path)
-    total = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
-    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    from paradump_spark.catalog import _path_size
+
     tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    shutil.rmtree(tmp, ignore_errors=True)  # stale from an interrupted run
+    shutil.rmtree(old, ignore_errors=True)
+
+    df = spark.read.parquet(path)
+    total = _path_size(path, suffix=".parquet")
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     if partition_by:
-        # one file per (partition value) after repartitioning on the keys
-        out = df.repartition(n_files, *partition_by)
+        n_values = max(1, df.select(*partition_by).distinct().count())
+        per_value = max(1, math.ceil(n_files / n_values))
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(per_value))
+        out = df.repartition(
+            n_values * per_value, *partition_by, salt
+        )
+        n_files = n_values * per_value
+        sort_keys = [*partition_by, sort_col] if sort_col else list(partition_by)
+        out = out.sortWithinPartitions(*sort_keys)
     else:
         out = df.repartition(n_files)
-    if sort_col:
-        out = out.sortWithinPartitions(sort_col)
+        if sort_col:
+            out = out.sortWithinPartitions(sort_col)
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -169,7 +184,6 @@ def compact_parquet(
         full = os.path.join(path, f)
         if os.path.isfile(full) and not f.endswith(".parquet") and not f.startswith("_SUCCESS") and not f.endswith(".crc"):
             shutil.copy2(full, os.path.join(tmp, f))
-    old = path.rstrip("/") + "__old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)

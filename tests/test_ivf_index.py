@@ -54,4 +54,6 @@ def test_ann_recall_is_one_at_full_probe_and_detects_loss(spark, sf_dir, tmp_pat
 
     narrow = ivf_query_index(spark, path, queries, "vec_id", "embedding", k=5, nprobe=1)
     r1 = ann_recall(narrow, exact).collect()[0]
-    assert 0.0 < r1["mean_recall"] <= 1.0
+    # genuinely degraded (0.4 on this deterministic data) — a no-op
+    # nprobe regression would bring this back to 1.0 and fail here
+    assert 0.0 < r1["mean_recall"] < 1.0

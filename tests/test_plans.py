@@ -112,7 +112,3 @@ def test_every_contract_query_plan_is_sane(spark, sf_dir):
         assert "CartesianProduct" not in p, name
         assert "BatchEvalPython" not in p, name
 
-
-def test_entry_flagship_runs(spark):
-    out = E.entry(spark)
-    assert out.count() >= 0 and len(out.columns) > 0

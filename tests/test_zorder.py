@@ -133,4 +133,5 @@ def test_compaction_preserves_partition_layout_and_sidecars(spark, sf_dir, tmp_p
     assert after.count() == n_before
     # partition pruning still works on the compacted store
     p = after.where(F.col("band_idx") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p
     assert "band_idx" in p.split("PartitionFilters")[1][:120]
