@@ -222,6 +222,18 @@ def _q_diff_classified(spark, sf_dir):
     return DF.diff_classified(cust, _perturbed_customer(cust), ["c_custkey"])
 
 
+def _q_incremental_diff_classified(spark, sf_dir):
+    """Two-phase checksum-then-diff (operators.checksum.incremental_diff)
+    must produce EXACTLY the classified rows the full diff does — the
+    oracle is the same SQL as diff_classified."""
+    from paradump_spark.operators.checksum import incremental_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    return incremental_diff(
+        cust, _perturbed_customer(cust), ["c_custkey"], num_chunks=16
+    )
+
+
 def _q_diff_stats(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     cl = DF.diff_classified(cust, _perturbed_customer(cust), ["c_custkey"])
@@ -1043,6 +1055,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_classified": _q_diff_classified,
+        "incremental_diff_classified": _q_incremental_diff_classified,
         "diff_stats": _q_diff_stats,
         "chunk_coverage_orders": _q_chunk_coverage_orders,
         "chunk_coverage_lineitem": _q_chunk_coverage_lineitem,
@@ -1114,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "diff_classified": _DIFF_CLASSIFIED_SQL,
+        "incremental_diff_classified": _DIFF_CLASSIFIED_SQL,
         "diff_stats": (
             "WITH "
             + _DST_CTE
