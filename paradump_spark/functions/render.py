@@ -100,6 +100,116 @@ def binary_literal(col: Column, dialect: str = "mysql") -> Column:
 
 
 # ---------------------------------------------------------------------------
+# F2 — MySQL raw-byte escaper with UTF-8 repair (mysqldump byte parity)
+
+#: byte -> escape sequence, ref table src/paradump/paradump.go:2124-2141
+_MYSQL_BYTE_ESCAPES = {
+    0x00: b"\\0", 0x0A: b"\\n", 0x0D: b"\\r", 0x1A: b"\\Z",
+    0x22: b'\\"', 0x27: b"\\'", 0x5C: b"\\\\",
+}
+
+
+def _utf8_seq_len(data: bytes, i: int) -> int:
+    """Length of a VALID UTF-8 sequence starting at ``i``, else 0.
+
+    Mirrors Go ``utf8.DecodeRuneInString`` validity (rejects overlongs,
+    surrogates, > U+10FFFF, truncation) — Python's strict UTF-8 decoder
+    enforces the same rules, so validity is delegated to it."""
+    b = data[i]
+    if 0xC2 <= b <= 0xDF:
+        k = 2
+    elif 0xE0 <= b <= 0xEF:
+        k = 3
+    elif 0xF0 <= b <= 0xF4:
+        k = 4
+    else:  # 0xC0/0xC1 and 0xF5-0xF7 are never valid leads
+        return 0
+    if i + k > len(data):
+        return 0
+    try:
+        data[i:i + k].decode("utf-8")
+        return k
+    except UnicodeDecodeError:
+        return 0
+
+
+def mysql_escape_bytes(data: bytes | None) -> bytes | None:
+    """The reference's binary/corrupt-text escaper (F2), byte-for-byte:
+    mysqldump-parity literal body for arbitrary bytes (ref ``quoteBinary``,
+    src/paradump/paradump.go:2148-2215).
+
+    Behavior (spec lifted from the reference, not its code):
+
+    * ``\\0 \\n \\r \\Z \\" \\' \\\\`` escapes for their seven bytes;
+    * all other non-lead bytes (ASCII, stray continuations ``0x80-0xBF``,
+      ``0xF8-0xFF``) pass through verbatim;
+    * UTF-8 lead bytes ``0xC0-0xF7``: a valid sequence passes through
+      whole; a CESU-8 surrogate triple (``0xED 0xA0-0xBF 0x80-0xBF``,
+      MySQL's utf8mb3 surrogate smuggling) passes through unrepaired;
+      any other invalid lead is repaired as ``\\`` + the raw byte and
+      scanning resumes at the next byte.
+
+    This is the byte-identical-to-mysqldump contract the reference's
+    corrupt-latin1/blob fixtures (test ``sensor_tag``) diff against.
+    """
+    if data is None:
+        return None
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        esc = _MYSQL_BYTE_ESCAPES.get(b)
+        if esc is not None:
+            out += esc
+            i += 1
+            continue
+        if 0xC0 <= b <= 0xF7:
+            k = _utf8_seq_len(data, i)
+            if k:
+                out += data[i:i + k]
+                i += k
+                continue
+            if (
+                b == 0xED
+                and i + 2 < n
+                and 0xA0 <= data[i + 1] <= 0xBF
+                and 0x80 <= data[i + 2] <= 0xBF
+            ):
+                out += data[i:i + 3]
+                i += 3
+                continue
+            out += b"\\" + bytes([b])
+            i += 1
+            continue
+        out.append(b)
+        i += 1
+    return bytes(out)
+
+
+def mysql_dump_literal_udf():
+    """``'<escaped bytes>'`` literal for a BINARY column, dump-parity
+    style (vs :func:`binary_literal`'s hex style, which loads the same
+    DB state but is not byte-identical to mysqldump output).
+
+    Arrow-batched pandas UDF binary→binary: the output may contain
+    invalid-UTF-8 bytes by design, so it stays BinaryType end-to-end —
+    write it through a bytes-capable sink, never cast to string.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them, which the pandas_udf signature inferrer rejects
+    @pandas_udf(T.BinaryType())
+    def _render(s):
+        return s.map(
+            lambda v: None if v is None
+            else b"'" + mysql_escape_bytes(bytes(v)) + b"'"
+        )
+
+    return _render
+
+
+# ---------------------------------------------------------------------------
 # scalar canonicalizers
 
 

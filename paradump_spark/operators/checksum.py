@@ -36,18 +36,24 @@ _HASH_HEX_DIGITS = 15
 def row_signature(cols: Sequence[str]) -> Column:
     """60-bit md5 hash of the row's text image.
 
-    Engine-portable: DuckDB spelling is
-    ``('0x' || substr(md5(concat_ws(chr(0), coalesce(CAST(c AS VARCHAR),
-    'NULL'), ...)), 1, 15))::BIGINT``.  Cells are NUL-separated and NULL
-    is marked distinctly from the string 'NULL' by prefixing non-null
-    cells with ``v``.
+    Engine-portable: DuckDB spelling per cell is
+    ``coalesce('v' || replace(replace(CAST(c AS VARCHAR), chr(1),
+    chr(1) || '1'), chr(0), chr(1) || '0'), 'NULL')`` joined with
+    ``concat_ws(chr(0), ...)`` then
+    ``('0x' || substr(md5(img), 1, 15))::BIGINT``.
+
+    Framing is unforgeable: the ``\\x00`` separator is escaped out of
+    cell text (``\\x01`` escape char, itself escaped), so no value can
+    shift bytes across a cell boundary — rows ('a\\x00vb','c') and
+    ('a','b\\x00vc') hash differently.  NULL is marked distinctly from
+    the string 'NULL' by prefixing non-null cells with ``v``.
     """
-    parts = [
-        F.coalesce(
-            F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("NULL")
-        )
-        for c in cols
-    ]
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        s = F.replace(s, F.lit("\x01"), F.lit("\x01" "1"))
+        s = F.replace(s, F.lit("\x00"), F.lit("\x01" "0"))
+        parts.append(F.coalesce(F.concat(F.lit("v"), s), F.lit("NULL")))
     img = F.concat_ws("\x00", *parts)
     return F.conv(F.substring(F.md5(img), 1, _HASH_HEX_DIGITS), 16, 10).cast(
         "long"

@@ -37,13 +37,22 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     only as parallel as their input splits; a table that fits in one
     parquet file arrives as ONE partition and serializes the whole job
     onto one core.  At real scale inputs already have ≥ parallelism
-    splits and this is a no-op — the tiny-input shuffle it introduces is
+    files and this is a no-op — the tiny-input shuffle it introduces is
     bounded by the input size itself.
+
+    The width check uses ``inputFiles()`` (pure metadata, no RDD
+    translation / physical planning): call sites feed narrow projections
+    of file scans, where file count lower-bounds split count.  Non-file
+    inputs (empty ``inputFiles``) conservatively repartition.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:  # non-file-backed plan
+        n_inputs = 0
+    if n_inputs >= target:
+        return df
+    return df.repartition(target)
 
 
 def dedup_exact(

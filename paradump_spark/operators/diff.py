@@ -136,10 +136,11 @@ def diff_tables(
 ) -> DiffResult:
     """The `parasync` pipeline as three DataFrames (SURVEY §7 phase 3).
 
-    The classified frame is computed once and fanned out with filters; no
-    ``.cache()`` here — at 100 TB the caller decides persistence (count()
-    on each class re-scans, but each scan is one shuffle-free pass over
-    the joined output when AQE reuses the exchange).
+    The classified plan is built once and fanned out with filters; no
+    ``.cache()`` here — at 100 TB the caller decides persistence.  Note
+    each separate ACTION re-executes the full-outer join (exchange reuse
+    works within one query plan, not across actions); a caller consuming
+    two or more classes should ``classified.persist()`` first.
     """
     classified = diff_classified(src, dst, pk, payload)
     return DiffResult(

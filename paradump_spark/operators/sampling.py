@@ -33,9 +33,17 @@ def hash_bucket(col: Column, seed: str = "", denom: int = DENOM) -> Column:
 
     15 hex digits = 60 bits through an exact BIGINT (no float rounding),
     identical in any engine with md5 — DuckDB spelling:
-    ``('0x' || substr(md5(seed || CAST(v AS VARCHAR)), 1, 15))::BIGINT % denom``.
+    ``('0x' || substr(md5(seed || coalesce(CAST(v AS VARCHAR),
+    chr(0) || 'NULL')), 1, 15))::BIGINT % denom``.
+
+    NULL ids hash as the sentinel ``\\x00NULL`` (not droppable as a real
+    id text), so ``sample_fraction`` / ``split_column`` / ``mixture``
+    all route NULL-id rows through the SAME deterministic bucket instead
+    of silently dropping them (concat would propagate NULL) while
+    ``split_column``'s otherwise() kept them — the operators now agree.
     """
-    h = F.md5(F.concat(F.lit(seed), col.cast("string")))
+    v = F.coalesce(col.cast("string"), F.lit("\x00NULL"))
+    h = F.md5(F.concat(F.lit(seed), v))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % denom
 
 

@@ -155,6 +155,12 @@ def compact_parquet(
 
     tmp = path.rstrip("/") + "__compacting"
     old = path.rstrip("/") + "__old"
+    # Crash recovery BEFORE cleanup: a run that died between
+    # rename(path, old) and rename(tmp, path) left the ONLY copy of the
+    # table in __old — restore it first, or the rmtree below would
+    # delete the last surviving data.
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
     shutil.rmtree(tmp, ignore_errors=True)  # stale from an interrupted run
     shutil.rmtree(old, ignore_errors=True)
 

@@ -45,6 +45,20 @@ class SnapshotMode(Enum):
     PG_SNAPSHOT = "pg_snapshot"
 
 
+def sql_str(value: str) -> str:
+    """SQL string literal from an untrusted name: embedded single quotes
+    doubled, so a schema/table name containing ``'`` can neither break
+    the introspection query nor inject into the source DB."""
+    return "'" + str(value).replace("'", "''") + "'"
+
+
+def quote_ident(name: str, dialect: str = "ansi") -> str:
+    """Quoted SQL identifier (``"`` doubling; backticks for mysql)."""
+    if dialect == "mysql":
+        return "`" + str(name).replace("`", "``") + "`"
+    return '"' + str(name).replace('"', '""') + '"'
+
+
 # ---------------------------------------------------------------------------
 # S1 — table listing
 
@@ -52,7 +66,7 @@ class SnapshotMode(Enum):
 def list_tables_sql(dialect: str, schemas: Sequence[str]) -> str:
     """Base-table enumeration per dialect (ref GetListTables :1309-1368;
     pg/mssql variants use the same information_schema surface)."""
-    in_list = ", ".join(f"'{s}'" for s in schemas)
+    in_list = ", ".join(sql_str(s) for s in schemas)
     if dialect in ("mysql", "mssql", "postgres"):
         return (
             "SELECT table_schema, table_name FROM information_schema.tables "
@@ -85,7 +99,7 @@ def columns_sql(dialect: str, schema: str, table: str) -> str:
             "SELECT column_name, data_type, is_nullable, column_type, "
             "datetime_precision, numeric_precision, numeric_scale "
             "FROM information_schema.columns "
-            f"WHERE table_schema = '{schema}' AND table_name = '{table}' "
+            f"WHERE table_schema = {sql_str(schema)} AND table_name = {sql_str(table)} "
             "ORDER BY ordinal_position"
         )
     if dialect == "postgres":
@@ -94,7 +108,7 @@ def columns_sql(dialect: str, schema: str, table: str) -> str:
             "SELECT column_name, data_type, is_nullable, udt_name, "
             "datetime_precision, numeric_precision, numeric_scale "
             "FROM information_schema.columns "
-            f"WHERE table_schema = '{schema}' AND table_name = '{table}' "
+            f"WHERE table_schema = {sql_str(schema)} AND table_name = {sql_str(table)} "
             "ORDER BY ordinal_position"
         )
     if dialect == "mssql":
@@ -103,7 +117,7 @@ def columns_sql(dialect: str, schema: str, table: str) -> str:
             "SELECT column_name, data_type, is_nullable, data_type, "
             "datetime_precision, numeric_precision, numeric_scale "
             "FROM information_schema.columns "
-            f"WHERE table_schema = '{schema}' AND table_name = '{table}' "
+            f"WHERE table_schema = {sql_str(schema)} AND table_name = {sql_str(table)} "
             "ORDER BY ordinal_position"
         )
     raise ValueError(dialect)
@@ -114,7 +128,7 @@ def primary_key_sql(dialect: str, schema: str, table: str) -> str:
         # ref :821 — INFORMATION_SCHEMA.STATISTICS INDEX_NAME='PRIMARY'
         return (
             "SELECT column_name FROM information_schema.statistics "
-            f"WHERE table_schema = '{schema}' AND table_name = '{table}' "
+            f"WHERE table_schema = {sql_str(schema)} AND table_name = {sql_str(table)} "
             "AND index_name = 'PRIMARY' ORDER BY seq_in_index"
         )
     if dialect == "postgres":
@@ -125,7 +139,7 @@ def primary_key_sql(dialect: str, schema: str, table: str) -> str:
             "JOIN pg_namespace n ON n.oid = c.relnamespace "
             "JOIN pg_attribute a ON a.attrelid = c.oid "
             " AND a.attnum = ANY(i.indkey) "
-            f"WHERE n.nspname = '{schema}' AND c.relname = '{table}' "
+            f"WHERE n.nspname = {sql_str(schema)} AND c.relname = {sql_str(table)} "
             "AND i.indisprimary ORDER BY array_position(i.indkey, a.attnum)"
         )
     if dialect == "mssql":
@@ -135,7 +149,7 @@ def primary_key_sql(dialect: str, schema: str, table: str) -> str:
             "FROM information_schema.table_constraints t "
             "JOIN information_schema.key_column_usage k "
             " ON k.constraint_name = t.constraint_name "
-            f"WHERE t.table_schema = '{schema}' AND t.table_name = '{table}' "
+            f"WHERE t.table_schema = {sql_str(schema)} AND t.table_name = {sql_str(table)} "
             "AND t.constraint_type = 'PRIMARY KEY' ORDER BY k.ordinal_position"
         )
     raise ValueError(dialect)
@@ -147,14 +161,14 @@ def table_stats_sql(dialect: str, schema: str, table: str) -> str:
         return (
             "SELECT data_length + index_length, table_rows, engine "
             "FROM information_schema.tables "
-            f"WHERE table_schema = '{schema}' AND table_name = '{table}'"
+            f"WHERE table_schema = {sql_str(schema)} AND table_name = {sql_str(table)}"
         )
     if dialect == "postgres":
         # ref :911-918 — pg_total_relation_size + reltuples
         return (
             "SELECT pg_total_relation_size(c.oid), c.reltuples::bigint, 'heap' "
             "FROM pg_class c JOIN pg_namespace n ON n.oid = c.relnamespace "
-            f"WHERE n.nspname = '{schema}' AND c.relname = '{table}'"
+            f"WHERE n.nspname = {sql_str(schema)} AND c.relname = {sql_str(table)}"
         )
     if dialect == "mssql":
         # ref :1011-1020 — sys.partitions + sys.allocation_units
@@ -164,7 +178,7 @@ def table_stats_sql(dialect: str, schema: str, table: str) -> str:
             "JOIN sys.schemas s ON t.schema_id = s.schema_id "
             "JOIN sys.partitions p ON t.object_id = p.object_id "
             "JOIN sys.allocation_units a ON p.partition_id = a.container_id "
-            f"WHERE s.name = '{schema}' AND t.name = '{table}' "
+            f"WHERE s.name = {sql_str(schema)} AND t.name = {sql_str(table)} "
             "GROUP BY t.name"
         )
     raise ValueError(dialect)
@@ -177,7 +191,7 @@ def index_stats_sql(dialect: str, schema: str, table: str) -> str:
         return (
             "SELECT index_name, seq_in_index, column_name, cardinality, nullable "
             "FROM information_schema.statistics "
-            f"WHERE table_schema = '{schema}' AND table_name = '{table}' "
+            f"WHERE table_schema = {sql_str(schema)} AND table_name = {sql_str(table)} "
             "AND index_name <> 'PRIMARY' ORDER BY index_name, seq_in_index"
         )
     raise ValueError(f"fake-PK promotion implemented for mysql only, not {dialect}")
@@ -299,8 +313,9 @@ def single_tx_export(
     cur = conn.cursor()
     if begin_sql:
         cur.execute(begin_sql)
-    cols = ", ".join(columns) if columns else "*"
-    cur.execute(f"SELECT {cols} FROM {table}")
+    cols = ", ".join(quote_ident(c) for c in columns) if columns else "*"
+    tbl = ".".join(quote_ident(p) for p in table.split("."))
+    cur.execute(f"SELECT {cols} FROM {tbl}")
     names = [d[0] for d in cur.description]
     writer = None
     pending: list = []  # batches held until every column's type is known

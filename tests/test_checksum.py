@@ -79,6 +79,20 @@ def test_row_signature_distinguishes_null_from_literal(spark):
     assert len(set(sigs)) == 4  # no collisions across NULL-marker shapes
 
 
+def test_row_signature_cell_framing_unforgeable(spark):
+    """A value containing the separator + marker bytes must not shift
+    content across cell boundaries: ('a\\x00vb','c') vs ('a','b\\x00vc')
+    rendered identical images before the escape fix."""
+    from paradump_spark.operators.checksum import row_signature
+
+    df = spark.createDataFrame(
+        [("a\x00vb", "c"), ("a", "b\x00vc"), ("a\x01", "b"), ("a", "\x01b")],
+        "x string, y string",
+    )
+    sigs = [r[0] for r in df.select(row_signature(["x", "y"])).collect()]
+    assert len(set(sigs)) == 4
+
+
 def test_sync_incremental_mode_matches_full(spark, sf_dir, tmp_path):
     """sync_tables(incremental_chunks=N) reports the same I/U/D counts as
     the classic full-diff path."""

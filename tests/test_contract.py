@@ -1,7 +1,39 @@
 """Driver-contract shape tests (cheap; full oracle parity runs in the
-driver and in scratch/verify_contract.py)."""
+driver and in scratch/strict_verify.py)."""
+
+import duckdb
+import pandas as pd
 
 import __spark_entry__ as E
+
+
+def _canon(df):
+    """Normalize the representation classes the driver's hasher proved
+    harmless (CORRECTNESS_r02): datetime64 resolution and datetime.date
+    objects vs datetime64."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if dt.startswith("datetime64") and "," not in dt:
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object and len(df) and all(
+            type(v).__name__ == "date" for v in df[c].dropna().head(5)
+        ) and not df[c].dropna().empty:
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    return df
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def test_driver_window_is_exactly_50():
+    # the driver evaluates only the first 50 queries() entries
+    # (CORRECTNESS_r02: 66 declared, 50 evaluated) — everything the
+    # driver sees must fit the window, nothing is silently skipped
+    assert len(E.queries()) == 50
+    assert len(E._DRIVER_QUERY_NAMES) == len(set(E._DRIVER_QUERY_NAMES))
 
 
 def test_oracle_keys_subset_of_queries():
@@ -10,6 +42,10 @@ def test_oracle_keys_subset_of_queries():
     assert o <= q
     # only approximate / non-SQL-expressible ops may be rows-only
     assert q - o == {"ivf_topk", "embedding_near_dup_lsh", "pack_stats"}
+    # every retired (extra) query keeps a DuckDB oracle
+    xq, xo = set(E.extra_queries()), set(E.extra_oracle_sql())
+    assert xq == xo
+    assert not xq & q
 
 
 def test_entry_runs_and_has_rows(spark):
@@ -19,6 +55,32 @@ def test_entry_runs_and_has_rows(spark):
 
 
 def test_every_query_runs_at_sf0001(spark, sf_dir):
-    for name, fn in E.queries().items():
+    for name, fn in {**E.queries(), **E.extra_queries()}.items():
         df = fn(spark, sf_dir)
         assert df.columns, name
+
+
+def test_extra_queries_match_oracle(spark, sf_dir):
+    """Retired-from-the-driver-window queries keep HARD verification:
+    row-count + sorted-value parity against their DuckDB oracles."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = E.extra_oracle_sql()
+    for name, fn in E.extra_queries().items():
+        spdf = _canon(fn(spark, sf_dir).toPandas())
+        opdf = _canon(con.execute(oracles[name]).df())
+        assert sorted(spdf.columns) == sorted(opdf.columns), name
+        assert len(spdf) == len(opdf), name
+        s = sorted(
+            "\x1f".join(str(v) for v in row)
+            for row in spdf[sorted(spdf.columns)].itertuples(index=False)
+        )
+        o = sorted(
+            "\x1f".join(str(v) for v in row)
+            for row in opdf[sorted(opdf.columns)].itertuples(index=False)
+        )
+        assert s == o, f"{name}: first diff {next((a, b) for a, b in zip(s, o) if a != b)}"

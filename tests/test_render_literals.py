@@ -58,3 +58,78 @@ def test_binary_literal_direct(spark):
         df.select(binary_literal(F.col("v"), "mysql").alias("r")).first()["r"]
         == "_binary X'01'"
     )
+
+
+# ---------------------------------------------------------------------------
+# F2 — mysqldump-parity byte escaper with UTF-8 repair
+
+
+def test_mysql_escape_bytes_basic_escapes():
+    from paradump_spark.functions.render import mysql_escape_bytes as esc
+
+    assert esc(b"hello") == b"hello"
+    assert esc(b"a'b") == b"a\\'b"
+    assert esc(b'\x00\n\r\x1a"\\') == b'\\0\\n\\r\\Z\\"\\\\'
+    assert esc(None) is None
+    assert esc(b"") == b""
+
+
+def test_mysql_escape_bytes_valid_utf8_passthrough():
+    from paradump_spark.functions.render import mysql_escape_bytes as esc
+
+    for s in ("é", "北京", "🎉", "퟿"):  # 2/3/4-byte + U+D7FF (ED 9F BF)
+        b = s.encode("utf-8")
+        assert esc(b) == b, s
+
+
+def test_mysql_escape_bytes_invalid_utf8_repair():
+    from paradump_spark.functions.render import mysql_escape_bytes as esc
+
+    # invalid continuation after a lead byte -> lead escaped, rest rescanned
+    assert esc(b"\xc3(") == b"\\\xc3("
+    # overlong encoding: C0 AF is never valid
+    assert esc(b"\xc0\xaf") == b"\\\xc0\xaf"
+    # truncated 3-byte sequence at end of value
+    assert esc(b"abc\xe2\x82") == b"abc\\\xe2\x82"
+    # stray continuation and 0xF8-0xFF bytes pass through verbatim
+    assert esc(b"\x80\xf8\xff") == b"\x80\xf8\xff"
+    # invalid lead 0xF5, and F4-led sequence beyond U+10FFFF
+    assert esc(b"\xf5\x80\x80\x80") == b"\\\xf5\x80\x80\x80"
+    assert esc(b"\xf4\x90\x80\x80") == b"\\\xf4\x90\x80\x80"
+
+
+def test_mysql_escape_bytes_cesu8_surrogates_pass():
+    from paradump_spark.functions.render import mysql_escape_bytes as esc
+
+    # CESU-8 surrogate pair for U+1F4A9 (ED A0 BD ED B2 A9): MySQL utf8mb3
+    # smuggling — passes through UNrepaired
+    cesu = b"\xed\xa0\xbd\xed\xb2\xa9"
+    assert esc(cesu) == cesu
+    # ED lead with too few bytes left is NOT the surrogate case -> repaired
+    assert esc(b"\xed\xa0") == b"\\\xed\xa0"
+
+
+def test_mysql_dump_literal_udf_matches_python(spark):
+    from paradump_spark.functions.render import (
+        mysql_dump_literal_udf,
+        mysql_escape_bytes,
+    )
+
+    payloads = [
+        b"plain",
+        b"it's\n\x00done\\",
+        "café 北京 🎉".encode("utf-8"),
+        b"\xc3(bad\xed\xa0\xbdcesu\xed\xb2\xa9\x80tail\xe2\x82",
+        None,
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "v binary")
+    udf = mysql_dump_literal_udf()
+    got = [r["r"] for r in df.select(udf(F.col("v")).alias("r")).collect()]
+    exp = [
+        None if p is None else b"'" + mysql_escape_bytes(p) + b"'"
+        for p in payloads
+    ]
+    assert sorted(x for x in got if x is not None) == sorted(
+        x for x in exp if x is not None
+    )
+    assert got.count(None) == 1

@@ -45,12 +45,37 @@ def test_hash_bucket_matches_duckdb(spark, sf_dir):
     exp = set(
         duckdb.sql(
             f"""SELECT doc_id,
-                ('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                ('0x' || substr(md5('s1' || coalesce(CAST(doc_id AS VARCHAR),
+                  chr(0) || 'NULL')), 1, 15))::BIGINT
                   % {S.DENOM} AS b
                 FROM '{sf_dir}/documents.parquet'"""
         ).fetchall()
     )
     assert got == exp
+
+
+def test_null_ids_route_consistently(spark):
+    """NULL ids are neither dropped by sample_fraction nor routed
+    differently by split_column — both hash the same sentinel bucket."""
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,)], "doc_id string"
+    )
+    kept = S.sample_fraction(df, "doc_id", 1.0).count()
+    assert kept == 3  # fraction=1.0 keeps every row, NULL id included
+    lab_full = S.split_column(
+        F.col("doc_id"), {"train": 0.5, "test": 0.5}, seed="z"
+    )
+    full = {
+        (r["doc_id"], r["s"])
+        for r in df.select("doc_id", lab_full.alias("s")).collect()
+    }
+    null_split = {s for d, s in full if d is None}
+    assert len(null_split) == 1  # deterministic single assignment
+    # and the assignment is bucket-derived, matching sample_fraction's view
+    b = df.where(F.col("doc_id").isNull()).select(
+        S.hash_bucket(F.col("doc_id"), seed="z").alias("b")
+    ).collect()[0]["b"]
+    assert (b < 500_000) == (null_split == {"train"})
 
 
 def test_mixture_and_weight_validation(spark, sf_dir):
