@@ -1,0 +1,245 @@
+"""Live-PostgreSQL end-to-end smoke harness (VERDICT round-2 item 6).
+
+The reference proves itself against dockerized engines
+(test/run_db_4_test.sh:24-39); this is the same idea without docker: a
+throwaway single-user PostgreSQL cluster (initdb + pg_ctl into tmp, unix
+socket only), a ``QueryRunner`` backed by ``psql --csv``, and the
+engine's ACTUAL dialect SQL strings executed against a real server —
+introspection (S1/S2), chunk-predicate SQL text (P3/P4), untrusted-name
+escaping, and the single-tx export path (S6) through a real transaction.
+
+Auto-skips wherever the postgresql server binaries are absent; no
+network, no daemon, nothing outside pytest's tmp dir.  MySQL/MSSQL
+introspection strings remain engine-unproven here (no server binary in
+the environment) — their builders share the information_schema shape
+validated below.
+"""
+
+import csv
+import io
+import os
+import shutil
+import subprocess
+
+import pytest
+
+from paradump_spark.plans.split import chunk_predicates_sql, plan_chunks
+from paradump_spark.sources.jdbc import (
+    columns_sql,
+    filter_excluded,
+    introspect_table,
+    list_tables_sql,
+    primary_key_sql,
+    single_tx_export,
+    sql_str,
+    table_stats_sql,
+)
+
+HAVE_PG = all(
+    shutil.which(b) for b in ("initdb", "pg_ctl", "postgres", "psql")
+)
+
+pytestmark = pytest.mark.skipif(
+    not HAVE_PG, reason="postgresql server binaries not installed"
+)
+
+NULL = "\x01NULL\x01"  # psql null sentinel no fixture value contains
+
+
+def _server_cmd(cmd):
+    """PostgreSQL refuses to run as root; when the test session is root
+    (containers), drop the server processes to ``nobody`` via setpriv.
+    The client (psql over the unix socket) runs as-is."""
+    if os.geteuid() != 0:
+        return cmd
+    if not shutil.which("setpriv"):
+        pytest.skip("running as root and no setpriv to drop privileges")
+    return [
+        "setpriv", "--reuid=nobody", "--regid=nogroup", "--clear-groups",
+        "env", "HOME=/tmp",
+    ] + cmd
+
+
+@pytest.fixture(scope="module")
+def pg():
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="livepg_")  # /tmp: traversable by nobody
+    data, sock = os.path.join(d, "data"), os.path.join(d, "sock")
+    os.makedirs(sock)
+    if os.geteuid() == 0:
+        shutil.chown(d, "nobody", "nogroup")
+        shutil.chown(sock, "nobody", "nogroup")
+    try:
+        subprocess.run(
+            _server_cmd(["initdb", "-D", data, "-U", "paradump", "-A", "trust"]),
+            check=True, capture_output=True,
+        )
+        subprocess.run(
+            _server_cmd(
+                ["pg_ctl", "-D", data, "-w", "-l", os.path.join(d, "log"),
+                 "-o",
+                 f"-c listen_addresses='' -c unix_socket_directories='{sock}'",
+                 "start"]
+            ),
+            check=True, capture_output=True,
+        )
+    except subprocess.CalledProcessError as ex:  # environment refuses: skip
+        shutil.rmtree(d, ignore_errors=True)
+        pytest.skip(f"postgres start failed: {ex.stderr.decode()[-200:]}")
+    conn = {"host": sock, "user": "paradump", "db": "postgres"}
+    _psql(conn, """
+        CREATE TABLE orders_live (
+            o_orderkey BIGINT NOT NULL,
+            o_line     INT    NOT NULL,
+            o_status   VARCHAR(1),
+            o_price    NUMERIC(12,2),
+            o_ts       TIMESTAMP(3),
+            PRIMARY KEY (o_orderkey, o_line)
+        );
+        INSERT INTO orders_live
+        SELECT g, g % 3, chr(65 + (g % 5)::int),
+               (g % 1000) + 0.25,
+               CASE WHEN g % 7 = 0 THEN NULL
+                    ELSE timestamp '2024-01-01' + (g || ' minutes')::interval END
+        FROM generate_series(1, 500) g;
+        CREATE TABLE "we""ird" (k INT PRIMARY KEY, v TEXT);
+        INSERT INTO "we""ird" VALUES (1, 'x''y'), (2, NULL);
+    """)
+    yield conn
+    subprocess.run(
+        _server_cmd(["pg_ctl", "-D", data, "-m", "immediate", "stop"]),
+        capture_output=True,
+    )
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _psql(conn, sql):
+    p = subprocess.run(
+        ["psql", "-h", conn["host"], "-U", conn["user"], "-d", conn["db"],
+         "-X", "-q", "--csv", "-P", f"null={NULL}", "-v", "ON_ERROR_STOP=1",
+         "-c", sql],
+        capture_output=True, text=True,
+    )
+    assert p.returncode == 0, p.stderr
+    return p.stdout
+
+
+def _runner(conn):
+    """QueryRunner over psql --csv: header row dropped, nulls None."""
+
+    def run(sql):
+        out = _psql(conn, sql)
+        rows = list(csv.reader(io.StringIO(out)))
+        return [
+            tuple(None if v == NULL else v for v in r) for r in rows[1:]
+        ]
+
+    return run
+
+
+def test_list_tables_and_exclusion(pg):
+    run = _runner(pg)
+    tables = run(list_tables_sql("postgres", ["public"]))
+    names = {t for _, t in tables}
+    assert {"orders_live", 'we"ird'} <= names
+    kept = filter_excluded(tables, ["we"])
+    assert ("public", 'we"ird') not in kept
+    assert ("public", "orders_live") in kept
+
+
+def test_introspection_builds_metadata(pg):
+    run = _runner(pg)
+    meta = introspect_table(run, "postgres", "public", "orders_live")
+    assert [c.name for c in meta.columns] == [
+        "o_orderkey", "o_line", "o_status", "o_price", "o_ts",
+    ]
+    assert meta.primary_key == ["o_orderkey", "o_line"]
+    size, rows, engine = run(table_stats_sql("postgres", "public", "orders_live"))[0]
+    assert int(size) > 0
+
+
+def test_untrusted_names_cannot_break_introspection(pg):
+    run = _runner(pg)
+    # a table whose NAME contains a double quote, queried through the
+    # sql_str()-escaped literal path
+    cols = run(columns_sql("postgres", "public", 'we"ird'))
+    assert [c[0] for c in cols] == ["k", "v"]
+    pk = run(primary_key_sql("postgres", "public", 'we"ird'))
+    assert [c[0] for c in pk] == ["k"]
+    # a single quote in the name must not escape the literal
+    assert sql_str("bad'name") == "'bad''name'"
+    assert run(columns_sql("postgres", "public", "bad'name")) == []
+
+
+def test_chunk_predicate_sql_runs_on_live_engine(spark, pg):
+    """P3/P4 contract: the EXACT predicate strings the chunk planner emits
+    partition a live table — per-chunk counts sum to the table count."""
+    run = _runner(pg)
+    ids = spark.createDataFrame(
+        [(i, i % 3) for i in range(1, 501)], "o_orderkey long, o_line int"
+    )
+    chunks = plan_chunks(ids, ["o_orderkey", "o_line"], 7)
+    preds = chunk_predicates_sql(chunks, ["o_orderkey", "o_line"])
+    total = 0
+    for p in preds:
+        (cnt,) = run(f"SELECT count(*) FROM orders_live WHERE {p}")[0]
+        total += int(cnt)
+    assert total == 500
+
+
+def test_single_tx_export_over_live_pg(pg, tmp_path):
+    """S6 SINGLE_TX through a REAL REPEATABLE READ transaction: psql-backed
+    DBAPI shim (cursor/execute/fetchmany/description) feeding the export,
+    then Spark-free parquet readback via duckdb."""
+    import duckdb
+
+    class _Cursor:
+        def __init__(self):
+            self.rows, self.description = [], None
+            self._stmts = []
+
+        def execute(self, sql):
+            # DBAPI: description is available right after execute.  psql -c
+            # runs all accumulated statements in ONE implicit transaction,
+            # so the BEGIN + SELECT still share a snapshot.
+            self._stmts.append(sql)
+            if sql.lstrip().upper().startswith("SELECT"):
+                out = _psql(pg, ";\n".join(self._stmts))
+                parsed = list(csv.reader(io.StringIO(out)))
+                self.description = [(c,) for c in parsed[0]]
+                self.rows = [
+                    tuple(None if v == NULL else v for v in r)
+                    for r in parsed[1:]
+                ]
+
+        def fetchmany(self, n):
+            got, self.rows = self.rows[:n], self.rows[n:]
+            return got
+
+        def close(self):
+            pass
+
+    class _Conn:
+        def cursor(self):
+            return _Cursor()
+
+        def rollback(self):
+            pass
+
+        def close(self):
+            pass
+
+    out = str(tmp_path / "export.parquet")
+    n = single_tx_export(
+        _Conn, "public.orders_live", out,
+        columns=["o_orderkey", "o_status", "o_ts"],
+        begin_sql="BEGIN ISOLATION LEVEL REPEATABLE READ",
+        batch_rows=128,
+    )
+    assert n == 500
+    assert duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0] == 500
+    # NULL timestamps survived the export as real NULLs
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{out}' WHERE o_ts IS NULL"
+    ).fetchone()[0] == 500 // 7
