@@ -187,6 +187,38 @@ def main() -> None:
         ).count()
     )
 
+    # --- IVF index: build once (k-means-refined), probe at two widths, and
+    # ledger recall@10 vs the brute-force exact answer so the ANN story is
+    # quantitatively defensible, not just fast.
+    recalls: dict[str, float] = {}
+
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        times["ivf_build_refined"] = bench(
+            lambda: SIM.ivf_build_index(
+                emb, os.path.join(ivf_dir, "ix"), "vec_id", "embedding",
+                num_cells=16, refine_iters=2,
+            )
+        )
+        q = emb.where(F.col("vec_id") < 100)
+        exact = SIM.brute_force_topk(emb, q, "vec_id", "embedding", k=10)
+        exact.cache().count()
+        for nprobe in (2, 4):
+            approx = {}
+
+            def probe(np=nprobe, sink=approx):
+                sink["df"] = SIM.ivf_query_index(
+                    spark, os.path.join(ivf_dir, "ix"), q, "vec_id",
+                    "embedding", k=10, nprobe=np,
+                )
+                sink["df"].cache().count()
+
+            times[f"ivf_query_nprobe{nprobe}"] = bench(probe)
+            r = SIM.ann_recall(approx["df"], exact).collect()[0]
+            recalls[f"recall_at_10_nprobe{nprobe}"] = round(r["mean_recall"], 4)
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -195,6 +227,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "ann_recall": recalls,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

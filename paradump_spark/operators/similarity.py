@@ -84,6 +84,57 @@ def ivf_centroids(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd refinement of the sampled IVF centroids (spherical k-means:
+    cosine assignment, normalized cell means).  Plugs into
+    :func:`ivf_build_index` / :func:`ivf_topk` without changing either
+    plan — the docstring promise at :func:`ivf_centroids`.
+
+    Scale shape per iteration: assignment is the broadcast argmax (no
+    corpus shuffle); the mean is ``posexplode`` → ``groupBy(cell, dim)``
+    — partial aggregation compresses each task's contribution to
+    ``cells × dims`` rows before the shuffle, so shuffle volume is
+    ``partitions × cells × dims``, independent of corpus row count.
+    Cells that end an iteration empty keep their previous centroid, so
+    cell count (and the index layout) is stable.
+    """
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        means = (
+            # spherical k-means: mean of the UNIT vectors, so magnitude
+            # outliers don't drag a cell's direction
+            assigned.select(
+                "cell_id",
+                F.posexplode(V.normalized(F.col(vec_col))).alias("dim", "val"),
+            )
+            .groupBy("cell_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "cell_id",
+                V.normalized(F.transform(F.col("dm"), lambda s: s["m"]))
+                .cast("array<float>")  # match the sampled-centroid type
+                .alias("__new"),
+            )
+        )
+        centroids = (
+            centroids.join(means, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("__new"), F.col("centroid")).alias("centroid"),
+            )
+            .localCheckpoint()  # cut the lineage: iters chain multiplies plans
+        )
+    return centroids
+
+
 def ivf_assign(
     corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -121,6 +172,7 @@ def ivf_build_index(
     vec_col: str,
     num_cells: int = 16,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> None:
     """Materialize an IVF index: the corpus written PARTITIONED BY cell_id
     (so probes become partition-pruned scans) + the centroid table.
@@ -128,8 +180,13 @@ def ivf_build_index(
     At 100 TB this is the difference between touching nprobe/num_cells of
     the data per query batch and scanning everything: the cell filter in
     :func:`ivf_query_index` shows up as ``PartitionFilters`` in the scan.
+    ``refine_iters`` > 0 runs that many Lloyd iterations on the sampled
+    centroids before assignment (better-balanced cells, higher recall at
+    the same nprobe).
     """
     cents = ivf_centroids(corpus, id_col, vec_col, num_cells, seed)
+    if refine_iters:
+        cents = kmeans_refine(corpus, cents, id_col, vec_col, refine_iters)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
         f"{path}/corpus"
@@ -206,6 +263,7 @@ def ivf_topk(
     num_cells: int = 16,
     nprobe: int = 4,
     query_id_col: str | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k: search only the ``nprobe`` nearest cells per query.
 
@@ -215,6 +273,8 @@ def ivf_topk(
     """
     qid = query_id_col or id_col
     cents = ivf_centroids(corpus, id_col, vec_col, num_cells)
+    if refine_iters:
+        cents = kmeans_refine(corpus, cents, id_col, vec_col, refine_iters)
     assigned = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell_id"
     )
