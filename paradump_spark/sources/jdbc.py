@@ -11,7 +11,9 @@ cluster instead of 10 goroutines on one host.
 Consistency (S6): the reference coordinates N MySQL connections onto one
 binlog position (src/paradump/paradump.go:243-355).  Spark JDBC partitions
 open independent connections, so the engine exposes an explicit policy
-instead (SURVEY §7 phase 4):
+instead (SURVEY §7 phase 4) — and ``sources/snapshot.py`` implements the
+reference's full flush-lock + position-vote protocol for the MySQL case
+(synchronized session pool + parallel chunk export):
 
 * ``EVENTUAL``  — per-partition reads at slightly different instants
   (what plain ``spark.read.jdbc`` gives); the default, documented.
@@ -288,34 +290,19 @@ _PG_TO_MYSQL_KIND = {
 }
 
 
-def single_tx_export(
-    connection_factory: Callable[[], object],
-    table: str,
-    out_path: str,
-    columns: Sequence[str] | None = None,
-    batch_rows: int = 50_000,
-    begin_sql: str | None = None,
-) -> int:
-    """S6 SINGLE_TX mode, made real: ONE driver-side connection exports the
-    table inside one transaction to a parquet file; Spark then reads the
-    export in parallel.  Consistency of the read = consistency of that
-    one transaction (REPEATABLE READ / snapshot isolation where the
-    engine supports it via ``begin_sql``).
+def copy_cursor_to_parquet(cur, out_path: str, batch_rows: int = 50_000) -> int:
+    """Stream an already-executed DBAPI cursor to one parquet file.
 
-    The export itself is serialized (that's the price of a true snapshot
-    without engine support for shared snapshots); everything downstream
-    is fully parallel.  Returns the number of rows exported.
+    Schema inference holds early batches until every column has a
+    concrete type (a column that is all-NULL at the start must not
+    freeze the file schema as the null type; never-seen columns fall
+    back to string).  Returns the number of rows written.  Shared by
+    :func:`single_tx_export` and the synchronized snapshot exporter
+    (``sources/snapshot.py``).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    conn = connection_factory()
-    cur = conn.cursor()
-    if begin_sql:
-        cur.execute(begin_sql)
-    cols = ", ".join(quote_ident(c) for c in columns) if columns else "*"
-    tbl = ".".join(quote_ident(p) for p in table.split("."))
-    cur.execute(f"SELECT {cols} FROM {tbl}")
     names = [d[0] for d in cur.description]
     writer = None
     pending: list = []  # batches held until every column's type is known
@@ -343,9 +330,6 @@ def single_tx_export(
             if writer is not None:
                 writer.write_table(batch.cast(writer.schema))
                 continue
-            # schema not fixed yet: unify with what we've seen so far —
-            # a column that is all-NULL in early batches must not freeze
-            # the file schema as the null type
             pending.append(batch)
             unified = pa.unify_schemas(
                 [t.schema for t in pending], promote_options="permissive"
@@ -371,9 +355,40 @@ def single_tx_export(
     finally:
         if writer is not None:
             writer.close()
+    return total
+
+
+def single_tx_export(
+    connection_factory: Callable[[], object],
+    table: str,
+    out_path: str,
+    columns: Sequence[str] | None = None,
+    batch_rows: int = 50_000,
+    begin_sql: str | None = None,
+) -> int:
+    """S6 SINGLE_TX mode, made real: ONE driver-side connection exports the
+    table inside one transaction to a parquet file; Spark then reads the
+    export in parallel.  Consistency of the read = consistency of that
+    one transaction (REPEATABLE READ / snapshot isolation where the
+    engine supports it via ``begin_sql``).
+
+    The export itself is serialized (that's the price of a true snapshot
+    without engine support for shared snapshots); for the parallel
+    variant on MySQL see ``sources/snapshot.py`` (binlog-position-matched
+    sessions).  Returns the number of rows exported.
+    """
+    conn = connection_factory()
+    cur = conn.cursor()
+    if begin_sql:
+        cur.execute(begin_sql)
+    cols = ", ".join(quote_ident(c) for c in columns) if columns else "*"
+    tbl = ".".join(quote_ident(p) for p in table.split("."))
+    cur.execute(f"SELECT {cols} FROM {tbl}")
+    try:
+        return copy_cursor_to_parquet(cur, out_path, batch_rows)
+    finally:
         conn.rollback()
         conn.close()
-    return total
 
 
 # ---------------------------------------------------------------------------

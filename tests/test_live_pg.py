@@ -243,3 +243,77 @@ def test_single_tx_export_over_live_pg(pg, tmp_path):
     assert duckdb.sql(
         f"SELECT count(*) FROM '{out}' WHERE o_ts IS NULL"
     ).fetchone()[0] == 500 // 7
+
+
+class _LiveSession:
+    """A long-lived interactive psql session (one backend connection) —
+    what ``psql -c`` cannot give: a transaction that stays open across
+    commands, required to hold an exported snapshot."""
+
+    def __init__(self, conn):
+        self.p = subprocess.Popen(
+            ["psql", "-h", conn["host"], "-U", conn["user"], "-d", conn["db"],
+             "-X", "-q", "-A", "-t", "-P", f"null={NULL}"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True, bufsize=1,
+        )
+        self._n = 0
+
+    def run(self, sql):
+        self._n += 1
+        marker = f"__DONE_{self._n}__"
+        self.p.stdin.write(f"{sql};\n\\echo {marker}\n")
+        self.p.stdin.flush()
+        lines = []
+        while True:
+            line = self.p.stdout.readline()
+            if not line or line.strip() == marker:
+                break
+            if line.strip():
+                lines.append(line.strip())
+        return lines
+
+    def close(self):
+        try:
+            self.p.stdin.close()
+            self.p.wait(timeout=5)
+        except Exception:
+            self.p.kill()
+
+
+def test_pg_exported_snapshot_shared_across_connections(pg):
+    """S6 PG_SNAPSHOT on a live engine: the EXACT sessionInitStatement
+    string ``JdbcSource.pg_snapshot_options`` hands to every Spark JDBC
+    partition, proven to pin a second backend connection to the
+    exporter's snapshot while a third connection commits writes."""
+    from paradump_spark.sources.jdbc import JdbcSource, SnapshotMode
+
+    exporter, reader = _LiveSession(pg), _LiveSession(pg)
+    try:
+        exporter.run("BEGIN ISOLATION LEVEL REPEATABLE READ")
+        snap_id = exporter.run("SELECT pg_export_snapshot()")[0]
+
+        src = JdbcSource(
+            url="jdbc:postgresql://ignored/db", dialect="postgres",
+            properties={}, snapshot=SnapshotMode.PG_SNAPSHOT,
+            snapshot_id=snap_id,
+        )
+        init = src.reader_options()["sessionInitStatement"]
+
+        before = int(reader.run(init + "; SELECT count(*) FROM orders_live")[-1])
+        assert before == 500
+
+        # a third connection commits a write AFTER the snapshot export
+        _psql(pg, "INSERT INTO orders_live (o_orderkey, o_line) VALUES (9001, 0)")
+
+        # the pinned reader still sees the snapshot; a fresh session sees
+        # the committed write
+        assert int(reader.run("SELECT count(*) FROM orders_live")[-1]) == 500
+        fresh = _runner(pg)("SELECT count(*) FROM orders_live")
+        assert int(fresh[0][0]) == 501
+
+        # cleanup inside the harness table for later tests
+        _psql(pg, "DELETE FROM orders_live WHERE o_orderkey = 9001")
+    finally:
+        exporter.close()
+        reader.close()
