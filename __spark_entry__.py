@@ -41,12 +41,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as raw nanos and floor-convert to micros —
-    the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """events with ``ts`` normalized to TIMESTAMP whatever the parquet
+    physical type is this round (nanos-as-long / timestamp_ntz / timestamp);
+    see `paradump_spark.catalog.load_events`."""
+    from paradump_spark.catalog import load_events
+
+    return load_events(spark, f"{sf_dir}/events.parquet")
 
 
 def _perturbed_customer(cust: DataFrame) -> DataFrame:

@@ -98,3 +98,32 @@ def _path_size(p: str, suffix: str | None = None) -> int:
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> ParquetCatalog:
     return ParquetCatalog(spark, sf_dir)
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events table with ``ts`` normalized to session-TZ TIMESTAMP.
+
+    The driver has shipped the events parquet with three different ``ts``
+    physical types across rounds; adapt from the footer schema instead of
+    assuming one:
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
+      read raw nanos via ``spark.sql.legacy.parquet.nanosAsLong`` and
+      floor-convert to micros (the truncation DuckDB applies casting
+      TIMESTAMP_NS → TIMESTAMP);
+    - parquet timestamp[us] with isAdjustedToUTC=false: Spark infers
+      TIMESTAMP_NTZ; cast to TIMESTAMP (session TZ is pinned UTC in
+      `paradump_spark.session`, so the wall-clock value is preserved and
+      matches DuckDB's naive TIMESTAMP);
+    - already TIMESTAMP: pass through.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw

@@ -22,27 +22,46 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (TESTDATA events.parquet)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _event_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Default stream schema (current testdata: parquet timestamp[us], no UTC
+# adjust → TIMESTAMP_NTZ).  `read_event_stream` sniffs the actual files.
+EVENT_SCHEMA = _event_schema(T.TimestampNTZType())
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over an events directory; nanos → timestamp."""
+    """File-source stream over an events directory; ``ts`` → TIMESTAMP.
+
+    A file stream needs a declared schema, but the driver's events parquet
+    has shipped ``ts`` as TIMESTAMP(NANOS), timestamp[us]-NTZ, and
+    TIMESTAMP across rounds — so sniff one footer via the batch reader and
+    declare the matching stream schema, then normalize exactly like
+    `paradump_spark.catalog.load_events` does for batch."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_field = [
+        f for f in spark.read.parquet(path).schema.fields if f.name == "ts"
+    ][0]
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(_event_schema(ts_field.dataType))
         .option("maxFilesPerTrigger", 8)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_field.dataType, T.LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_field.dataType, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_event_counts(

@@ -2,6 +2,7 @@
 
 import datetime
 
+from paradump_spark.catalog import load_events
 from paradump_spark.operators.asof import asof_join
 
 
@@ -103,10 +104,7 @@ def test_asof_forward_matches_bruteforce_on_events(spark, sf_dir):
     """Forward as-of on real events == brute-force min-following-ts join."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
     )

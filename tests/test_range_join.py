@@ -3,6 +3,7 @@ no cartesian in the plan."""
 
 import datetime
 
+from paradump_spark.catalog import load_events
 import pytest
 from pyspark.sql import functions as F
 
@@ -46,10 +47,7 @@ def test_range_join_before_window_and_inclusive_bounds(spark):
 
 
 def test_range_join_matches_naive_theta(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
     p = ev.where("event_type = 'purchase'").select(
         "user_id", F.col("event_id").alias("pid"), "ts"
     )
@@ -78,10 +76,7 @@ def test_range_join_rejects_empty_window(spark):
 
 
 def test_range_join_plan_is_equi_join(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
     p = ev.select("user_id", F.col("event_id").alias("pid"), "ts")
     c = ev.select("user_id", F.col("event_id").alias("cid"), F.col("ts").alias("cts"))
     out = range_join(p, c, "ts", "cts", after_seconds=3600, on=["user_id"])

@@ -5,6 +5,7 @@ sync."""
 import shutil
 import uuid
 
+from paradump_spark.catalog import load_events
 import pytest
 from pyspark.sql import functions as F
 
@@ -49,10 +50,7 @@ def test_hourly_counts_match_batch(spark, sf_dir, events_dir):
     }
     q.stop()
     # batch reference
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
     exp = {
         (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
         for r in ev.groupBy(
@@ -137,10 +135,7 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
     }
     q.stop()
     # batch reference: same interval join on the static table
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("pu"),
