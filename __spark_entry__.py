@@ -879,6 +879,17 @@ def _q_dedup_exact(spark, sf_dir):
     return DD.dedup_exact(_dup_docs(spark, sf_dir), ["text"], "doc_id")
 
 
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination evidence: distinct 3-gram shingles each
+    corpus document shares with a 'benchmark' slice (doc_id % 37 == 0)."""
+    from paradump_spark.operators.decontam import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return contamination(corpus, bench, "doc_id", "text", 3)
+
+
 def _near_dup_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", "text").unionAll(
@@ -1234,6 +1245,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_like_filter": _q_part_like_filter,
         "customers_without_orders": _q_customers_without_orders,
         "dedup_exact": _q_dedup_exact,
+        "contamination": _q_contamination,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
@@ -1626,6 +1638,17 @@ WITH dup AS (
   SELECT doc_id + 100000, text, lang, source, n_chars FROM documents),
 r AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM dup)
 SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn = 1""",
+        "contamination": (
+            "WITH "
+            + _shingle_cte("documents")
+            + """,
+u AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(sh) AS g FROM s)),
+b AS (SELECT DISTINCT g FROM u WHERE doc_id % 37 = 0)
+SELECT u.doc_id, count(*)::BIGINT AS n_hits
+FROM u JOIN b USING (g)
+WHERE u.doc_id % 37 <> 0
+GROUP BY u.doc_id"""
+        ),
         "minhash_lsh_candidates": _MINHASH_CAND_SQL,
         "ngram_jaccard": (
             "WITH "

@@ -203,7 +203,7 @@ def main() -> None:
         q = emb.where(F.col("vec_id") < 100)
         exact = SIM.brute_force_topk(emb, q, "vec_id", "embedding", k=10)
         exact.cache().count()
-        for nprobe in (2, 4):
+        for nprobe in (4, 8):
             approx = {}
 
             def probe(np=nprobe, sink=approx):

@@ -90,20 +90,42 @@ def kmeans_refine(
     id_col: str,
     vec_col: str,
     iters: int = 2,
+    train_cap: int | None = 4096,
+    seed: int = 42,
 ) -> DataFrame:
     """Lloyd refinement of the sampled IVF centroids (spherical k-means:
     cosine assignment, normalized cell means).  Plugs into
     :func:`ivf_build_index` / :func:`ivf_topk` without changing either
     plan — the docstring promise at :func:`ivf_centroids`.
 
-    Scale shape per iteration: assignment is the broadcast argmax (no
-    corpus shuffle); the mean is ``posexplode`` → ``groupBy(cell, dim)``
-    — partial aggregation compresses each task's contribution to
-    ``cells × dims`` rows before the shuffle, so shuffle volume is
-    ``partitions × cells × dims``, independent of corpus row count.
-    Cells that end an iteration empty keep their previous centroid, so
-    cell count (and the index layout) is stable.
+    ``train_cap`` bounds the TRAINING set: the cap-many corpus vectors
+    with the smallest md5(id) (the same hash-random order the coarse
+    sampler uses) are pulled to the driver ONCE (≤ cap × dims floats —
+    a few MB) and the Lloyd iterations run in numpy there, like faiss
+    trains its coarse quantizer on an in-memory sample.  Training on a
+    sample is the standard IVF recipe — centroid quality depends on the
+    sample covering the distribution, not on every row — and it makes
+    build cost independent of corpus size AND of ``iters`` (no Spark job
+    per iteration; the only full-corpus passes in :func:`ivf_build_index`
+    are the final assignment + write).  This is a bounded plan-time
+    collect, the same class as ``approxQuantile`` split sampling — not a
+    data-path collect.
+
+    ``train_cap=None`` trains distributed on everything: per iteration
+    the assignment is the broadcast argmax (no corpus shuffle) and the
+    mean is ``posexplode`` → ``groupBy(cell, dim)`` — partial aggregation
+    compresses each task's contribution to ``cells × dims`` rows before
+    the shuffle, so shuffle volume is ``partitions × cells × dims``,
+    independent of training row count.
+
+    Both paths: cells that end an iteration empty keep their previous
+    centroid, so cell count (and the index layout) is stable; argmax
+    ties break to the lowest cell_id.
     """
+    if train_cap is not None:
+        return _kmeans_refine_sampled(
+            corpus, centroids, id_col, vec_col, iters, train_cap, seed
+        )
     for _ in range(iters):
         assigned = ivf_assign(corpus, centroids, id_col, vec_col)
         means = (
@@ -133,6 +155,52 @@ def kmeans_refine(
             .localCheckpoint()  # cut the lineage: iters chain multiplies plans
         )
     return centroids
+
+
+def _kmeans_refine_sampled(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iters: int,
+    train_cap: int,
+    seed: int,
+) -> DataFrame:
+    """Driver-side spherical k-means over a bounded hash-random sample
+    (see :func:`kmeans_refine`).  One Spark job (TakeOrderedAndProject to
+    fetch the sample) regardless of ``iters``."""
+    import numpy as np
+
+    key = F.md5(F.concat(F.lit(f"train{seed}|"), F.col(id_col).cast("string")))
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), key.alias("__k"))
+        .orderBy("__k")  # TakeOrderedAndProject: per-partition top-n
+        .limit(train_cap)
+        .collect()
+    )
+    cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    cell_ids = [r["cell_id"] for r in cents]
+    C = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+
+    def unit(m: "np.ndarray") -> "np.ndarray":
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0.0, 1.0, n)
+
+    Xn = unit(X)
+    for _ in range(iters):
+        # argmax of cosine; np.argmax breaks ties to the lowest cell_id,
+        # matching the distributed argmax's (cos, -cell_id) ordering
+        assign = np.argmax(Xn @ unit(C).T, axis=1)
+        for j in range(len(cell_ids)):
+            members = Xn[assign == j]
+            if len(members):  # empty cell keeps its previous centroid VERBATIM
+                C[j] = unit(members.mean(axis=0, keepdims=True))[0]
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in C[j]]) for j, cid in enumerate(cell_ids)],
+        "cell_id int, centroid array<float>",
+    )
 
 
 def ivf_assign(
@@ -173,6 +241,7 @@ def ivf_build_index(
     num_cells: int = 16,
     seed: int = 42,
     refine_iters: int = 0,
+    train_cap: int | None = 4096,
 ) -> None:
     """Materialize an IVF index: the corpus written PARTITIONED BY cell_id
     (so probes become partition-pruned scans) + the centroid table.
@@ -186,11 +255,19 @@ def ivf_build_index(
     """
     cents = ivf_centroids(corpus, id_col, vec_col, num_cells, seed)
     if refine_iters:
-        cents = kmeans_refine(corpus, cents, id_col, vec_col, refine_iters)
+        cents = kmeans_refine(
+            corpus, cents, id_col, vec_col, refine_iters,
+            train_cap=train_cap, seed=seed,
+        )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
-        f"{path}/corpus"
-    )
+    # Cluster by cell before the partitioned write: without this every
+    # input task writes one file per cell it touches (tasks × cells tiny
+    # files — at cluster scale, millions); one hash shuffle on cell_id
+    # makes each task own whole cells, so file count ≈ max(num_cells,
+    # shuffle partitions) with row groups big enough to scan well.
+    assigned.repartition(F.col("cell_id")).write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/corpus")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 

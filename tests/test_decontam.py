@@ -1,0 +1,56 @@
+"""Benchmark decontamination: n-gram overlap evidence + filtering."""
+
+from pyspark.sql import functions as F
+
+from paradump_spark.operators.decontam import contamination, decontaminate
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark partitions"),
+            (3, "quick brown fox jumps again and again today"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(100, "the quick brown fox jumps high"), (101, "short doc")],
+        "doc_id long, text string",
+    )
+
+
+def test_contamination_counts_distinct_shared_shingles(spark):
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination(_docs(spark), _bench(spark)).collect()
+    }
+    # doc 1 shares 3-gram shingles "the quick brown", "quick brown fox",
+    # "brown fox jumps" with bench 100; doc 3 shares the latter two;
+    # doc 4 (< 3 tokens -> one whole-doc shingle) matches bench 101 exactly.
+    assert got == {1: 3, 3: 2, 4: 1}
+
+
+def test_decontaminate_drops_flagged_and_keeps_clean(spark):
+    kept = decontaminate(_docs(spark), _bench(spark))
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    # threshold: allow up to 2 shared shingles -> doc 3 (2 hits) and
+    # doc 4 (1 hit) survive; doc 1 (3 hits) stays flagged
+    kept2 = decontaminate(_docs(spark), _bench(spark), max_hits=2)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [2, 3, 4]
+
+
+def test_decontaminate_no_overlap_keeps_everything(spark):
+    bench = _bench(spark).where(F.lit(False))
+    assert decontaminate(_docs(spark), bench).count() == 4
+
+
+def test_contamination_plan_is_broadcast_no_corpus_shuffle(spark):
+    out = contamination(_docs(spark), _bench(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
