@@ -69,9 +69,16 @@ def main() -> None:
     times: dict[str, float] = {}
 
     # --- dump modes (reference bench: sql/csv to /dev/null) ---------------
-    times["dump_sql_noop"] = bench(lambda: write_noop(rendered_tuples(li)))
+    # The render is CPU-bound and the testdata ships one row group per
+    # table, so the scan arrives as ONE split; spread() restores the
+    # reference's N-parallel-writers shape (its -dumpparallel stage).
+    # At real scale inputs have >= parallelism row groups -> no-op.
+    from paradump_spark.operators.dedup import spread
+
+    li_wide = spread(li)
+    times["dump_sql_noop"] = bench(lambda: write_noop(rendered_tuples(li_wide)))
     types = [f.dataType for f in li.schema.fields]
-    csv_df = li.select(
+    csv_df = li_wide.select(
         csv_line([F.col(c) for c in li.columns], None, types).alias("line")
     )
     times["dump_csv_noop"] = bench(lambda: write_noop(csv_df))
@@ -79,7 +86,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="bench_csv_")
     try:
         times["dump_csv_disk"] = bench(
-            lambda: write_csv(li, os.path.join(tmp, "out"))
+            lambda: write_csv(li, os.path.join(tmp, "out"), partitions=int(CPUS))
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
