@@ -32,11 +32,15 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
-    # NB: spark.driver.memory must be set before JVM launch (spark-submit
-    # / SPARK_DRIVER_MEMORY); setting it here would silently no-op on an
-    # already-running JVM, so it is deliberately absent.
     "spark.ui.enabled": "false",
 }
+
+# Local-mode heap: plain `python script.py` launches the JVM with the 1g
+# default, which throttles 32 concurrent parquet writers (row-group
+# buffers) and makes mid-size shuffles spill.  Builder conf IS honored
+# here because it reaches spark-submit before JVM launch; it no-ops on a
+# JVM that is already running (cluster mode sets executor memory itself).
+_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 
 
 def build_session(
@@ -56,6 +60,8 @@ def build_session(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    if master.startswith("local"):
+        conf["spark.driver.memory"] = _DRIVER_MEM
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
