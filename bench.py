@@ -59,8 +59,11 @@ def main() -> None:
         # parallelism honestly (row-group granularity still applies).
         extra_conf={"spark.sql.files.maxPartitionBytes": str(1024 * 1024)},
     )
-    # JIT/IO warmup so query times measure steady state, not JVM startup.
-    _t(spark, "lineitem").count()
+    # JIT/IO warmup so query times measure steady state, not JVM startup:
+    # a tiny run of each heavy codegen path compiles the same generated
+    # classes (codegen cache is keyed by source) and spins Python workers.
+    _warm_li = _t(spark, "lineitem")
+    _warm_li.count()
 
     li = _t(spark, "lineitem")
     orders = _t(spark, "orders")
@@ -76,11 +79,18 @@ def main() -> None:
     from paradump_spark.operators.dedup import spread
 
     li_wide = spread(li)
-    times["dump_sql_noop"] = bench(lambda: write_noop(rendered_tuples(li_wide)))
     types = [f.dataType for f in li.schema.fields]
     csv_df = li_wide.select(
         csv_line([F.col(c) for c in li.columns], None, types).alias("line")
     )
+    # warm both render codegen paths on 1k rows before timing
+    write_noop(rendered_tuples(li.limit(1000)))
+    write_noop(
+        li.limit(1000).select(
+            csv_line([F.col(c) for c in li.columns], None, types).alias("line")
+        )
+    )
+    times["dump_sql_noop"] = bench(lambda: write_noop(rendered_tuples(li_wide)))
     times["dump_csv_noop"] = bench(lambda: write_noop(csv_df))
 
     tmp = tempfile.mkdtemp(prefix="bench_csv_")
@@ -177,10 +187,20 @@ def main() -> None:
 
         out = tempfile.mkdtemp(prefix="bench_zorder_")
         try:
-            zorder_write(li, os.path.join(out, "z"), ["l_orderkey", "l_partkey"], 32)
+            zorder_write(
+                li_wide, os.path.join(out, "z"), ["l_orderkey", "l_partkey"], 32
+            )
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    # warm the zvalue codegen + parquet writer path on 2k rows
+    _zw = tempfile.mkdtemp(prefix="bench_zwarm_")
+    try:
+        from paradump_spark.plans.zorder import zorder_write as _zwrt
+
+        _zwrt(li.limit(2000), os.path.join(_zw, "z"), ["l_orderkey", "l_partkey"], 4)
+    finally:
+        shutil.rmtree(_zw, ignore_errors=True)
     times["zorder_write"] = bench(zorder)
 
     times["ann_topk"] = bench(

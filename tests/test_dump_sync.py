@@ -156,3 +156,59 @@ def test_dump_manifest_round_trip_verifies(spark, sf_dir, tmp_path):
     )
     bad = verify_dump(ParquetCatalog(spark, baddir), mpath)
     assert bad == {"nation": False, "region": True}
+
+
+def test_checksum_columns_survive_copy(spark, tmp_path):
+    """SURVEY §5 cross-engine checksum concept (test/run_test.sh:412-478,
+    :785-794): rows carry precomputed hashes of their own payloads; after
+    a copy the destination bytes must recompute to the same hashes —
+    catching charset/binary mangling in transit.  Here: Spark fixture →
+    copy_table → sqlite → recompute both DBAPI-side and Spark-side."""
+    import hashlib
+    import sqlite3 as sq
+
+    from paradump_spark.sinks.dml import copy_table
+
+    rows = [
+        (1, "plain", b"\x00\x01\xff"),
+        (2, "with'quote\" and,comma", bytes(range(16))),
+        (3, "multi\nline\ttab", b""),
+        (4, "unicodé ✓ ♥", b"\xed\xa0\x80\xff"),
+    ]
+    data = [
+        (i, t, b, hashlib.sha256(t.encode("utf-8")).hexdigest(), b.hex())
+        for i, t, b in rows
+    ]
+    schema = (
+        "id long, label string, payload binary,"
+        " label_sha256 string, payload_hex string"
+    )
+    df = spark.createDataFrame(data, schema)
+    db = str(tmp_path / "cc.db")
+    con = sq.connect(db)
+    con.execute(
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, label TEXT, payload BLOB,"
+        " label_sha256 TEXT, payload_hex TEXT)"
+    )
+    con.commit()
+    con.close()
+    copy_table(df, lambda: sq.connect(db), "t", quote='"')
+
+    got = sq.connect(db).execute(
+        "SELECT id, label, payload, label_sha256, payload_hex FROM t ORDER BY id"
+    ).fetchall()
+    assert len(got) == len(rows)
+    for _id, label, payload, lsha, phex in got:
+        assert hashlib.sha256(label.encode("utf-8")).hexdigest() == lsha
+        assert bytes(payload or b"").hex() == phex
+
+    # Spark-side recompute over the destination rows (the engine's own
+    # hash functions must agree with the carried columns)
+    rdf = spark.createDataFrame(
+        [(i, l, bytes(p or b""), s, h) for i, l, p, s, h in got], schema
+    )
+    chk = rdf.select(
+        (F.sha2(F.col("label").cast("binary"), 256) == F.col("label_sha256")).alias("a"),
+        (F.lower(F.hex("payload")) == F.col("payload_hex")).alias("b"),
+    ).collect()
+    assert all(r["a"] and r["b"] for r in chk)
