@@ -43,6 +43,16 @@ def _t(spark, name):
     return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
 
 
+# Scratch space for LAYOUT benchmarks (zorder / IVF index): these measure
+# plan + compute, not disk hardware, so prefer tmpfs when present — host
+# writeback interference otherwise adds multi-second spikes to the two
+# tail queries (see BASELINE.md round-5-final note).  dump_csv_disk
+# stays on the real filesystem deliberately.
+def _scratch_dir(prefix: str) -> str:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def bench(fn):
     t0 = time.time()
     fn()
@@ -185,7 +195,7 @@ def main() -> None:
     def zorder():
         from paradump_spark.plans.zorder import zorder_write
 
-        out = tempfile.mkdtemp(prefix="bench_zorder_")
+        out = _scratch_dir("bench_zorder_")
         try:
             zorder_write(
                 li_wide, os.path.join(out, "z"), ["l_orderkey", "l_partkey"], 32
@@ -194,7 +204,7 @@ def main() -> None:
             shutil.rmtree(out, ignore_errors=True)
 
     # warm the zvalue codegen + parquet writer path on 2k rows
-    _zw = tempfile.mkdtemp(prefix="bench_zwarm_")
+    _zw = _scratch_dir("bench_zwarm_")
     try:
         from paradump_spark.plans.zorder import zorder_write as _zwrt
 
@@ -219,7 +229,7 @@ def main() -> None:
     # quantitatively defensible, not just fast.
     recalls: dict[str, float] = {}
 
-    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    ivf_dir = _scratch_dir("bench_ivf_")
     try:
         times["ivf_build_refined"] = bench(
             lambda: SIM.ivf_build_index(
