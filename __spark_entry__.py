@@ -1089,6 +1089,20 @@ def _q_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_pq_topk(spark, sf_dir):
+    """Product-quantized two-stage search (ADC candidates -> exact
+    re-score); approximate by design -> rows-only."""
+    from paradump_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = PQ.train_pq(emb, "vec_id", "embedding", m=8, ksub=64)
+    codes = PQ.pq_encode(emb, "embedding", books)
+    return PQ.pq_adc_topk(
+        codes, emb.where(F.col("vec_id") < 5), books,
+        "vec_id", "embedding", k=5, rescore=25,
+    )
+
+
 def _q_embedding_near_dup_lsh(spark, sf_dir):
     return DD.embedding_near_dup_pairs(
         _dup_embeddings(spark, sf_dir),
@@ -1267,6 +1281,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approximate by design -> rows-only checks
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "pq_topk": _q_pq_topk,
     }
 
 

@@ -253,6 +253,34 @@ def main() -> None:
             times[f"ivf_query_nprobe{nprobe}"] = bench(probe)
             r = SIM.ann_recall(approx["df"], exact).collect()[0]
             recalls[f"recall_at_10_nprobe{nprobe}"] = round(r["mean_recall"], 4)
+
+        # --- PQ: 8-int codes per 64-d vector; ADC scan + exact re-score.
+        # Encode (train + Arrow-batched code pass + materialize) and the
+        # search are timed separately; recall closes the compression story.
+        from paradump_spark.operators import pq as PQ
+
+        pq_state = {}
+
+        def pq_encode_step():
+            books = PQ.train_pq(emb, "vec_id", "embedding", m=8, ksub=256)
+            codes = PQ.pq_encode(emb, "embedding", books).cache()
+            codes.count()
+            pq_state["books"], pq_state["codes"] = books, codes
+
+        times["pq_encode"] = bench(pq_encode_step)
+
+        pq_out = {}
+
+        def pq_search():
+            pq_out["df"] = PQ.pq_adc_topk(
+                pq_state["codes"], q, pq_state["books"],
+                "vec_id", "embedding", k=10, rescore=100,
+            )
+            pq_out["df"].cache().count()
+
+        times["pq_adc_topk"] = bench(pq_search)
+        r = SIM.ann_recall(pq_out["df"], exact).collect()[0]
+        recalls["recall_at_10_pq_rescore100"] = round(r["mean_recall"], 4)
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
 

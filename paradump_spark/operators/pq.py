@@ -1,0 +1,232 @@
+"""Product quantization (PQ) — memory-side companion to the IVF index.
+
+The reference engine has no vector search at all; this extends the
+similarity family (`operators/similarity.py`) with the standard
+100 TB-scale ANN storage design: each (unit-normalized) vector is split
+into ``m`` subvectors and every subvector is replaced by the id of its
+nearest codeword from a per-subspace codebook — ``m`` small ints instead
+of ``4·d`` float bytes (64-d float32 → 8 codes: 32× smaller before
+column encoding).  Queries score compressed codes with an
+asymmetric-distance (ADC) lookup table and only the survivors are
+re-scored exactly — the faiss IVF-PQ recipe, re-expressed Spark-first:
+
+* training is driver-side numpy over a bounded hash-random sample (the
+  same plan-time-collect class as `kmeans_refine`);
+* encoding is one Arrow-batched pandas UDF pass (vector math over the
+  whole batch, no per-row Python);
+* ADC scoring is a PURE JVM expression: per-query lookup tables are
+  broadcast as flat float arrays and the score is a codegen'd
+  ``aggregate`` over the code positions — no UDF on the corpus-sized
+  side, no shuffle of the corpus;
+* exact re-scoring touches only ``rescore`` candidate rows per query.
+"""
+
+# NB: no `from __future__ import annotations` here — the pandas-UDF type
+# hints must stay live objects for PySpark's eval-type inference.
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from paradump_spark.functions import vectors as V
+
+
+@dataclass
+class PQCodebooks:
+    """``centroids[s][j]`` = codeword ``j`` of subspace ``s`` (numpy
+    (m, ksub, dsub) float64).  Trained on unit-normalized vectors so
+    dot(query, reconstruction) approximates cosine."""
+
+    centroids: "object"  # np.ndarray (m, ksub, dsub)
+
+    @property
+    def m(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.centroids.shape[2]
+
+
+def train_pq(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 256,
+    train_cap: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> PQCodebooks:
+    """Train per-subspace L2 k-means codebooks on a bounded hash-random
+    sample of unit-normalized vectors (deterministic: smallest md5(id),
+    like `similarity.ivf_centroids` / `kmeans_refine`)."""
+    import numpy as np
+
+    key = F.md5(F.concat(F.lit(f"pq{seed}|"), F.col(id_col).cast("string")))
+    rows = (
+        corpus.select(V.normalized(F.col(vec_col)).alias("v"), key.alias("__k"))
+        .orderBy("__k")
+        .limit(train_cap)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    k = min(ksub, n)
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        S = X[:, s * dsub : (s + 1) * dsub]
+        C = S[:k].copy()  # deterministic init: first k sample subvectors
+        for _ in range(iters):
+            # squared L2 via ||s||^2 - 2 s·c + ||c||^2 (argmin over c)
+            d2 = (
+                (S * S).sum(1)[:, None]
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for j in range(k):
+                members = S[assign == j]
+                if len(members):  # empty cell keeps its codeword
+                    C[j] = members.mean(axis=0)
+        books[s] = C
+    return PQCodebooks(books)
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    books: PQCodebooks,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``code_col``: array<int> of length ``m`` — each vector's
+    per-subspace nearest-codeword ids (computed over the unit-normalized
+    vector, matching training).  One Arrow-batched pandas UDF; all math
+    is whole-batch numpy."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = books.centroids  # closure-captured; broadcast with the task
+    m, k, dsub = C.shape
+    cnorm2 = [(C[s] * C[s]).sum(1) for s in range(m)]
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.array(vs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / np.where(norms == 0.0, 1.0, norms)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            S = X[:, s * dsub : (s + 1) * dsub]
+            d2 = -2.0 * (S @ C[s].T) + cnorm2[s][None, :]
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(code_col, encode(F.col(vec_col)))
+
+
+def _query_luts(queries, qid_col, vec_col, books: PQCodebooks):
+    """Per-query flat ADC table: lut[s*ksub + j] = q_sub(s) · codeword(s,j),
+    so Σ_s lut[s*ksub + code_s] ≈ cosine(q, vector) for unit vectors."""
+    import numpy as np
+
+    C = books.centroids
+    m, k, dsub = C.shape
+    rows = queries.select(F.col(qid_col), F.col(vec_col)).collect()
+    out = []
+    for r in rows:
+        q = np.array(r[vec_col], dtype=np.float64)
+        nq = np.linalg.norm(q)
+        q = q / (nq if nq > 0 else 1.0)
+        lut = np.concatenate(
+            [C[s] @ q[s * dsub : (s + 1) * dsub] for s in range(m)]
+        )
+        out.append((r[qid_col], [float(x) for x in lut]))
+    return out
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: PQCodebooks,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    rescore: int = 50,
+    code_col: str = "pq_code",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Two-stage PQ search: ADC-score every code against each query's
+    broadcast lookup table (pure codegen expression over the corpus
+    side), keep ``rescore`` candidates per query, re-score those few
+    exactly on the raw vectors, return the top ``k``.
+
+    Output: (query_id, neighbor_id, rank, cosine) — the
+    `similarity.brute_force_topk` shape, so `ann_recall` composes.
+    """
+    qid = query_id_col or id_col
+    spark = codes.sparkSession
+    ksub = books.ksub
+    luts = spark.createDataFrame(
+        _query_luts(queries, qid, vec_col, books),
+        T.StructType(
+            [
+                T.StructField("query_id", queries.schema[qid].dataType),
+                T.StructField("__lut", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    # ADC score: fold over the m code positions, reading the lut slot of
+    # each code — aggregate+element_at are codegen'd JVM expressions
+    pos = F.sequence(F.lit(0), F.lit(books.m - 1))
+    score = F.aggregate(
+        pos,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("__lut"),
+            s * ksub + F.element_at(F.col(code_col), s + 1) + 1,
+        ),
+    )
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), code_col, vec_col)
+        .crossJoin(F.broadcast(luts))
+        .withColumn("__adc", score)
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        scored.withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= rescore)
+        .drop("__r", "__adc", code_col)
+    )
+    # exact re-score of rescore×queries rows only
+    q = F.broadcast(
+        queries.select(
+            F.col(qid).alias("query_id"), V.normalized(F.col(vec_col)).alias("__qn")
+        )
+    )
+    exact = cands.join(q, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        V.dot(F.col("__qn"), V.normalized(F.col(vec_col))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

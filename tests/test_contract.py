@@ -42,9 +42,11 @@ def test_oracle_keys_subset_of_queries():
     assert o <= q
     # only approximate / non-SQL-expressible ops may be rows-only
     assert q - o == {"ivf_topk", "embedding_near_dup_lsh", "pack_stats"}
-    # every retired (extra) query keeps a DuckDB oracle
+    # every retired (extra) query keeps a DuckDB oracle, except the
+    # approximate-by-design ones
     xq, xo = set(E.extra_queries()), set(E.extra_oracle_sql())
-    assert xq == xo
+    assert xq - xo == {"pq_topk"}
+    assert xo <= xq
     assert not xq & q
 
 
@@ -71,6 +73,9 @@ def test_extra_queries_match_oracle(spark, sf_dir):
         )
     oracles = E.extra_oracle_sql()
     for name, fn in E.extra_queries().items():
+        if name not in oracles:  # approximate rows-only extras (pq_topk)
+            assert fn(spark, sf_dir).count() > 0, name
+            continue
         spdf = _canon(fn(spark, sf_dir).toPandas())
         opdf = _canon(con.execute(oracles[name]).df())
         assert sorted(spdf.columns) == sorted(opdf.columns), name
