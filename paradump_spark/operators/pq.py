@@ -230,3 +230,181 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ: the composed faiss-style index — coarse cells prune the scan
+# (partition pruning), PQ codes compress what remains, ADC scores it, and
+# only the survivors touch raw vectors.
+
+def save_codebooks(spark, books: PQCodebooks, path: str) -> None:
+    """Persist codebooks as (subspace, code, centroid) rows next to the
+    index so probes can run in a fresh session."""
+    import numpy as np  # noqa: F401
+
+    C = books.centroids
+    rows = [
+        (int(s), int(j), [float(x) for x in C[s, j]])
+        for s in range(books.m)
+        for j in range(books.ksub)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_codebooks(spark, path: str) -> PQCodebooks:
+    import numpy as np
+
+    rows = spark.read.parquet(path).collect()
+    m = max(r["subspace"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    C = np.empty((m, k, dsub))
+    for r in rows:
+        C[r["subspace"], r["code"]] = r["centroid"]
+    return PQCodebooks(C)
+
+
+def ivf_pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    num_cells: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    refine_iters: int = 2,
+    train_cap: int = 4096,
+    seed: int = 42,
+) -> PQCodebooks:
+    """Materialize the composed index: corpus rows + their PQ codes,
+    written ``partitionBy(cell_id)`` (cell layout and training both reuse
+    the IVF machinery in `operators.similarity`); codebooks and centroids
+    stored alongside.  One full-corpus pass total (assign + encode fuse
+    into the same write job)."""
+    from paradump_spark.operators import similarity as SIM
+
+    cents = SIM.ivf_centroids(corpus, id_col, vec_col, num_cells, seed)
+    if refine_iters:
+        cents = SIM.kmeans_refine(
+            corpus, cents, id_col, vec_col, refine_iters,
+            train_cap=train_cap, seed=seed,
+        )
+    books = train_pq(
+        corpus, id_col, vec_col, m=m, ksub=ksub,
+        train_cap=train_cap, seed=seed,
+    )
+    assigned = SIM.ivf_assign(corpus, cents, id_col, vec_col)
+    encoded = pq_encode(assigned, vec_col, books)
+    encoded.repartition(F.col("cell_id")).write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/corpus")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    save_codebooks(corpus.sparkSession, books, f"{path}/pq_codebooks")
+    return books
+
+
+def ivf_pq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    rescore: int = 100,
+    query_id_col: str | None = None,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Search the composed index: nprobe cell pruning (PartitionFilters
+    on the scan) → ADC over the probed cells' codes (codegen aggregate
+    against each query's broadcast LUT) → exact re-score of ``rescore``
+    candidates on the stored raw vectors.  Output shape composes with
+    `similarity.ann_recall`."""
+    qid = query_id_col or id_col
+    books = load_codebooks(spark, f"{path}/pq_codebooks")
+    cents = spark.read.parquet(f"{path}/centroids")
+    ksub = books.ksub
+
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    qcells = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "cell_id",
+            V.cosine(F.col("__qv"), F.col("centroid")).alias("__ccos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        qcells.withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+    luts = spark.createDataFrame(
+        _query_luts(queries, qid, vec_col, books),
+        T.StructType(
+            [
+                T.StructField("query_id", queries.schema[qid].dataType),
+                T.StructField("__lut", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    cells = sorted(
+        {r["cell_id"] for r in probes.select("cell_id").distinct().collect()}
+    )
+    corpus = spark.read.parquet(f"{path}/corpus").where(
+        F.col("cell_id").isin(cells)
+    )
+    pos = F.sequence(F.lit(0), F.lit(books.m - 1))
+    score = F.aggregate(
+        pos,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("__lut"),
+            s * ksub + F.element_at(F.col(code_col), s + 1) + 1,
+        ),
+    )
+    scored = (
+        F.broadcast(probes.join(luts, "query_id"))
+        .join(corpus, "cell_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            "__lut",
+            code_col,
+        )
+        .withColumn("__adc", score)
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        scored.withColumn("__r", F.row_number().over(wr))
+        .where(F.col("__r") <= rescore)
+        .drop("__r", "__adc", "__lut", code_col)
+    )
+    qn = F.broadcast(
+        queries.select(
+            F.col(qid).alias("query_id"), V.normalized(F.col(vec_col)).alias("__qn")
+        )
+    )
+    exact = cands.join(qn, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        V.dot(F.col("__qn"), V.normalized(F.col(vec_col))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

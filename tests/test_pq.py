@@ -84,3 +84,54 @@ def test_pq_scoring_stage_has_no_python(spark, sf_dir):
         got.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_pq_index_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """Composed index: codebooks reload identically, probes prune
+    partitions, and nprobe=all + rescore=corpus reproduces the exact
+    top-k (the final stage scores true cosine on raw vectors)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    path = str(tmp_path / "ivfpq")
+    books = PQ.ivf_pq_build_index(
+        emb, path, "vec_id", "embedding", num_cells=8, m=8, ksub=64
+    )
+    assert np.array_equal(
+        PQ.load_codebooks(spark, f"{path}/pq_codebooks").centroids,
+        books.centroids,
+    )
+    q = emb.where(F.col("vec_id") < 20)
+    got = PQ.ivf_pq_query_index(
+        spark, path, q, "vec_id", "embedding", k=5, nprobe=8, rescore=n
+    )
+    exact = brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, exact.collect()))
+    assert g == e
+
+    # narrow probe must partition-prune the corpus scan
+    narrow = PQ.ivf_pq_query_index(
+        spark, path, q.limit(3), "vec_id", "embedding", k=5, nprobe=2, rescore=20
+    )
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "cell_id IN" in plan or "PartitionFilters: [cell_id" in plan.replace(
+        "#", " #"
+    ).replace("cell_id ", "cell_id")
+    assert narrow.count() > 0
+
+
+def test_ivf_pq_recall_reasonable_at_narrow_probe(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq2")
+    PQ.ivf_pq_build_index(
+        emb, path, "vec_id", "embedding", num_cells=8, m=8, ksub=64
+    )
+    q = emb.where(F.col("vec_id") < 30)
+    got = PQ.ivf_pq_query_index(
+        spark, path, q, "vec_id", "embedding", k=10, nprobe=4, rescore=100
+    )
+    exact = brute_force_topk(emb, q, "vec_id", "embedding", k=10)
+    rec = ann_recall(got, exact).collect()[0]["mean_recall"]
+    # nprobe=4 of 8 cells scans ~half the corpus; PQ+rescore should keep
+    # most of the true neighbors that live in the probed cells
+    assert rec >= 0.5, rec
