@@ -47,6 +47,20 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--table", action="append", default=[], help="explicit table (repeatable)")
     pr.add_argument("--approx", action="store_true",
                     help="approx_count_distinct instead of exact (the 100 TB default)")
+
+    dc = sub.add_parser(
+        "decontam", help="drop documents overlapping a benchmark set"
+    )
+    dc.add_argument("--directory", required=True, help="corpus catalog directory")
+    dc.add_argument("--table", default="documents")
+    dc.add_argument("--bench-directory", required=True, help="benchmark catalog directory")
+    dc.add_argument("--bench-table", default="documents")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--output", required=True, help="parquet output for the clean corpus")
+    dc.add_argument("--ngram", type=int, default=3)
+    dc.add_argument("--max-hits", type=int, default=0,
+                    help="max shared shingles tolerated before a doc is dropped")
     return p
 
 
@@ -67,6 +81,11 @@ def validate(args: argparse.Namespace) -> None:
     if args.command == "profile":
         if len(args.table) != len(set(args.table)):
             raise SystemExit("duplicate --table")
+    if args.command == "decontam":
+        if args.ngram < 1:
+            raise SystemExit("--ngram must be >= 1")
+        if args.max_hits < 0:
+            raise SystemExit("--max-hits must be >= 0")
     if args.command == "sync":
         # NB: src == dst is legal — the reference's no-op sync test relies
         # on diffing identical endpoints reporting zero DML
@@ -109,6 +128,26 @@ def main(argv: list[str] | None = None) -> int:
                     f"{t}.{r['column_name']} nulls={r['n_nulls']} "
                     f"distinct={r['n_distinct']} min={r['min_text']} max={r['max_text']}"
                 )
+        return 0
+    if args.command == "decontam":
+        from paradump_spark.operators.decontam import contamination, decontaminate
+
+        corpus = ParquetCatalog(spark, args.directory).load(args.table)
+        bench = ParquetCatalog(spark, args.bench_directory).load(args.bench_table)
+        clean = decontaminate(
+            corpus, bench, args.id_col, args.text_col, args.ngram, args.max_hits
+        )
+        clean.write.mode("overwrite").parquet(args.output)
+        n_in, n_out = corpus.count(), spark.read.parquet(args.output).count()
+        n_flagged = (
+            contamination(corpus, bench, args.id_col, args.text_col, args.ngram)
+            .where(f"n_hits > {args.max_hits}")
+            .count()
+        )
+        print(
+            f"decontam {args.table}: kept {n_out} of {n_in} "
+            f"(flagged {n_flagged}, max_hits={args.max_hits})"
+        )
         return 0
     # sync
     from paradump_spark.sync import SyncOptions

@@ -54,3 +54,26 @@ def test_contamination_plan_is_broadcast_no_corpus_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cli_decontam_runs_and_validates(spark, sf_dir, tmp_path, capsys):
+    from paradump_spark.cli import main
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["decontam", "--directory", sf_dir, "--bench-directory", sf_dir,
+              "--output", str(tmp_path / "x"), "--ngram", "0"])
+    with pytest.raises(SystemExit):
+        main(["decontam", "--directory", sf_dir, "--bench-directory", sf_dir,
+              "--output", str(tmp_path / "x"), "--max-hits", "-1"])
+
+    # corpus vs itself as the benchmark: everything is contaminated
+    out = str(tmp_path / "clean")
+    rc = main([
+        "decontam", "--directory", sf_dir, "--bench-directory", sf_dir,
+        "--output", out,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 0
+    assert "kept 0 of" in capsys.readouterr().out
