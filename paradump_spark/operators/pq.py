@@ -122,6 +122,8 @@ def pq_encode(
     def encode(vs: pd.Series) -> pd.Series:
         import numpy as np
 
+        if len(vs) == 0:  # empty partitions yield empty Arrow batches
+            return pd.Series([], dtype=object)
         X = np.array(vs.tolist(), dtype=np.float64)
         norms = np.linalg.norm(X, axis=1, keepdims=True)
         X = X / np.where(norms == 0.0, 1.0, norms)

@@ -135,3 +135,12 @@ def test_ivf_pq_recall_reasonable_at_narrow_probe(spark, sf_dir, tmp_path):
     # nprobe=4 of 8 cells scans ~half the corpus; PQ+rescore should keep
     # most of the true neighbors that live in the probed cells
     assert rec >= 0.5, rec
+
+
+def test_pq_encode_handles_empty_partitions(spark, sf_dir):
+    """Over-partitioned input -> some Arrow batches are empty; the encode
+    UDF must pass them through instead of crashing on 1-d reshape."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(3)
+    books = PQ.train_pq(emb, "vec_id", "embedding", m=8, ksub=4, train_cap=8)
+    out = PQ.pq_encode(emb.repartition(16), "embedding", books)
+    assert out.count() == 3
