@@ -879,6 +879,14 @@ def _q_dedup_exact(spark, sf_dir):
     return DD.dedup_exact(_dup_docs(spark, sf_dir), ["text"], "doc_id")
 
 
+def _q_group_sample_lang(spark, sf_dir):
+    """Deterministic per-group sample: 5 hash-smallest docs per lang."""
+    from paradump_spark.operators.sampling import group_top_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_top_k(docs, ["lang"], "doc_id", 5).select("doc_id", "lang")
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark decontamination evidence: distinct 3-gram shingles each
     corpus document shares with a 'benchmark' slice (doc_id % 37 == 0)."""
@@ -1260,6 +1268,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "dedup_exact": _q_dedup_exact,
         "contamination": _q_contamination,
+        "group_sample_lang": _q_group_sample_lang,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
@@ -1653,6 +1662,16 @@ WITH dup AS (
   SELECT doc_id + 100000, text, lang, source, n_chars FROM documents),
 r AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM dup)
 SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn = 1""",
+        "group_sample_lang": """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR),
+                chr(0) || 'NULL')), 1, 15))::BIGINT % 1000000 AS b
+  FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn
+      FROM h)
+SELECT doc_id, lang FROM r WHERE rn <= 5""",
         "contamination": (
             "WITH "
             + _shingle_cte("documents")

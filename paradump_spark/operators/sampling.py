@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Bucket modulus. 1e6 buckets keeps weight quantization error ≤ 1e-6.
@@ -126,3 +126,29 @@ def mixture(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def group_top_k(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-group sample: the ``k`` rows of each group with
+    the smallest :func:`hash_bucket` of their id (ties broken by id) —
+    the balanced-mix primitive ("k docs per language/source"), stable
+    across engines and runs.
+
+    One shuffle on ``group_cols`` (the row_number window); no driver
+    state.  DuckDB spelling: ``row_number() OVER (PARTITION BY g ORDER
+    BY <hash_bucket sql>, id) <= k``.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

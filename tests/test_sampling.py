@@ -113,3 +113,22 @@ def test_mixture_rejects_empty_sources():
 
     with pytest.raises(ValueError):
         S.mixture([])
+
+
+def test_group_top_k_exact_size_and_determinism(spark, sf_dir):
+    from paradump_spark.operators.sampling import group_top_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = group_top_k(docs, ["lang"], "doc_id", 5)
+    s2 = group_top_k(docs, ["lang"], "doc_id", 5)
+    r1 = sorted((r["lang"], r["doc_id"]) for r in s1.collect())
+    assert r1 == sorted((r["lang"], r["doc_id"]) for r in s2.collect())
+    from collections import Counter
+
+    per_group = Counter(lang for lang, _ in r1)
+    totals = Counter(r["lang"] for r in docs.select("lang").collect())
+    for lang, n in per_group.items():
+        assert n == min(5, totals[lang]), lang
+    # a different seed picks a different (still deterministic) sample
+    s3 = group_top_k(docs, ["lang"], "doc_id", 5, seed="other")
+    assert r1 != sorted((r["lang"], r["doc_id"]) for r in s3.collect())
