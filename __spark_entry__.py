@@ -1138,6 +1138,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # one driver-evaluated proof; redundant SQL-surface variants move to
 # extra_queries(), which pytest still oracle-checks end-to-end.
 _DRIVER_QUERY_NAMES = [
+    # ------- always-on core (all green in CORRECTNESS_r03) -------
     # core paradump operators (S/P/J/A/F/K)
     "diff_classified",
     "incremental_diff_classified",
@@ -1169,29 +1170,32 @@ _DRIVER_QUERY_NAMES = [
     "pack_stats",
     "ivf_topk",
     "embedding_near_dup_lsh",
-    # custom temporal operators
     "asof_purchase_click",
-    "range_join_clicks",
-    "sessionize_stats",
-    "session_window_stats",
-    # SQL surface, one query per distinct engine feature
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "top_event_per_user",
-    "events_hourly",
-    "price_percentiles",
-    "event_type_pivot",
-    "cube_order_stats",
-    "grouping_sets_orders",
-    "lineitem_rollup",
-    "open_order_customers",
-    "customer_except",
-    "customer_spend_quartiles",
-    "lateral_top_order",
-    "cumulative_revenue_range",
-    "regexp_extract_ids",
-    "json_props_stats",
+    # ------- round-4 rotation: the 20 queries CORRECTNESS_r03 never
+    # evaluated, so r03 ∪ r04 covers the full declared surface.  The
+    # 20 rotated OUT (range_join_clicks, sessionize_stats, q1/q3/q5,
+    # cube/rollup/grouping-sets, ...) are all hash-green in r03 and
+    # stay oracle-checked via extra_queries() + pytest. -------
+    "contamination",
+    "group_sample_lang",
+    "binary_render",
+    "events_moving_avg",
+    "pq_topk",
+    "chunk_coverage_lineitem",
+    "segment_order_stats",
+    "nation_customer_names",
+    "corr_qty_price",
+    "order_age_buckets",
+    "union_segments",
+    "orders_by_weekday",
+    "part_color_stats",
+    "segment_nation_intersect",
+    "order_price_rankstats",
+    "first_last_order_value",
+    "value_histogram",
+    "orders_by_year",
+    "part_like_filter",
+    "customers_without_orders",
 ]
 
 

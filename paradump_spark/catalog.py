@@ -100,30 +100,74 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> ParquetCatalog:
     return ParquetCatalog(spark, sf_dir)
 
 
+def _parquet_ts_arrow_type(path: str, col: str = "ts"):
+    """The footer-declared arrow type of ``col`` (file or directory of
+    part files; None when the column is absent)."""
+    import pyarrow.parquet as papq
+
+    if os.path.isdir(path):
+        for d, _, fs in os.walk(path):
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    path = os.path.join(d, f)
+                    break
+            else:
+                continue
+            break
+    schema = papq.read_schema(path)
+    return schema.field(col).type if col in schema.names else None
+
+
 def load_events(spark: SparkSession, path: str) -> DataFrame:
     """events table with ``ts`` normalized to session-TZ TIMESTAMP.
 
     The driver has shipped the events parquet with three different ``ts``
-    physical types across rounds; adapt from the footer schema instead of
-    assuming one:
+    physical types across rounds; adapt from the FOOTER type (pyarrow —
+    exact, no guessing) instead of assuming one:
 
     - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
       read raw nanos via ``spark.sql.legacy.parquet.nanosAsLong`` and
       floor-convert to micros (the truncation DuckDB applies casting
-      TIMESTAMP_NS → TIMESTAMP);
+      TIMESTAMP_NS → TIMESTAMP).  The legacy flag is SCOPED: saved and
+      restored around the read (the analyzer captures it eagerly, so the
+      lazy execution is unaffected — tests/test_review_fixes.py proves a
+      post-restore collect), and it is never touched on the other paths,
+      so a later unrelated parquet read in the same session cannot be
+      silently re-typed;
+    - bare INT64 (no logical type): magnitude-probe one value — epoch
+      nanos for any plausible date (±10 years of 2024) exceed 1e17 while
+      epoch micros stay below it — and convert accordingly, so a future
+      round shipping genuine int64 micros is not divided by 1000;
     - parquet timestamp[us] with isAdjustedToUTC=false: Spark infers
       TIMESTAMP_NTZ; cast to TIMESTAMP (session TZ is pinned UTC in
       `paradump_spark.session`, so the wall-clock value is preserved and
       matches DuckDB's naive TIMESTAMP);
     - already TIMESTAMP: pass through.
     """
+    import pyarrow as pa
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    arrow_t = _parquet_ts_arrow_type(path)
+    if arrow_t == pa.timestamp("ns"):
+        saved = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            raw = spark.read.parquet(path)
+            raw.schema  # force analysis while the flag is live
+        finally:
+            if saved is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", saved)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     raw = spark.read.parquet(path)
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type in ("bigint", "long"):
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        probe = raw.select("ts").where(F.col("ts").isNotNull()).limit(1).collect()
+        unit_div = 1 if not probe or abs(probe[0][0]) < int(1e17) else 1000
+        return raw.withColumn(
+            "ts", F.expr(f"timestamp_micros(ts div {unit_div})")
+        )
     if ts_type == "timestamp_ntz":
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw

@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--ngram", type=int, default=3)
     dc.add_argument("--max-hits", type=int, default=0,
                     help="max shared shingles tolerated before a doc is dropped")
+    dc.add_argument("--no-broadcast-bench", action="store_true",
+                    help="shuffle-join the benchmark shingles instead of "
+                         "broadcasting (for benchmarks too big to broadcast)")
     return p
 
 
@@ -130,20 +133,28 @@ def main(argv: list[str] | None = None) -> int:
                 )
         return 0
     if args.command == "decontam":
-        from paradump_spark.operators.decontam import contamination, decontaminate
+        from pyspark.sql import functions as F
+
+        from paradump_spark.operators.decontam import flagged_ids
 
         corpus = ParquetCatalog(spark, args.directory).load(args.table)
         bench = ParquetCatalog(spark, args.bench_directory).load(args.bench_table)
-        clean = decontaminate(
-            corpus, bench, args.id_col, args.text_col, args.ngram, args.max_hits
-        )
-        clean.write.mode("overwrite").parquet(args.output)
-        n_in, n_out = corpus.count(), spark.read.parquet(args.output).count()
-        n_flagged = (
-            contamination(corpus, bench, args.id_col, args.text_col, args.ngram)
-            .where(f"n_hits > {args.max_hits}")
-            .count()
-        )
+        # ONE shingle-join pass: persist the (tiny) flagged-id frame, then
+        # the report count, the anti-join filter, and the write all derive
+        # from it — the corpus text is shingled exactly once.
+        flagged = flagged_ids(
+            corpus, bench, args.id_col, args.text_col, args.ngram,
+            args.max_hits, broadcast_bench=not args.no_broadcast_bench,
+        ).persist()
+        try:
+            n_flagged = flagged.count()  # materializes the persisted frame
+            clean = corpus.join(F.broadcast(flagged), args.id_col, "left_anti")
+            clean.write.mode("overwrite").parquet(args.output)
+            # counts are parquet-footer reads (count(*) pushdown), not scans
+            n_in = corpus.count()
+            n_out = spark.read.parquet(args.output).count()
+        finally:
+            flagged.unpersist()
         print(
             f"decontam {args.table}: kept {n_out} of {n_in} "
             f"(flagged {n_flagged}, max_hits={args.max_hits})"

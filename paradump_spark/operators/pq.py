@@ -17,7 +17,13 @@ re-scored exactly — the faiss IVF-PQ recipe, re-expressed Spark-first:
 * ADC scoring is a PURE JVM expression: per-query lookup tables are
   broadcast as flat float arrays and the score is a codegen'd
   ``aggregate`` over the code positions — no UDF on the corpus-sized
-  side, no shuffle of the corpus;
+  side and no shuffle in the scoring join itself (the LUTs broadcast);
+* candidate selection is the skew-safe two-stage cut
+  (`plans.topk.partial_topk`): the scored rows shuffle ONCE on
+  ``(input partition, query)`` — keys that spread every query over all
+  partitions — and the global per-query ranking then touches only
+  ``rescore × partitions`` rows per query, never the full scored
+  product through one task;
 * exact re-scoring touches only ``rescore`` candidate rows per query.
 """
 
@@ -30,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from paradump_spark.functions import vectors as V
+from paradump_spark.plans.topk import partial_topk
 
 
 @dataclass
@@ -205,11 +212,20 @@ def pq_adc_topk(
         .crossJoin(F.broadcast(luts))
         .withColumn("__adc", score)
     )
+    # skew-safe candidate cut: ≤ rescore rows per (input partition, query)
+    # before the global per-query ranking (identical result; the order is
+    # total via the neighbor_id tiebreak)
+    part = partial_topk(
+        scored,
+        ["query_id"],
+        [F.col("__adc").desc(), F.col("neighbor_id").asc()],
+        rescore,
+    )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__adc").desc(), F.col("neighbor_id").asc()
     )
     cands = (
-        scored.withColumn("__r", F.row_number().over(wq))
+        part.withColumn("__r", F.row_number().over(wq))
         .where(F.col("__r") <= rescore)
         .drop("__r", "__adc", code_col)
     )
@@ -384,11 +400,17 @@ def ivf_pq_query_index(
         )
         .withColumn("__adc", score)
     )
+    part = partial_topk(
+        scored,
+        ["query_id"],
+        [F.col("__adc").desc(), F.col("neighbor_id").asc()],
+        rescore,
+    )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("__adc").desc(), F.col("neighbor_id").asc()
     )
     cands = (
-        scored.withColumn("__r", F.row_number().over(wr))
+        part.withColumn("__r", F.row_number().over(wr))
         .where(F.col("__r") <= rescore)
         .drop("__r", "__adc", "__lut", code_col)
     )

@@ -24,6 +24,8 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from paradump_spark.plans.topk import partial_topk
+
 #: Bucket modulus. 1e6 buckets keeps weight quantization error ≤ 1e-6.
 DENOM = 1_000_000
 
@@ -128,6 +130,30 @@ def mixture(
     return out
 
 
+def group_top_k_partial(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """Stage 1 of the skew-safe :func:`group_top_k`: per-INPUT-PARTITION
+    top-k within each group.
+
+    The window partitions on ``(spark_partition_id, group)``, so a hot
+    group ("all of English") is spread across every input partition
+    instead of collapsing onto one task — the shuffle keys are as
+    numerous as ``partitions × groups`` and each task sees at most one
+    input partition's share of one group.  Output is a SUPERSET of the
+    global top-k (per-partition top-k union always contains it) with at
+    most ``k × input_partitions`` rows per group.
+    """
+    bucket = hash_bucket(F.col(id_col), seed)
+    return partial_topk(
+        df, list(group_cols), [bucket.asc(), F.col(id_col).asc()], k
+    )
+
+
 def group_top_k(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -140,15 +166,25 @@ def group_top_k(
     the balanced-mix primitive ("k docs per language/source"), stable
     across engines and runs.
 
-    One shuffle on ``group_cols`` (the row_number window); no driver
-    state.  DuckDB spelling: ``row_number() OVER (PARTITION BY g ORDER
-    BY <hash_bucket sql>, id) <= k``.
+    Skew-safe two-stage plan: :func:`group_top_k_partial` first cuts each
+    group to ≤ ``k × input_partitions`` candidates with a window keyed on
+    ``(spark_partition_id, group)`` — one full-data shuffle whose keys
+    spread hot groups over all partitions — then the global ``row_number``
+    window ranks only the surviving candidates, so the per-group task that
+    would have received *every* row of a web-scale group now receives at
+    most ``k × partitions`` rows.  The result is identical to the naive
+    single-window plan (the per-partition top-k union is a superset of
+    the global top-k, and the (bucket, id) order is total).
+
+    DuckDB spelling (partitioning-free, same result): ``row_number()
+    OVER (PARTITION BY g ORDER BY <hash_bucket sql>, id) <= k``.
     """
+    candidates = group_top_k_partial(df, group_cols, id_col, k, seed)
     w = Window.partitionBy(*group_cols).orderBy(
         hash_bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()
     )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        candidates.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from paradump_spark.functions import vectors as V
 from paradump_spark.operators.dedup import spread
+from paradump_spark.plans.topk import partial_topk
 
 
 def brute_force_topk(
@@ -48,11 +49,17 @@ def brute_force_topk(
         "neighbor_id",
         V.dot(F.col("__qv"), F.col("__cv")).alias("cosine"),
     )
+    # skew-safe: cut each query to ≤ k rows per input partition before
+    # the global ranking, so the per-query task never receives the whole
+    # scored corpus (identical result — (cosine, id) is a total order)
+    cand = partial_topk(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
@@ -321,11 +328,14 @@ def ivf_query_index(
             V.cosine(F.col("__qv"), F.col(vec_col)).alias("cosine"),
         )
     )
+    cand = partial_topk(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
@@ -378,11 +388,14 @@ def ivf_topk(
         "neighbor_id",
         V.cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
     )
+    cand = partial_topk(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )

@@ -77,3 +77,45 @@ def test_cli_decontam_runs_and_validates(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     assert spark.read.parquet(out).count() == 0
     assert "kept 0 of" in capsys.readouterr().out
+
+
+def test_contamination_broadcast_gate_degrades_to_shuffle(spark):
+    """broadcast_bench=False must not force the broadcast: the bench side
+    joins without a broadcast hint so an oversized benchmark degrades to
+    a shuffle join instead of OOMing the driver."""
+    out = contamination(_docs(spark), _bench(spark), broadcast_bench=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no explicit broadcast hint: with AQE on tiny data Spark may still
+    # CHOOSE broadcast, so assert on the analyzed plan's hints instead
+    logical = out._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical and "broadcast" not in logical.lower()
+    # result identical either way
+    a = {(r["doc_id"], r["n_hits"]) for r in out.collect()}
+    b = {(r["doc_id"], r["n_hits"]) for r in contamination(_docs(spark), _bench(spark)).collect()}
+    assert a == b
+
+
+def test_cli_decontam_single_shingle_pass(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """The CLI derives report + filter + write from ONE contamination()
+    computation (the round-3 version ran the shingle join twice)."""
+    import paradump_spark.operators.decontam as D
+    from paradump_spark.cli import main
+
+    calls = {"n": 0}
+    orig = D.contamination
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(D, "contamination", counting)
+    out = str(tmp_path / "clean2")
+    rc = main([
+        "decontam", "--directory", sf_dir, "--bench-directory", sf_dir,
+        "--output", out, "--max-hits", "1000000",
+    ])
+    assert rc == 0
+    assert calls["n"] == 1
+    assert "flagged 0" in capsys.readouterr().out
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert spark.read.parquet(out).count() == docs

@@ -120,3 +120,79 @@ def test_snapshot_mode_enforced():
     assert "SET TRANSACTION SNAPSHOT '00A-1'" in pg.reader_options()[
         "sessionInitStatement"
     ]
+
+
+def test_load_events_nanos_conf_is_scoped(spark, tmp_path):
+    """nanosAsLong is set only for the TIMESTAMP(NANOS) read, restored
+    before returning (analysis captures it eagerly), and a later plain
+    parquet read in the same session is unaffected."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from paradump_spark.catalog import load_events
+
+    p = str(tmp_path / "ev_nanos.parquet")
+    papq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(
+                    np.array(
+                        [1700000000_000_000_000, 1700000001_500_000_123],
+                        dtype="int64",
+                    ),
+                    pa.timestamp("ns"),
+                ),
+            }
+        ),
+        p,
+    )
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true"
+    )
+    df = load_events(spark, p)
+    # restored immediately, NOT after the (lazy) action
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true"
+    )
+    rows = {r["event_id"]: r["ts"] for r in df.collect()}
+    assert rows[1].isoformat() == "2023-11-14T22:13:20"
+    assert rows[2].microsecond == 500000  # nanos floor-truncated to micros
+
+
+def test_load_events_bare_int64_micros_not_divided(spark, tmp_path):
+    """A genuine int64 epoch-MICROS column must not be divided by 1000:
+    the magnitude probe distinguishes it from nanos."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from paradump_spark.catalog import load_events
+
+    micros = 1700000000_000_000  # 2023-11-14, epoch micros (~1.7e15 < 1e17)
+    p = str(tmp_path / "ev_micros.parquet")
+    papq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([micros], pa.int64()),
+            }
+        ),
+        p,
+    )
+    df = load_events(spark, p)
+    assert df.collect()[0]["ts"].year == 2023
+
+    nanos = 1700000000_000_000_000
+    p2 = str(tmp_path / "ev_nanos_bare.parquet")
+    papq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([nanos], pa.int64()),
+            }
+        ),
+        p2,
+    )
+    df2 = load_events(spark, p2)
+    assert df2.collect()[0]["ts"].year == 2023

@@ -132,3 +132,59 @@ def test_group_top_k_exact_size_and_determinism(spark, sf_dir):
     # a different seed picks a different (still deterministic) sample
     s3 = group_top_k(docs, ["lang"], "doc_id", 5, seed="other")
     assert r1 != sorted((r["lang"], r["doc_id"]) for r in s3.collect())
+
+
+def test_group_top_k_partial_bounds_global_window_input(spark, sf_dir):
+    """Skew-safety contract: the candidate set entering the global
+    row_number window holds ≤ k rows per (input partition, group) —
+    i.e. ≤ k × partitions per group — and is a superset of the final
+    top-k, so the plan is identical-result but never funnels a whole
+    hot group through one task."""
+    from collections import Counter
+
+    from paradump_spark.operators.sampling import group_top_k, group_top_k_partial
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(8)
+    k = 5
+    cand = group_top_k_partial(docs, ["lang"], "doc_id", k)
+    n_parts = docs.rdd.getNumPartitions()
+    per_group = Counter(r["lang"] for r in cand.select("lang").collect())
+    for lang, n in per_group.items():
+        assert n <= k * n_parts, (lang, n)
+    cand_ids = {(r["lang"], r["doc_id"]) for r in cand.select("lang", "doc_id").collect()}
+    final = {
+        (r["lang"], r["doc_id"])
+        for r in group_top_k(docs, ["lang"], "doc_id", k).select("lang", "doc_id").collect()
+    }
+    assert final <= cand_ids
+    # the physical plan has exactly two Window nodes: the per-partition
+    # partial cut and the bounded global ranking
+    plan = group_top_k(docs, ["lang"], "doc_id", k)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+
+
+def test_group_top_k_skewed_group_matches_naive(spark):
+    """One pathological group (90% of rows) — two-stage result must equal
+    the naive single-window definition."""
+    from pyspark.sql import Window
+
+    from paradump_spark.operators import sampling as S
+
+    rows = [("hot", i) for i in range(900)] + [
+        (f"g{i % 10}", 1000 + i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long").repartition(16)
+    got = {
+        (r["grp"], r["id"])
+        for r in S.group_top_k(df, ["grp"], "id", 7).collect()
+    }
+    w = Window.partitionBy("grp").orderBy(
+        S.hash_bucket(F.col("id")).asc(), F.col("id").asc()
+    )
+    naive = {
+        (r["grp"], r["id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 7)
+        .collect()
+    }
+    assert got == naive
