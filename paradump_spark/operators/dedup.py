@@ -233,56 +233,107 @@ def dedup_minhash(
     return df.join(dup, on=id_col, how="left_anti")
 
 
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): every node connects its LARGER
+    neighbors to the minimum of its closed neighborhood.  Input/output:
+    symmetric-closed edge lists as (src, dst) pairs in both directions.
+    One groupBy + one join per round; strictly decreases the potential
+    Σ depth so alternating with small-star converges in O(log n)."""
+    mins = sym.groupBy("src").agg(F.min("dst").alias("__mn"))
+    mins = mins.select("src", F.least(F.col("src"), F.col("__mn")).alias("__m"))
+    out = (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("a"), F.col("__m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return out.selectExpr("a AS src", "b AS dst").unionAll(
+        out.selectExpr("b AS src", "a AS dst")
+    )
+
+
+def _small_star_directed(sym: DataFrame) -> DataFrame:
+    """Small-star round: every node points its SMALLER neighbors (and
+    itself) at the minimum of that down-neighborhood.  Returns DIRECTED
+    (a, b) edges with a > b — after convergence these are the star edges
+    (node, component-min)."""
+    down = sym.where(F.col("src") > F.col("dst"))  # u with its smaller nbrs
+    mins = down.groupBy("src").agg(F.min("dst").alias("__m"))
+    relink = (
+        down.join(mins, "src")
+        .where(F.col("dst") != F.col("__m"))
+        .select(F.col("dst").alias("a"), F.col("__m").alias("b"))
+    )
+    self_edge = mins.select(F.col("src").alias("a"), F.col("__m").alias("b"))
+    return relink.unionAll(self_edge).where(F.col("a") != F.col("b")).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
-    max_iter: int = 20,
+    max_iter: int = 30,
+    _rounds_out: list | None = None,
 ) -> DataFrame:
-    """Undirected connected components by min-label propagation.
+    """Undirected connected components by alternating large-star /
+    small-star rounds (Kiveris et al. SoCC'14) — the MapReduce-native
+    algorithm whose round count is O(log n) even on adversarially DEEP
+    graphs (a chain of n near-dup documents), where plain min-label
+    propagation needs O(diameter) rounds.
 
     ``edges``: (id_a, id_b).  Returns (id, component) where component is
-    the smallest id reachable.  Each iteration is two hash joins + a
-    min-agg; converges in O(graph diameter) rounds (near-dup graphs are
-    shallow — duplicate clusters, not social networks).  The driver-side
-    convergence check reads one count per round, nothing else leaves the
-    cluster.  For adversarially deep graphs swap in large-star/small-star
-    (same join primitives, O(log n) rounds).
+    the smallest id reachable.  Each round is one groupBy-min + one join
+    over the current edge set (which only shrinks toward the star
+    forest); the per-round driver check is a single count.  Ids need only
+    be orderable — longs, strings, anything with a total order.
+
+    ``_rounds_out``: diagnostic — appends the number of alternating
+    rounds executed (tests assert the logarithmic bound with it).
     """
-    sym = edges.selectExpr("id_a AS src", "id_b AS dst").unionAll(
-        edges.selectExpr("id_b AS src", "id_a AS dst")
+    pair = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = pair.unionAll(pair.selectExpr("dst AS src", "src AS dst")).where(
+        F.col("src") != F.col("dst")
     )
-    if vertices is None:
-        vertices = sym.select(F.col("src").alias("id")).distinct()
-    labels = vertices.select("id", F.col("id").alias("component"))
-    for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nmin"))
+    # vertex set BEFORE dropping self-loops — a (v, v) edge still names v
+    all_ids = (
+        pair.select(F.col("src").alias("id"))
+        .unionAll(pair.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if vertices is not None:
+        all_ids = vertices.select("id").unionAll(all_ids).distinct()
+    all_ids = all_ids.localCheckpoint(eager=True)
+
+    stars = None  # directed (a, b), a > b: current star assignment
+    for rounds in range(1, max_iter + 1):
+        sym = _large_star(sym).localCheckpoint(eager=True)
+        new_stars = _small_star_directed(sym).localCheckpoint(eager=True)
+        sym = new_stars.selectExpr("a AS src", "b AS dst").unionAll(
+            new_stars.selectExpr("b AS src", "a AS dst")
         )
-        new_labels = (
-            labels.join(neigh, labels.id == neigh.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-            )
+        if stars is not None:
+            # converged when the star edge set is unchanged (one count job;
+            # counts are equal AND the symmetric difference is empty)
+            if (
+                new_stars.count() == stars.count()
+                and new_stars.exceptAll(stars).isEmpty()
+            ):
+                stars = new_stars
+                if _rounds_out is not None:
+                    _rounds_out.append(rounds)
+                break
+        stars = new_stars
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds — with the O(log n) bound this "
+            "means > 2^{max_iter} vertices or a non-total id ordering"
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} iterations "
-        "(graph diameter exceeds max_iter); raise max_iter or use a "
-        "large-star/small-star variant"
+    labels = stars.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    return (
+        all_ids.join(labels, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
     )
 
 

@@ -314,3 +314,32 @@ def test_incremental_dedup_catches_intra_shard_dups_and_param_mismatch(
 
     with pytest.raises(ValueError):
         incremental_dedup(spark, store, shard, "doc_id", "text", bands=6)
+
+
+def test_connected_components_log_rounds_on_chain(spark):
+    """Pathological 256-node chain: large-star/small-star must converge in
+    O(log n) alternating rounds (label propagation would need ~255)."""
+    from paradump_spark.operators.dedup import connected_components
+
+    n = 256
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a bigint, id_b bigint"
+    )
+    rounds = []
+    comp = connected_components(chain, max_iter=30, _rounds_out=rounds)
+    rows = {r["id"]: r["component"] for r in comp.collect()}
+    assert len(rows) == n
+    assert set(rows.values()) == {1}  # one component, min label 1
+    assert rounds and rounds[0] <= 2 * 8 + 3  # ~2·log2(256) + slack
+
+
+def test_connected_components_multi_component_and_isolated(spark):
+    from paradump_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (30, 30)], "id_a bigint, id_b bigint"
+    )
+    verts = spark.createDataFrame([(99,), (3,)], "id bigint")
+    comp = connected_components(edges, vertices=verts)
+    rows = {r["id"]: r["component"] for r in comp.collect()}
+    assert rows == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 30: 30, 99: 99}
