@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--exclude", action="append", default=[], help="substring exclusion (repeatable)")
     d.add_argument("--insertsize", type=int, default=500)
     d.add_argument("--compression", default=None)
+    d.add_argument("--compression-level", type=int, default=1,
+                   help="zstd level (ref -dumpcompresslevel: 1, 3, 6, 11)")
     d.add_argument("--dialect", default="mysql", choices=("mysql", "postgres", "mssql"))
 
     s = sub.add_parser("sync", help="table diff + stats (ref: parasync)")
@@ -113,6 +115,7 @@ def main(argv: list[str] | None = None) -> int:
             insertsize=args.insertsize,
             dialect=args.dialect,
             compression=args.compression,
+            compression_level=args.compression_level,
             excludes=args.exclude,
         )
         results = dump_tables(cat, args.output or "", args.table or None, opts)

@@ -42,6 +42,7 @@ class DumpOptions:
     insertsize: int = 500  # ref -insertsize default (:3490)
     dialect: str = "mysql"
     compression: str | None = None
+    compression_level: int = 1  # ref -dumpcompresslevel default (:3498)
     excludes: list[str] = field(default_factory=list)
     count_rows: bool = False  # extra pass per table when True
 
@@ -80,12 +81,18 @@ def dump_tables(
                 dialect=options.dialect,
                 insertsize=options.insertsize,
                 compression=options.compression,
+                compression_level=options.compression_level,
             )
         elif options.mode == "csv":
-            write_csv(df, path, meta=meta, compression=options.compression)
+            write_csv(
+                df, path, meta=meta, compression=options.compression,
+                compression_level=options.compression_level,
+            )
         elif options.mode == "csv_exact":
             write_csv(
-                df, path, meta=meta, exact=True, compression=options.compression
+                df, path, meta=meta, exact=True,
+                compression=options.compression,
+                compression_level=options.compression_level,
             )
         elif options.mode == "parquet":
             write_parquet(df, path)

@@ -9,10 +9,16 @@
 * K2 CSV files — :3059-3171; fast path = Spark's native CSV writer, exact
   path = functions.render.csv_line → text writer (reference ``\\N``/empty
   NULL convention is per-column-kind, which the native writer can't do).
-* K3 zstd — codec option (ref zstd writer :3239-3332).  Parquet zstd is
-  built into parquet-java everywhere; *text/CSV* zstd needs the Hadoop
-  native codec, absent in this environment — pass ``compression="gzip"``
-  locally, ``"zstd"`` on clusters that ship it.
+* K3 zstd — codec option (ref zstd writer :3239-3332, level flag
+  ``-dumpcompresslevel`` :3498, concurrency :3499).  Parquet zstd is
+  built into parquet-java everywhere.  *Text/CSV* zstd normally needs
+  the Hadoop native codec; where that is absent (this environment),
+  ``compression="zstd"`` transparently falls back to an uncompressed
+  distributed write + :func:`zstd_compress_files` — a finalize pass that
+  re-codes each committed part file to standard zstd frames with
+  pyarrow's bundled libzstd (zstdcat-compatible; proven by a CLI
+  round-trip test).  Other codecs (gzip/bzip2/lz4) stream through
+  Hadoop's built-ins as before.
 * K4 noop — :3174-3185; ``format("noop")`` keeps the full read+render path
   for benchmarking, like the reference's null sink.
 
@@ -53,6 +59,7 @@ def write_sql_inserts(
     dialect: str = "mysql",
     insertsize: int = 500,
     compression: str | None = None,
+    compression_level: int = 1,
     header: bool = True,
     mode: str = "overwrite",
     partitions: int | None = None,
@@ -100,10 +107,10 @@ def write_sql_inserts(
         if buf:
             yield pd.DataFrame({"line": [prefix + ",\n".join(buf) + ";"]})
 
-    writer = rendered.mapInPandas(to_statements, out_schema).write.mode(mode)
-    if compression:
-        writer = writer.option("compression", compression)  # K3: zstd etc.
-    writer.text(path)
+    out = rendered.mapInPandas(to_statements, out_schema)
+    _commit_text(
+        out.write.mode(mode), out, path, compression, compression_level, "text"
+    )  # K3: zstd falls back to the pyarrow finalize pass without natives
 
 
 def write_csv(
@@ -112,6 +119,7 @@ def write_csv(
     meta: TableMeta | None = None,
     exact: bool = False,
     compression: str | None = None,
+    compression_level: int = 1,
     mode: str = "overwrite",
     partitions: int | None = None,
 ) -> None:
@@ -130,10 +138,9 @@ def write_csv(
         metas = [meta.column(c) for c in df.columns] if meta else None
         types = [f.dataType for f in df.schema.fields]
         out = df.select(csv_line(cols, metas, types).alias("line"))
-        writer = out.write.mode(mode)
-        if compression:
-            writer = writer.option("compression", compression)
-        writer.text(path)
+        _commit_text(
+            out.write.mode(mode), out, path, compression, compression_level, "text"
+        )
         return
     writer = (
         df.write.mode(mode)
@@ -142,9 +149,92 @@ def write_csv(
         .option("quote", '"')
         .option("escape", '"')
     )
-    if compression:
+    _commit_text(writer, df, path, compression, compression_level, "csv")
+
+
+#: Spark/Hadoop can compress text output with these without native codecs.
+_HADOOP_TEXT_CODECS = ("gzip", "bzip2", "deflate", "none")
+
+
+def _hadoop_zstd_available(spark) -> bool:
+    """True when the JVM can actually construct the Hadoop zstd codec
+    (needs libhadoop + libzstd natives; absent in plain pyspark installs)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        codec = jvm.org.apache.hadoop.io.compress.ZStandardCodec()
+        codec.setConf(conf)
+        codec.createOutputStream(jvm.java.io.ByteArrayOutputStream())
+        return True
+    except Exception:  # noqa: BLE001 — any JVM failure means "no native codec"
+        return False
+
+
+def zstd_compress_files(
+    path: str,
+    level: int = 1,
+    chunk_bytes: int = 32 << 20,
+    concurrency: int = 4,
+) -> list[str]:
+    """K3 finalize pass: compress each committed ``part-*`` text file to
+    ``<name>.zst`` (standard zstd frames via pyarrow's bundled libzstd —
+    one frame per ≤``chunk_bytes`` chunk; concatenated frames are a valid
+    stream, so ``zstdcat`` reads the file as-is) and remove the original.
+
+    Mirrors the reference's zstd writer knobs: ``level`` ≙
+    ``-dumpcompresslevel`` (default 1; src/paradump/paradump.go:3498),
+    ``concurrency`` ≙ ``-dumpcompressconcur`` (:3499) — here a thread
+    pool over files (the per-file work is libzstd C code, so threads
+    overlap).  Runs after the job commits, like :func:`rename_dump_files`;
+    per-file cost is one read+write.  On a real cluster with the Hadoop
+    native codec the streaming path writes zstd directly and this pass
+    never runs (see :func:`write_sql_inserts`).
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow as pa
+
+    parts = sorted(
+        f
+        for f in os.listdir(path)
+        if f.startswith("part-") and not f.endswith((".crc", ".zst", "_SUCCESS"))
+    )
+
+    def compress_one(fname: str) -> str:
+        codec = pa.Codec("zstd", compression_level=level)
+        src = os.path.join(path, fname)
+        dst = src + ".zst"
+        with open(src, "rb") as fin, open(dst + "._tmp", "wb") as fout:
+            while True:
+                chunk = fin.read(chunk_bytes)
+                if not chunk:
+                    break
+                fout.write(codec.compress(chunk, asbytes=True))
+        os.rename(dst + "._tmp", dst)  # atomic finalize
+        os.remove(src)
+        return fname + ".zst"
+
+    with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
+        return list(ex.map(compress_one, parts))
+
+
+def _commit_text(
+    writer, out: DataFrame, path: str, compression: str | None,
+    compression_level: int, fmt: str,
+) -> None:
+    """Commit a text/CSV write honoring ``compression``: stream through
+    the Hadoop codec when the JVM has it; for zstd without the native
+    codec, write plain and run :func:`zstd_compress_files` as the
+    finalize pass."""
+    post_zstd = compression == "zstd" and not _hadoop_zstd_available(
+        out.sparkSession
+    )
+    if compression and not post_zstd:
         writer = writer.option("compression", compression)
-    writer.csv(path)
+    getattr(writer, fmt)(path)
+    if post_zstd:
+        zstd_compress_files(path, level=compression_level)
 
 
 def write_noop(df: DataFrame) -> None:

@@ -332,3 +332,67 @@ def test_file_template_escaping_and_collision_guard(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError):
         rename_dump_files(out, "dump_%d_%t%m", "db", "cust", "csv")  # no %p
+
+
+def test_zstd_dump_roundtrip_with_real_zstdcat(spark, sf_dir, tmp_path):
+    """K3 text-zstd via the pyarrow finalize pass: the .zst part files
+    must be STANDARD zstd (zstdcat decodes them) and the decompressed
+    dump must contain every row — the ref's `zstdcat | wc -l` check
+    (test/run_test.sh:674-698)."""
+    import os
+    import shutil
+    import subprocess
+
+    from paradump_spark.sinks.files import write_csv, write_sql_inserts
+
+    docs = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = docs.count()
+    out = str(tmp_path / "csvz")
+    write_csv(docs, out, compression="zstd", compression_level=3)
+    parts = [f for f in os.listdir(out) if f.endswith(".zst")]
+    assert parts, "no .zst part files written"
+    assert not [
+        f for f in os.listdir(out)
+        if f.startswith("part-") and not f.endswith((".zst", ".crc"))
+    ], "uncompressed originals must be removed"
+    zstdcat = shutil.which("zstdcat") or shutil.which("zstd")
+    total = 0
+    for f in parts:
+        p = subprocess.run(
+            [zstdcat, os.path.join(out, f)], capture_output=True, check=True
+        )
+        total += p.stdout.count(b"\n")
+    assert total == n
+
+    # sql mode: the INSERT text survives the codec byte-for-byte
+    out2 = str(tmp_path / "sqlz")
+    write_sql_inserts(
+        docs.limit(50), "customer", out2, insertsize=10,
+        compression="zstd", compression_level=1,
+    )
+    z = [f for f in os.listdir(out2) if f.endswith(".zst")]
+    assert z
+    blob = b""
+    for f in sorted(z):
+        blob += subprocess.run(
+            [zstdcat, os.path.join(out2, f)], capture_output=True, check=True
+        ).stdout
+    assert blob.count(b"INSERT INTO") == 5  # 50 rows / insertsize 10
+    assert b"SET NAMES utf8mb4;" in blob
+
+
+def test_gzip_text_compression_still_streams_through_hadoop(spark, sf_dir, tmp_path):
+    import gzip
+    import os
+
+    from paradump_spark.sinks.files import write_csv
+
+    out = str(tmp_path / "csvgz")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    write_csv(nat, out, compression="gzip")
+    gz = [f for f in os.listdir(out) if f.endswith(".gz")]
+    assert gz
+    rows = sum(
+        gzip.open(os.path.join(out, f)).read().count(b"\n") for f in gz
+    )
+    assert rows == nat.count()
