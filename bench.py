@@ -281,6 +281,23 @@ def main() -> None:
         times["pq_adc_topk"] = bench(pq_search)
         r = SIM.ann_recall(pq_out["df"], exact).collect()[0]
         recalls["recall_at_10_pq_rescore100"] = round(r["mean_recall"], 4)
+
+        # --- composed IVF+PQ, flat vs residual codes (faiss IVFPQ
+        # refinement): recall at EQUAL nprobe/rescore budget, ledger-only
+        # (untimed — the headline total stays comparable across rounds).
+        for residual in (False, True):
+            ipath = os.path.join(ivf_dir, f"ivfpq_{'res' if residual else 'flat'}")
+            PQ.ivf_pq_build_index(
+                emb, ipath, "vec_id", "embedding",
+                num_cells=16, m=8, ksub=256, residual=residual,
+            )
+            got = PQ.ivf_pq_query_index(
+                spark, ipath, q, "vec_id", "embedding",
+                k=10, nprobe=8, rescore=50,
+            )
+            r = SIM.ann_recall(got, exact).collect()[0]
+            key = "residual" if residual else "flat"
+            recalls[f"recall_at_10_ivfpq_{key}_r50"] = round(r["mean_recall"], 4)
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
 

@@ -60,29 +60,12 @@ class PQCodebooks:
         return self.centroids.shape[2]
 
 
-def train_pq(
-    corpus: DataFrame,
-    id_col: str,
-    vec_col: str,
-    m: int = 8,
-    ksub: int = 256,
-    train_cap: int = 4096,
-    iters: int = 8,
-    seed: int = 42,
-) -> PQCodebooks:
-    """Train per-subspace L2 k-means codebooks on a bounded hash-random
-    sample of unit-normalized vectors (deterministic: smallest md5(id),
-    like `similarity.ivf_centroids` / `kmeans_refine`)."""
+def _kmeans_subspaces(X, m: int, ksub: int, iters: int) -> "object":
+    """Per-subspace L2 k-means over the (n, d) training matrix; returns
+    the (m, k, dsub) codebook tensor.  Deterministic init: first k
+    sample subvectors."""
     import numpy as np
 
-    key = F.md5(F.concat(F.lit(f"pq{seed}|"), F.col(id_col).cast("string")))
-    rows = (
-        corpus.select(V.normalized(F.col(vec_col)).alias("v"), key.alias("__k"))
-        .orderBy("__k")
-        .limit(train_cap)
-        .collect()
-    )
-    X = np.array([r["v"] for r in rows], dtype=np.float64)
     n, d = X.shape
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -91,7 +74,7 @@ def train_pq(
     books = np.empty((m, k, dsub))
     for s in range(m):
         S = X[:, s * dsub : (s + 1) * dsub]
-        C = S[:k].copy()  # deterministic init: first k sample subvectors
+        C = S[:k].copy()
         for _ in range(iters):
             # squared L2 via ||s||^2 - 2 s·c + ||c||^2 (argmin over c)
             d2 = (
@@ -105,7 +88,72 @@ def train_pq(
                 if len(members):  # empty cell keeps its codeword
                     C[j] = members.mean(axis=0)
         books[s] = C
-    return PQCodebooks(books)
+    return books
+
+
+def _train_sample(corpus, id_col, vec_col, train_cap, seed):
+    """Bounded hash-random sample of unit-normalized vectors
+    (deterministic: smallest md5(id), like `similarity.ivf_centroids` /
+    `kmeans_refine`) as an (n, d) float64 matrix."""
+    import numpy as np
+
+    key = F.md5(F.concat(F.lit(f"pq{seed}|"), F.col(id_col).cast("string")))
+    rows = (
+        corpus.select(V.normalized(F.col(vec_col)).alias("v"), key.alias("__k"))
+        .orderBy("__k")
+        .limit(train_cap)
+        .collect()
+    )
+    return np.array([r["v"] for r in rows], dtype=np.float64)
+
+
+def train_pq(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 256,
+    train_cap: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> PQCodebooks:
+    """Train codebooks on raw unit-normalized vectors (flat PQ)."""
+    return PQCodebooks(
+        _kmeans_subspaces(
+            _train_sample(corpus, id_col, vec_col, train_cap, seed), m, ksub, iters
+        )
+    )
+
+
+def train_pq_residual(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 256,
+    train_cap: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> PQCodebooks:
+    """Train codebooks on IVF RESIDUALS — the faiss IVFPQ refinement.
+
+    Residual = normalized(x) − normalized(centroid(cell(x))): within a
+    cell the residuals are tightly clustered around 0, so the same code
+    budget quantizes them far more finely than the raw vectors, lifting
+    recall at equal ``rescore``.  Assignment mirrors
+    `similarity.ivf_assign` (argmax cosine, ties to the lowest cell id);
+    the sample is the same bounded hash-random set `train_pq` uses.
+    """
+    import numpy as np
+
+    X = _train_sample(corpus, id_col, vec_col, train_cap, seed)
+    cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    C = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    assign = np.argmax(X @ Cn.T, axis=1)  # argmax ties -> lowest cell id
+    R = X - Cn[assign]
+    return PQCodebooks(_kmeans_subspaces(R, m, ksub, iters))
 
 
 def pq_encode(
@@ -113,11 +161,13 @@ def pq_encode(
     vec_col: str,
     books: PQCodebooks,
     code_col: str = "pq_code",
+    normalize: bool = True,
 ) -> DataFrame:
     """Append ``code_col``: array<int> of length ``m`` — each vector's
     per-subspace nearest-codeword ids (computed over the unit-normalized
-    vector, matching training).  One Arrow-batched pandas UDF; all math
-    is whole-batch numpy."""
+    vector, matching training; ``normalize=False`` when ``vec_col``
+    already holds residuals, which must NOT be re-normalized).  One
+    Arrow-batched pandas UDF; all math is whole-batch numpy."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -132,8 +182,9 @@ def pq_encode(
         if len(vs) == 0:  # empty partitions yield empty Arrow batches
             return pd.Series([], dtype=object)
         X = np.array(vs.tolist(), dtype=np.float64)
-        norms = np.linalg.norm(X, axis=1, keepdims=True)
-        X = X / np.where(norms == 0.0, 1.0, norms)
+        if normalize:
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            X = X / np.where(norms == 0.0, 1.0, norms)
         codes = np.empty((len(X), m), dtype=np.int32)
         for s in range(m):
             S = X[:, s * dsub : (s + 1) * dsub]
@@ -295,12 +346,19 @@ def ivf_pq_build_index(
     refine_iters: int = 2,
     train_cap: int = 4096,
     seed: int = 42,
+    residual: bool = False,
 ) -> PQCodebooks:
     """Materialize the composed index: corpus rows + their PQ codes,
     written ``partitionBy(cell_id)`` (cell layout and training both reuse
-    the IVF machinery in `operators.similarity`); codebooks and centroids
-    stored alongside.  One full-corpus pass total (assign + encode fuse
-    into the same write job)."""
+    the IVF machinery in `operators.similarity`); codebooks, centroids
+    and an index-meta marker stored alongside.  One full-corpus pass
+    total (assign + encode fuse into the same write job).
+
+    ``residual=True`` is the faiss IVFPQ refinement: codes quantize
+    ``normalized(x) − normalized(centroid)`` instead of the raw vector
+    (see :func:`train_pq_residual`); the residual is a pure JVM
+    ``zip_with`` over the broadcast centroid join — same single pass.
+    """
     from paradump_spark.operators import similarity as SIM
 
     cents = SIM.ivf_centroids(corpus, id_col, vec_col, num_cells, seed)
@@ -309,17 +367,40 @@ def ivf_pq_build_index(
             corpus, cents, id_col, vec_col, refine_iters,
             train_cap=train_cap, seed=seed,
         )
-    books = train_pq(
-        corpus, id_col, vec_col, m=m, ksub=ksub,
-        train_cap=train_cap, seed=seed,
-    )
     assigned = SIM.ivf_assign(corpus, cents, id_col, vec_col)
-    encoded = pq_encode(assigned, vec_col, books)
+    if residual:
+        books = train_pq_residual(
+            corpus, cents, id_col, vec_col, m=m, ksub=ksub,
+            train_cap=train_cap, seed=seed,
+        )
+        cn = F.broadcast(
+            cents.select(
+                "cell_id", V.normalized(F.col("centroid")).alias("__cn")
+            )
+        )
+        with_resid = assigned.join(cn, "cell_id").withColumn(
+            "__resid",
+            F.zip_with(
+                V.normalized(F.col(vec_col)), F.col("__cn"), lambda a, b: a - b
+            ),
+        )
+        encoded = pq_encode(with_resid, "__resid", books, normalize=False).drop(
+            "__resid", "__cn"
+        )
+    else:
+        books = train_pq(
+            corpus, id_col, vec_col, m=m, ksub=ksub,
+            train_cap=train_cap, seed=seed,
+        )
+        encoded = pq_encode(assigned, vec_col, books)
     encoded.repartition(F.col("cell_id")).write.mode("overwrite").partitionBy(
         "cell_id"
     ).parquet(f"{path}/corpus")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     save_codebooks(corpus.sparkSession, books, f"{path}/pq_codebooks")
+    corpus.sparkSession.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).write.mode("overwrite").parquet(f"{path}/index_meta")
     return books
 
 
@@ -344,6 +425,12 @@ def ivf_pq_query_index(
     books = load_codebooks(spark, f"{path}/pq_codebooks")
     cents = spark.read.parquet(f"{path}/centroids")
     ksub = books.ksub
+    try:
+        residual = bool(
+            spark.read.parquet(f"{path}/index_meta").collect()[0]["residual"]
+        )
+    except Exception:  # pre-residual index layout: flat codes
+        residual = False
 
     q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
     qcells = (
@@ -352,6 +439,8 @@ def ivf_pq_query_index(
         .select(
             "query_id",
             "cell_id",
+            # == dot(normalized q, normalized centroid): doubles as the
+            # per-(query, cell) ADC offset for residual-encoded indexes
             V.cosine(F.col("__qv"), F.col("centroid")).alias("__ccos"),
         )
     )
@@ -361,7 +450,7 @@ def ivf_pq_query_index(
     probes = (
         qcells.withColumn("__pr", F.row_number().over(wq))
         .where(F.col("__pr") <= nprobe)
-        .select("query_id", "cell_id")
+        .select("query_id", "cell_id", F.col("__ccos").alias("__coff"))
     )
     luts = spark.createDataFrame(
         _query_luts(queries, qid, vec_col, books),
@@ -397,8 +486,11 @@ def ivf_pq_query_index(
             F.col(vec_col),
             "__lut",
             code_col,
+            "__coff",
         )
-        .withColumn("__adc", score)
+        # residual index: score = q·ĉ(cell) + q·r̂ (LUT part); flat: LUT only
+        .withColumn("__adc", (score + F.col("__coff")) if residual else score)
+        .drop("__coff")
     )
     part = partial_topk(
         scored,
