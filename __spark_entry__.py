@@ -26,6 +26,8 @@ from paradump_spark.operators.asof import asof_join
 from paradump_spark.operators import dedup as DD
 from paradump_spark.operators import diff as DF
 from paradump_spark.operators import multimodal as MM
+from paradump_spark.operators import pii as PII
+from paradump_spark.operators import quality_rules as QR
 from paradump_spark.operators import similarity as SIM
 from paradump_spark.operators import text_analysis as TA
 from paradump_spark.operators.rangejoin import range_join
@@ -111,6 +113,25 @@ s AS (SELECT doc_id,
                        i -> array_to_string(toks[i:i+2], ' ')) AS sh
       FROM t)"""
 
+
+# documents with deterministic PII injections — DuckDB mirror of
+# _pii_base (same strings, same modular selectors)
+_PII_BASE_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ssn 123-45-6789 call 415-555-2671'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' ip 10.0.' || (doc_id % 256)::VARCHAR
+                      || '.1 card 4111-1111-1111-1111'
+                 ELSE '' END
+         AS text
+  FROM documents
+"""
 
 _MINHASH_BASE_CTE = """
 base AS (
@@ -958,6 +979,58 @@ def _q_quality_filter(spark, sf_dir):
     return TA.quality_filter(_t(spark, sf_dir, "documents"), "text").select("doc_id")
 
 
+def _pii_base(spark, sf_dir):
+    """documents with deterministic PII injections (the synthetic corpus
+    has none), so the oracle verifies actual matches, not just misses."""
+    d = F.col("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    d.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0, F.lit(" ssn 123-45-6789 call 415-555-2671")
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" ip 10.0."),
+                    (d % 256).cast("string"),
+                    F.lit(".1 card 4111-1111-1111-1111"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _q_pii_stats(spark, sf_dir):
+    return PII.pii_stats(_pii_base(spark, sf_dir), "doc_id", "text")
+
+
+def _q_pii_redacted(spark, sf_dir):
+    """Render the redacted text plus its per-class residual counts — the
+    driver hash proves the replacement output byte-for-byte."""
+    red = PII.redact_pii(_pii_base(spark, sf_dir), "text")
+    return red.select("doc_id", F.col("text").alias("redacted"))
+
+
+def _q_gopher_rules(spark, sf_dir):
+    return QR.gopher_rules(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_ngram_dup_profile(spark, sf_dir):
+    # the duplicated-docs base (same as minhash) so shared_frac is non-trivial
+    base = _near_dup_docs(spark, sf_dir)
+    return DD.ngram_duplication_profile(base, "doc_id", "text", 3)
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.brute_force_topk(
@@ -1281,6 +1354,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
         "quality_filter": _q_quality_filter,
+        "pii_stats": _q_pii_stats,
+        "pii_redacted": _q_pii_redacted,
+        "gopher_rules": _q_gopher_rules,
+        "ngram_dup_profile": _q_ngram_dup_profile,
         "ann_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
@@ -1790,6 +1867,24 @@ WHERE len(toks) >= 5 AND len(toks) <= 100000
   AND (CASE WHEN len(toks) > 0
             THEN len(list_filter(toks, x -> list_contains({_EN_SW}, x)))::DOUBLE / len(toks)
             ELSE 0.0 END) <= 0.9""",
+        "pii_stats": "WITH base AS (" + _PII_BASE_SQL + ")\n"
+        + PII.oracle_pii_sql("base", "doc_id", "text"),
+        "pii_redacted": "WITH base AS (" + _PII_BASE_SQL + ")\n"
+        + PII.oracle_redact_sql("base", "doc_id", "text"),
+        "gopher_rules": QR.oracle_gopher_sql("documents", "doc_id", "text"),
+        "ngram_dup_profile": "WITH "
+        + _MINHASH_BASE_CTE
+        + ","
+        + _shingle_cte("base")
+        + """,
+g AS (SELECT doc_id, unnest(list_distinct(sh)) AS gram FROM s),
+c AS (SELECT gram, count(*) AS docs FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c.docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams,
+       round(CAST(sum(CASE WHEN c.docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS shared_frac
+FROM g JOIN c USING (gram) GROUP BY g.doc_id""",
         "ann_topk": f"""
 WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
 q AS (SELECT query_id, {_norm_sql('v')} AS qv FROM q0),

@@ -75,6 +75,49 @@ def dedup_exact(
     )
 
 
+def ngram_duplication_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document cross-corpus n-gram duplication: what fraction of this
+    document's distinct ``n``-word shingles also appears in at least one
+    OTHER document.  The standard "how much of this doc is boilerplate /
+    copied" signal (used by RefinedWeb/FineWeb as a drop rule) and a
+    memorization-risk proxy.
+
+    Plan shape (the same as decontam/minhash — the scalable one): explode
+    distinct shingles, one shuffle keyed on the shingle to count the docs
+    carrying it, join the counts back on the same key (no second shuffle
+    of the grams: both sides are already hash-partitioned on ``__gram``),
+    then re-aggregate per document.  Never all-pairs; a shingle shared by
+    k docs costs k rows, not k².
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(TX.word_shingles(text_col, n))).alias("__gram"),
+    )
+    per_gram = grams.groupBy("__gram").agg(
+        F.count(F.lit(1)).alias("__docs")  # grams are distinct per doc
+    )
+    prof = (
+        grams.join(per_gram, "__gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("__docs") > 1).cast("long")).alias("n_shared_grams"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.round(F.col("n_shared_grams") / F.col("n_grams"), 6),
+        )
+    )
+    # every input doc yields ≥1 shingle (word_shingles pads short docs),
+    # so no left-join resurrection pass is needed
+    return prof
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

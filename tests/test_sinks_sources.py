@@ -356,12 +356,25 @@ def test_zstd_dump_roundtrip_with_real_zstdcat(spark, sf_dir, tmp_path):
         if f.startswith("part-") and not f.endswith((".zst", ".crc"))
     ], "uncompressed originals must be removed"
     zstdcat = shutil.which("zstdcat") or shutil.which("zstd")
+
+    def _zcat(path):
+        # prefer the real zstd CLI (fully independent decoder); fall back
+        # to pyarrow's streaming reader, which still proves the file is a
+        # STANDARD framed .zst (it rejects raw/hadoop-block formats)
+        if zstdcat:
+            return subprocess.run(
+                [zstdcat, path], capture_output=True, check=True
+            ).stdout
+        import pyarrow as pa
+
+        with open(path, "rb") as fh:
+            return pa.input_stream(
+                pa.BufferReader(fh.read()), compression="zstd"
+            ).read()
+
     total = 0
     for f in parts:
-        p = subprocess.run(
-            [zstdcat, os.path.join(out, f)], capture_output=True, check=True
-        )
-        total += p.stdout.count(b"\n")
+        total += _zcat(os.path.join(out, f)).count(b"\n")
     assert total == n
 
     # sql mode: the INSERT text survives the codec byte-for-byte
@@ -374,9 +387,7 @@ def test_zstd_dump_roundtrip_with_real_zstdcat(spark, sf_dir, tmp_path):
     assert z
     blob = b""
     for f in sorted(z):
-        blob += subprocess.run(
-            [zstdcat, os.path.join(out2, f)], capture_output=True, check=True
-        ).stdout
+        blob += _zcat(os.path.join(out2, f))
     assert blob.count(b"INSERT INTO") == 5  # 50 rows / insertsize 10
     assert b"SET NAMES utf8mb4;" in blob
 
