@@ -66,6 +66,24 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--no-broadcast-bench", action="store_true",
                     help="shuffle-join the benchmark shingles instead of "
                          "broadcasting (for benchmarks too big to broadcast)")
+
+    sc = sub.add_parser(
+        "scrub",
+        help="quality-filter (Gopher rules) + PII-redact a corpus in one "
+             "map-only pass",
+    )
+    sc.add_argument("--directory", required=True, help="corpus catalog directory")
+    sc.add_argument("--table", default="documents")
+    sc.add_argument("--id-col", default="doc_id")
+    sc.add_argument("--text-col", default="text")
+    sc.add_argument("--output", required=True, help="parquet output for the scrubbed corpus")
+    sc.add_argument("--no-redact", action="store_true", help="filter only, keep text verbatim")
+    sc.add_argument("--no-filter", action="store_true", help="redact only, keep every document")
+    sc.add_argument("--min-words", type=int, default=50)
+    sc.add_argument("--max-words", type=int, default=100_000)
+    sc.add_argument("--min-stopword-hits", type=int, default=2,
+                    help="distinct Gopher stopwords required (lower for "
+                         "non-English or synthetic corpora)")
     return p
 
 
@@ -91,6 +109,11 @@ def validate(args: argparse.Namespace) -> None:
             raise SystemExit("--ngram must be >= 1")
         if args.max_hits < 0:
             raise SystemExit("--max-hits must be >= 0")
+    if args.command == "scrub":
+        if args.no_redact and args.no_filter:
+            raise SystemExit("--no-redact with --no-filter leaves nothing to do")
+        if args.min_words < 0 or args.max_words < args.min_words:
+            raise SystemExit("--min-words/--max-words out of order")
     if args.command == "sync":
         # NB: src == dst is legal — the reference's no-op sync test relies
         # on diffing identical endpoints reporting zero DML
@@ -161,6 +184,36 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"decontam {args.table}: kept {n_out} of {n_in} "
             f"(flagged {n_flagged}, max_hits={args.max_hits})"
+        )
+        return 0
+    if args.command == "scrub":
+        from pyspark.sql import functions as F
+
+        from paradump_spark.operators.pii import redact
+        from paradump_spark.operators.quality_rules import (
+            GopherThresholds,
+            gopher_keep,
+        )
+
+        corpus = ParquetCatalog(spark, args.directory).load(args.table)
+        out = corpus
+        if not args.no_filter:
+            th = GopherThresholds(
+                min_words=args.min_words,
+                max_words=args.max_words,
+                min_stopword_hits=args.min_stopword_hits,
+            )
+            out = out.where(gopher_keep(args.text_col, th))
+        if not args.no_redact:
+            out = out.withColumn(args.text_col, redact(args.text_col))
+        # ONE corpus scan: filter + redact fuse into the write job;
+        # report counts are parquet-footer reads, not data scans
+        out.write.mode("overwrite").parquet(args.output)
+        n_in = corpus.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(
+            f"scrub {args.table}: kept {n_out} of {n_in} "
+            f"(dropped {n_in - n_out}, redact={not args.no_redact})"
         )
         return 0
     # sync

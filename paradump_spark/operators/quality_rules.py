@@ -48,19 +48,16 @@ def _lines(text_col: Column) -> Column:
     return F.filter(F.split(text_col, "\n"), lambda l: l != "")
 
 
-def gopher_rules(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    th: GopherThresholds = GopherThresholds(),
-) -> DataFrame:
-    """Per-document rule flags plus the conjunction ``keep``.
+def gopher_metrics(
+    text_col: Column | str,
+) -> dict[str, Column]:
+    """The raw per-document metric expressions, by output column name.
 
     Ratios are rounded to 6 decimals before thresholding so the DuckDB
     oracle (same rounding) can never straddle a float boundary
     differently.
     """
-    text = F.col(text_col)
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
     words = _words(text)
     lines = _lines(text)
     n_words = F.size(words)
@@ -124,35 +121,64 @@ def gopher_rules(
             lambda s: F.array_contains(lower_words, s),
         )
     )
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": sym_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "stopword_hits": stop_hits.cast("long"),
+    }
 
-    pass_words = (n_words >= th.min_words) & (n_words <= th.max_words)
-    pass_mean = (mean_wl >= th.min_mean_word_len) & (mean_wl <= th.max_mean_word_len)
-    pass_sym = sym_ratio <= th.max_symbol_word_ratio
-    pass_bullet = bullet_frac <= th.max_bullet_line_frac
-    pass_ellipsis = ellipsis_frac <= th.max_ellipsis_line_frac
-    pass_alpha = alpha_frac >= th.min_alpha_word_frac
-    pass_stop = stop_hits >= th.min_stopword_hits
 
+def gopher_flags(
+    text_col: Column | str,
+    th: GopherThresholds = GopherThresholds(),
+) -> dict[str, Column]:
+    """Per-rule boolean expressions plus the ``keep`` conjunction."""
+    m = gopher_metrics(text_col)
+    flags = {
+        "pass_word_count": (m["n_words"] >= th.min_words)
+        & (m["n_words"] <= th.max_words),
+        "pass_mean_word_len": (m["mean_word_len"] >= th.min_mean_word_len)
+        & (m["mean_word_len"] <= th.max_mean_word_len),
+        "pass_symbol_ratio": m["symbol_word_ratio"] <= th.max_symbol_word_ratio,
+        "pass_bullet_lines": m["bullet_line_frac"] <= th.max_bullet_line_frac,
+        "pass_ellipsis_lines": m["ellipsis_line_frac"]
+        <= th.max_ellipsis_line_frac,
+        "pass_alpha_words": m["alpha_word_frac"] >= th.min_alpha_word_frac,
+        "pass_stopwords": m["stopword_hits"] >= th.min_stopword_hits,
+    }
+    keep = None
+    for col in flags.values():
+        keep = col if keep is None else keep & col
+    flags["keep"] = keep
+    return flags
+
+
+def gopher_keep(
+    text_col: Column | str, th: GopherThresholds = GopherThresholds()
+) -> Column:
+    """The ``keep`` conjunction alone — usable directly in ``where`` so a
+    filter stays a map-only pass (no join, pushes into the scan)."""
+    return gopher_flags(text_col, th)["keep"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    th: GopherThresholds = GopherThresholds(),
+) -> DataFrame:
+    """Per-document metric columns, rule flags, and the ``keep``
+    conjunction."""
+    metrics = gopher_metrics(text_col)
+    flags = gopher_flags(text_col, th)
     return df.select(
         F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        sym_ratio.alias("symbol_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.cast("long").alias("stopword_hits"),
-        pass_words.alias("pass_word_count"),
-        pass_mean.alias("pass_mean_word_len"),
-        pass_sym.alias("pass_symbol_ratio"),
-        pass_bullet.alias("pass_bullet_lines"),
-        pass_ellipsis.alias("pass_ellipsis_lines"),
-        pass_alpha.alias("pass_alpha_words"),
-        pass_stop.alias("pass_stopwords"),
-        (
-            pass_words & pass_mean & pass_sym & pass_bullet
-            & pass_ellipsis & pass_alpha & pass_stop
-        ).alias("keep"),
+        *[col.alias(name) for name, col in metrics.items()],
+        *[col.alias(name) for name, col in flags.items()],
     )
 
 
@@ -162,10 +188,10 @@ def gopher_filter(
     text_col: str,
     th: GopherThresholds = GopherThresholds(),
 ) -> DataFrame:
-    """Documents surviving every rule (semi-join-free: flags recompute
-    inline so the filter stays a map-only pass)."""
-    flags = gopher_rules(df, id_col, text_col, th)
-    return df.join(flags.where("keep").select(id_col), id_col, "left_semi")
+    """Documents surviving every rule — a plain ``where`` on the inline
+    ``keep`` expression: map-only, no join, Catalyst pushes it at the
+    scan."""
+    return df.where(gopher_keep(text_col, th))
 
 
 def oracle_gopher_sql(

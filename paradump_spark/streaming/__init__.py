@@ -8,6 +8,11 @@ stateful operators, and ``foreachBatch`` micro-batch diff-apply for
 CDC-style continuous sync.
 """
 
+from paradump_spark.streaming.documents import (
+    pii_monitor_stream,
+    read_document_stream,
+    scrub_document_stream,
+)
 from paradump_spark.streaming.events import (
     dedup_event_stream,
     hourly_event_counts,
@@ -24,4 +29,7 @@ __all__ = [
     "stream_sync_to_sink",
     "dedup_event_stream",
     "purchase_click_stream_join",
+    "read_document_stream",
+    "scrub_document_stream",
+    "pii_monitor_stream",
 ]

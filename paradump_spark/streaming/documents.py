@@ -1,0 +1,68 @@
+"""Streaming document pipeline — the text/PII/quality operators applied to
+a Structured Streaming source.
+
+Every expression in `operators/pii.py`, `operators/quality_rules.py`, and
+`operators/text_analysis.py` is a stateless per-row projection, so the
+SAME operator code runs on a stream unchanged: ``readStream`` over an
+append-only documents directory → scrub/annotate → ``writeStream``.
+That is the production ingestion shape — new crawl shards land as files,
+the stream scrubs them incrementally, no batch re-run over history.
+
+Stateless transforms need no watermark and no state store; each
+micro-batch is a map-only pass (the 100 TB story is identical to batch:
+filters fuse into the scan, Python never touches a row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from paradump_spark.operators.pii import pii_counts, redact
+from paradump_spark.operators.quality_rules import (
+    GopherThresholds,
+    gopher_keep,
+)
+
+
+def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a documents directory (schema sniffed from
+    one footer via the batch reader, as a file stream requires)."""
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def scrub_document_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    th: GopherThresholds = GopherThresholds(),
+    do_filter: bool = True,
+    do_redact: bool = True,
+) -> DataFrame:
+    """Quality-filter + PII-redact each micro-batch — identical semantics
+    to the batch CLI ``scrub`` subcommand."""
+    out = docs
+    if do_filter:
+        out = out.where(gopher_keep(text_col, th))
+    if do_redact:
+        out = out.withColumn(text_col, redact(text_col))
+    return out
+
+
+def pii_monitor_stream(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII counts as they arrive — the alerting tap a
+    pipeline hangs off the ingest stream."""
+    counts = pii_counts(text_col)
+    total = None
+    for col in counts.values():
+        total = col if total is None else total + col
+    return docs.select(
+        docs[id_col],
+        *[col.alias(f"n_{name}") for name, col in counts.items()],
+        total.alias("n_pii"),
+    )

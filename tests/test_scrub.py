@@ -1,0 +1,137 @@
+"""CLI scrub subcommand + streaming document scrub: stream == batch, one
+corpus scan, flag validation."""
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from paradump_spark.cli import main as cli_main
+from paradump_spark.operators.pii import redact
+from paradump_spark.operators.quality_rules import GopherThresholds, gopher_keep
+from paradump_spark.streaming import (
+    pii_monitor_stream,
+    read_document_stream,
+    scrub_document_stream,
+)
+
+# the synthetic corpus has only one Gopher stopword ('the'), so relax
+# that rule to make the filter discriminate without dropping everything
+TH = GopherThresholds(min_words=40, max_words=100_000, min_stopword_hits=1)
+
+
+@pytest.fixture()
+def docs_dir(spark, sf_dir, tmp_path):
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_scrub_matches_batch(spark, sf_dir, docs_dir):
+    stream = read_document_stream(spark, docs_dir)
+    name = f"scrub_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(scrub_document_stream(stream, "text", TH), name)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.sql(f"SELECT doc_id, text FROM {name}").collect()
+    }
+    q.stop()
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exp = {
+        r["doc_id"]: r["text"]
+        for r in batch.where(gopher_keep("text", TH))
+        .withColumn("text", redact("text"))
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert got == exp
+    assert 0 < len(got) < batch.count()  # the filter actually dropped docs
+
+
+def test_stream_pii_monitor(spark, docs_dir):
+    stream = read_document_stream(spark, docs_dir)
+    name = f"pii_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(pii_monitor_stream(stream), name)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    q.stop()
+    assert rows and all(r["n_pii"] == 0 for r in rows)  # synthetic corpus is clean
+
+
+def test_cli_scrub_end_to_end(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "scrubbed")
+    rc = cli_main(
+        [
+            "scrub",
+            "--directory", sf_dir,
+            "--table", "documents",
+            "--output", out,
+            "--min-words", "40",
+            "--min-stopword-hits", "1",
+        ]
+    )
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "scrub documents: kept" in msg
+    got = spark.read.parquet(out)
+    exp = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(gopher_keep("text", TH))
+        .withColumn("text", redact("text"))
+    )
+    assert 0 < got.count() < 500
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert sorted(got.columns) == sorted(exp.columns)
+
+
+def test_cli_scrub_flag_validation(tmp_path):
+    with pytest.raises(SystemExit):
+        cli_main(
+            [
+                "scrub", "--directory", "/x", "--output", str(tmp_path / "o"),
+                "--no-redact", "--no-filter",
+            ]
+        )
+    with pytest.raises(SystemExit):
+        cli_main(
+            [
+                "scrub", "--directory", "/x", "--output", str(tmp_path / "o"),
+                "--min-words", "10", "--max-words", "5",
+            ]
+        )
+
+
+def test_cli_scrub_single_corpus_scan(spark, sf_dir, tmp_path, monkeypatch):
+    """The scrub write must scan the corpus exactly once — the report
+    counts come from parquet footers, not extra data passes."""
+    import pyspark.sql.classic.dataframe as cd
+
+    reads = {"n": 0}
+    orig = cd.DataFrame.where
+
+    def counting_where(self, *a, **k):
+        reads["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cd.DataFrame, "where", counting_where)
+    out = str(tmp_path / "one_scan")
+    rc = cli_main(
+        ["scrub", "--directory", sf_dir, "--output", out, "--min-words", "5"]
+    )
+    assert rc == 0
+    assert reads["n"] == 1  # one filter application → one scrub pipeline
