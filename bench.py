@@ -231,6 +231,13 @@ def main() -> None:
 
     ivf_dir = _scratch_dir("bench_ivf_")
     try:
+        # warm the k-means/assign/partitioned-write codegen on 2k vectors
+        # (same reason as the zorder warmup: first invocation pays JIT +
+        # writer setup that would otherwise land in the timed build)
+        SIM.ivf_build_index(
+            emb.limit(2000), os.path.join(ivf_dir, "warm"), "vec_id",
+            "embedding", num_cells=4, refine_iters=1,
+        )
         times["ivf_build_refined"] = bench(
             lambda: SIM.ivf_build_index(
                 emb, os.path.join(ivf_dir, "ix"), "vec_id", "embedding",
@@ -258,6 +265,11 @@ def main() -> None:
         # Encode (train + Arrow-batched code pass + materialize) and the
         # search are timed separately; recall closes the compression story.
         from paradump_spark.operators import pq as PQ
+
+        # warm the Arrow/pandas-UDF encode path (first use pays Arrow
+        # serializer + worker spin-up, not PQ cost)
+        _wb = PQ.train_pq(emb.limit(512), "vec_id", "embedding", m=8, ksub=16)
+        PQ.pq_encode(emb.limit(1000), "embedding", _wb).count()
 
         pq_state = {}
 
