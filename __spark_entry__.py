@@ -1031,6 +1031,15 @@ def _q_ngram_dup_profile(spark, sf_dir):
     return DD.ngram_duplication_profile(base, "doc_id", "text", 3)
 
 
+def _q_substring_dedup(spark, sf_dir):
+    """Distributed exact-substring dedup (Lee et al. 2021 policy): cut
+    every non-first occurrence of a duplicated 20-token span."""
+    base = _near_dup_docs(spark, sf_dir)
+    return DD.remove_duplicate_spans(base, "doc_id", "text", 20).select(
+        "doc_id", "n_removed_tokens", "text"
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.brute_force_topk(
@@ -1358,6 +1367,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redacted": _q_pii_redacted,
         "gopher_rules": _q_gopher_rules,
         "ngram_dup_profile": _q_ngram_dup_profile,
+        "substring_dedup": _q_substring_dedup,
         "ann_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
@@ -1885,6 +1895,15 @@ SELECT g.doc_id,
        round(CAST(sum(CASE WHEN c.docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS shared_frac
 FROM g JOIN c USING (gram) GROUP BY g.doc_id""",
+        "substring_dedup": DD.oracle_remove_duplicate_spans_sql(
+            "(SELECT doc_id, text FROM documents"
+            " UNION ALL"
+            " SELECT doc_id + 100000, text || ' the end marker'"
+            " FROM documents WHERE doc_id % 5 = 0) base",
+            "doc_id",
+            "text",
+            20,
+        ),
         "ann_topk": f"""
 WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
 q AS (SELECT query_id, {_norm_sql('v')} AS qv FROM q0),

@@ -118,6 +118,144 @@ def ngram_duplication_profile(
     return prof
 
 
+def duplicate_span_occurrences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 20,
+) -> DataFrame:
+    """Every NON-FIRST occurrence of a cross-corpus duplicated
+    ``span_tokens``-token window: (id, pos) where ``pos`` is the 0-based
+    token offset of a window whose md5 also appears earlier in the corpus
+    (earlier = smaller (doc, pos), the occurrence that is kept).
+
+    The distributed analogue of suffix-array exact-substring dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): rolling token-window hashes instead of a suffix array, the
+    shape that actually distributes.  One shuffle keyed on the window
+    hash; the keeper is a ``min`` aggregate (map-side partial — no
+    row_number window, so a span duplicated a million times never funnels
+    through one task).
+
+    Position encoding: keeper selection packs (doc, pos) into one BIGINT
+    ``doc*2^20 + pos`` for a combinable ``min`` — documents are assumed
+    < 2^20 tokens (a 1M-token doc is ~4 MB of text; split bigger docs
+    upstream).
+    """
+    k = span_tokens
+    toks = TX.tokens(text_col)
+    n_spans = F.size(toks) - k + 1
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an empty
+    # array — docs shorter than the span must be gated explicitly
+    gram_hashes = F.when(
+        n_spans >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_spans, F.lit(1))),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(
+        F.col(id_col), F.posexplode(gram_hashes).alias("pos", "__gh")
+    )
+    enc = (F.col(id_col).cast("long") * (1 << 20)) + F.col("pos")
+    per_gram = occ.groupBy("__gh").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(enc).alias("__keeper"),
+    )
+    return (
+        occ.join(per_gram, "__gh")
+        .where((F.col("__cnt") > 1) & (enc != F.col("__keeper")))
+        .select(id_col, "pos")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 20,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Cut every token covered by a non-first duplicated span and rejoin
+    the survivors with single spaces (the Lee-et-al. drop policy: one
+    copy of each long repeated substring survives, in its
+    smallest-(doc, pos) home).
+
+    Adds ``n_removed_tokens`` alongside the cleaned text.  Docs with no
+    duplicated spans pass through verbatim (left join against the
+    removal sets — typically a tiny fraction of the corpus, so the join
+    broadcast-degrades nicely under AQE).
+    """
+    k = span_tokens
+    occ = duplicate_span_occurrences(df, id_col, text_col, k)
+    removed = (
+        occ.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias(
+                "__rpos"
+            ),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__rpos")).alias("__rset"))
+    )
+    toks = TX.tokens(text_col)
+    cleaned = F.array_join(
+        F.filter(toks, lambda x, i: ~F.array_contains(F.col("__rset"), i)),
+        " ",
+    )
+    out = out_col or text_col
+    return (
+        df.join(removed, id_col, "left")
+        .withColumn(
+            "n_removed_tokens",
+            F.coalesce(F.size("__rset"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            out,
+            F.when(F.col("__rset").isNull(), F.col(text_col)).otherwise(cleaned),
+        )
+        .drop("__rset")
+    )
+
+
+def oracle_remove_duplicate_spans_sql(
+    table: str, id_col: str, text_col: str, span_tokens: int = 20
+) -> str:
+    """DuckDB SQL mirroring :func:`remove_duplicate_spans`
+    (id, n_removed_tokens, cleaned text).  NB DuckDB lambda indexes are
+    1-based where Spark's are 0-based."""
+    k = span_tokens
+    toks = (
+        f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),"
+        " x -> x <> '')"
+    )
+    return f"""
+WITH t AS (SELECT {id_col}, {text_col} AS __text, {toks} AS toks FROM {table}),
+o AS (SELECT {id_col},
+        unnest(list_transform(generate_series(1, greatest(len(toks)-{k}+1, 0)),
+          i -> {{'pos': i-1,
+                 'gh': md5(array_to_string(toks[i:i+{k}-1], ' '))}})) AS u
+      FROM t),
+occ AS (SELECT {id_col}, u.pos AS pos, u.gh AS gh FROM o),
+pg AS (SELECT gh, count(*) AS cnt,
+              min({id_col}*1048576 + pos) AS keeper
+       FROM occ GROUP BY gh),
+dup AS (SELECT occ.{id_col}, occ.pos FROM occ JOIN pg USING (gh)
+        WHERE pg.cnt > 1 AND occ.{id_col}*1048576 + occ.pos <> pg.keeper),
+rem AS (SELECT {id_col}, list_sort(list(DISTINCT rpos)) AS rset
+        FROM (SELECT {id_col}, unnest(generate_series(pos, pos+{k}-1)) AS rpos
+              FROM dup)
+        GROUP BY {id_col})
+SELECT t.{id_col},
+       CAST(coalesce(len(rem.rset), 0) AS BIGINT) AS n_removed_tokens,
+       CASE WHEN rem.rset IS NULL THEN t.__text
+            ELSE coalesce(array_to_string(
+              list_filter(t.toks, (x, i) -> NOT list_contains(rem.rset, i-1)),
+              ' '), '') END AS {text_col}
+FROM t LEFT JOIN rem USING ({id_col})"""
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
