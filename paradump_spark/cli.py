@@ -84,6 +84,24 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--min-stopword-hits", type=int, default=2,
                     help="distinct Gopher stopwords required (lower for "
                          "non-English or synthetic corpora)")
+
+    dd = sub.add_parser(
+        "dedup", help="corpus deduplication (exact, MinHash-LSH clusters, "
+                      "or duplicated-span removal)"
+    )
+    dd.add_argument("--directory", required=True, help="corpus catalog directory")
+    dd.add_argument("--table", default="documents")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--output", required=True, help="parquet output")
+    dd.add_argument("--method", default="exact",
+                    choices=("exact", "minhash", "spans"))
+    dd.add_argument("--ngram", type=int, default=3,
+                    help="shingle width for minhash")
+    dd.add_argument("--threshold", type=float, default=0.8,
+                    help="Jaccard threshold for minhash clustering")
+    dd.add_argument("--span-tokens", type=int, default=20,
+                    help="window width for spans mode")
     return p
 
 
@@ -114,6 +132,13 @@ def validate(args: argparse.Namespace) -> None:
             raise SystemExit("--no-redact with --no-filter leaves nothing to do")
         if args.min_words < 0 or args.max_words < args.min_words:
             raise SystemExit("--min-words/--max-words out of order")
+    if args.command == "dedup":
+        if args.ngram < 1:
+            raise SystemExit("--ngram must be >= 1")
+        if not (0.0 < args.threshold <= 1.0):
+            raise SystemExit("--threshold must be in (0, 1]")
+        if args.span_tokens < 2:
+            raise SystemExit("--span-tokens must be >= 2")
     if args.command == "sync":
         # NB: src == dst is legal — the reference's no-op sync test relies
         # on diffing identical endpoints reporting zero DML
@@ -184,6 +209,29 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"decontam {args.table}: kept {n_out} of {n_in} "
             f"(flagged {n_flagged}, max_hits={args.max_hits})"
+        )
+        return 0
+    if args.command == "dedup":
+        from paradump_spark.operators import dedup as DD
+
+        corpus = ParquetCatalog(spark, args.directory).load(args.table)
+        if args.method == "exact":
+            out = DD.dedup_exact(corpus, [args.text_col], args.id_col)
+        elif args.method == "minhash":
+            out = DD.dedup_minhash_cc(
+                corpus, args.id_col, args.text_col,
+                threshold=args.threshold, shingle_size=args.ngram,
+            )
+        else:  # spans
+            out = DD.remove_duplicate_spans(
+                corpus, args.id_col, args.text_col, args.span_tokens
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        n_in = corpus.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(
+            f"dedup {args.table} method={args.method}: "
+            f"kept {n_out} of {n_in} (dropped {n_in - n_out})"
         )
         return 0
     if args.command == "scrub":

@@ -116,6 +116,56 @@ def test_cli_scrub_flag_validation(tmp_path):
         )
 
 
+def test_cli_dedup_methods(spark, sf_dir, tmp_path, capsys):
+    for method in ("exact", "minhash", "spans"):
+        out = str(tmp_path / f"dedup_{method}")
+        rc = cli_main(
+            [
+                "dedup", "--directory", sf_dir, "--output", out,
+                "--method", method,
+            ]
+        )
+        assert rc == 0
+        assert f"dedup documents method={method}" in capsys.readouterr().out
+        got = spark.read.parquet(out)
+        if method == "exact":
+            assert got.count() == 500  # texts are distinct: nothing dropped
+        else:
+            # the word-salad corpus contains genuine near-dups at J>=0.8,
+            # so minhash may drop a few; spans keeps every row (it cuts
+            # text, not documents)
+            assert 400 < got.count() <= 500
+        if method == "spans":
+            assert "n_removed_tokens" in got.columns
+
+
+def test_cli_dedup_drops_real_duplicates(spark, sf_dir, tmp_path):
+    """Duplicate the corpus into a staging dir and confirm exact dedup
+    halves it through the CLI."""
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = str(tmp_path / "staged")
+    src.unionAll(src).write.parquet(f"{staged}/documents.parquet")
+    out = str(tmp_path / "deduped")
+    rc = cli_main(
+        ["dedup", "--directory", staged, "--output", out, "--method", "exact"]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 500
+
+
+def test_cli_dedup_flag_validation(tmp_path):
+    with pytest.raises(SystemExit):
+        cli_main(
+            ["dedup", "--directory", "/x", "--output", str(tmp_path / "o"),
+             "--threshold", "1.5"]
+        )
+    with pytest.raises(SystemExit):
+        cli_main(
+            ["dedup", "--directory", "/x", "--output", str(tmp_path / "o"),
+             "--span-tokens", "1"]
+        )
+
+
 def test_cli_scrub_single_corpus_scan(spark, sf_dir, tmp_path, monkeypatch):
     """The scrub write must scan the corpus exactly once — the report
     counts come from parquet footers, not extra data passes."""
