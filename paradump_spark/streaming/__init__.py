@@ -12,6 +12,7 @@ from paradump_spark.streaming.documents import (
     pii_monitor_stream,
     read_document_stream,
     scrub_document_stream,
+    stream_incremental_dedup,
 )
 from paradump_spark.streaming.events import (
     dedup_event_stream,
@@ -32,4 +33,5 @@ __all__ = [
     "read_document_stream",
     "scrub_document_stream",
     "pii_monitor_stream",
+    "stream_incremental_dedup",
 ]

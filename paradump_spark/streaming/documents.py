@@ -52,6 +52,73 @@ def scrub_document_stream(
     return out
 
 
+def stream_incremental_dedup(
+    docs: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    trigger_available_now: bool = True,
+):
+    """Continuous corpus dedup: every arriving shard is probed against the
+    historical MinHash signature store; only FRESH documents (no banded
+    candidate match, intra-shard dups collapsed) reach ``out_path``, and
+    their bands are appended to the store so the index stays current.
+
+    `operators.dedup.incremental_dedup` under ``foreachBatch`` — the
+    never-reshingles-history production shape, now fed by a stream.
+    Ordering inside the checkpointed batch is output-first, store-append
+    second: a crash between the two replays the batch against a store
+    that does NOT yet hold its bands, so the docs are re-emitted
+    (at-least-once output, the standard foreachBatch contract) and the
+    store append then completes — never the reverse, where an appended
+    store would classify the replayed batch as duplicate and silently
+    drop its rows from the output.
+    """
+    from paradump_spark.operators.dedup import (
+        incremental_dedup,
+        write_signature_store,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fresh, _ = incremental_dedup(
+            batch_df.sparkSession,
+            store_path,
+            batch_df,
+            id_col,
+            text_col,
+            shingle_size=shingle_size,
+            num_hashes=num_hashes,
+            bands=bands,
+            append_fresh=False,
+        )
+        fresh = fresh.persist()
+        try:
+            fresh.write.mode("append").parquet(out_path)
+            write_signature_store(
+                fresh, store_path, id_col, text_col,
+                shingle_size=shingle_size, num_hashes=num_hashes,
+                bands=bands, mode="append",
+            )
+        finally:
+            fresh.unpersist()
+
+    writer = (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def pii_monitor_stream(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -72,6 +72,64 @@ def test_stream_pii_monitor(spark, docs_dir):
     assert rows and all(r["n_pii"] == 0 for r in rows)  # synthetic corpus is clean
 
 
+def test_stream_incremental_dedup_across_runs(spark, sf_dir, tmp_path):
+    """Two availableNow runs over a growing shard directory: history in
+    the signature store is never re-shingled, duplicates of BOTH the
+    initial corpus and earlier-streamed shards are dropped, fresh docs'
+    bands land in the store for the next run."""
+    from paradump_spark.operators.dedup import write_signature_store
+    from paradump_spark.streaming import (
+        read_document_stream,
+        stream_incremental_dedup,
+    )
+
+    # crafted corpus with per-doc unique vocabulary: banded-LSH candidate
+    # matches (no Jaccard verify in the store probe) then occur ONLY for
+    # genuine copies, keeping the expected sets deterministic
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}t{j}" for j in range(12))) for i in range(350)],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "sigstore")
+    out = str(tmp_path / "fresh")
+    ckpt = str(tmp_path / "ckpt")
+    shards = tmp_path / "shards"
+    shards.mkdir()
+
+    write_signature_store(docs.where("doc_id < 200"), store, "doc_id", "text")
+
+    # shard 1: 100 new docs + 20 exact copies of historical docs
+    shard1 = docs.where("doc_id >= 200 AND doc_id < 300").unionAll(
+        docs.where("doc_id < 20").select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        )
+    )
+    shard1.coalesce(1).write.parquet(str(shards / "s1"))
+
+    def _run():
+        q = stream_incremental_dedup(
+            read_document_stream(spark, str(shards) + "/*"),
+            store, out, ckpt,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    _run()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == set(range(200, 300))  # history copies dropped
+
+    # shard 2: 50 new docs + copies of shard-1 docs (dup vs STREAMED data)
+    shard2 = docs.where("doc_id >= 300 AND doc_id < 350").unionAll(
+        docs.where("doc_id >= 200 AND doc_id < 220").select(
+            (F.col("doc_id") + 600000).alias("doc_id"), "text"
+        )
+    )
+    shard2.coalesce(1).write.parquet(str(shards / "s2"))
+    _run()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == set(range(200, 350))
+
+
 def test_cli_scrub_end_to_end(spark, sf_dir, tmp_path, capsys):
     out = str(tmp_path / "scrubbed")
     rc = cli_main(
