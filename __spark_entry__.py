@@ -1031,6 +1031,12 @@ def _q_ngram_dup_profile(spark, sf_dir):
     return DD.ngram_duplication_profile(base, "doc_id", "text", 3)
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    return TA.tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", 5
+    )
+
+
 def _q_substring_dedup(spark, sf_dir):
     """Distributed exact-substring dedup (Lee et al. 2021 policy): cut
     every non-first occurrence of a duplicated 20-token span."""
@@ -1368,6 +1374,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "ngram_dup_profile": _q_ngram_dup_profile,
         "substring_dedup": _q_substring_dedup,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "ann_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
@@ -1895,6 +1902,21 @@ SELECT g.doc_id,
        round(CAST(sum(CASE WHEN c.docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS shared_frac
 FROM g JOIN c USING (gram) GROUP BY g.doc_id""",
+        "tfidf_top_terms": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+dtf AS (SELECT doc_id, token, count(*) AS tf_doc FROM tok GROUP BY 1, 2),
+cdf AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+sc AS (SELECT doc_id, token,
+              round(tf_doc * (ln(((SELECT count(*) FROM documents) + 1.0)
+                                 / (df + 1.0)) + 1.0), 6) AS tfidf
+       FROM dtf JOIN cdf USING (token)),
+r AS (SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token ASC) AS rank
+      FROM sc)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tfidf
+FROM r WHERE rank <= 5""",
         "substring_dedup": DD.oracle_remove_duplicate_spans_sql(
             "(SELECT doc_id, text FROM documents"
             " UNION ALL"

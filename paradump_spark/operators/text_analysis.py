@@ -161,6 +161,58 @@ def vocab_top_tokens(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF (smoothed:
+    ``tf_doc · (ln((N+1)/(df+1)) + 1)``), ties broken by term asc —
+    the per-document keyword extractor.
+
+    Plan: one token-keyed shuffle for the corpus ``df`` counts (partial
+    map-side), a co-partitioned join of per-(doc, token) counts against
+    them on the same key, then one doc-keyed aggregation whose top-``k``
+    cut is an ``array_sort``+``slice`` AGGREGATE (combinable — no
+    per-doc window, and a doc bounds its own term list, so no skew
+    funnel).  Scores round to 6 decimals for engine-stable hashing.
+    """
+    n_docs = df.count()  # plan-time scalar; one cheap count job
+    tok = df.select(F.col(id_col), F.explode(TX.tokens(text_col)).alias("token"))
+    doc_tf = tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
+    corpus_df = tok.groupBy("token").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = doc_tf.join(corpus_df, "token").select(
+        F.col(id_col),
+        "token",
+        F.round(F.col("tf_doc") * idf, 6).alias("tfidf"),
+    )
+    ranked = (
+        scored.groupBy(id_col)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("tfidf")).alias("neg"), "token"))
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode("top").alias("pos0", "t"),
+        )
+    )
+    return ranked.select(
+        id_col,
+        (F.col("pos0") + 1).cast("long").alias("rank"),
+        F.col("t.token").alias("token"),
+        (-F.col("t.neg")).alias("tfidf"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fingerprint, content_md5) — rolling-hash + exact-hash identities."""
     return df.select(

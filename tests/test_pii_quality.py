@@ -153,3 +153,27 @@ def test_ngram_duplication_short_doc_not_dropped(spark):
     got = ngram_duplication_profile(df, "doc_id", "text", 3).collect()
     assert len(got) == 2  # sub-n docs shingle to their full text
     assert all(r["shared_frac"] == 1.0 for r in got)
+
+
+def test_tfidf_top_terms_semantics(spark):
+    from paradump_spark.operators.text_analysis import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana common common"),
+        (2, "banana cherry common common"),
+        (3, "durian common common common"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tfidf"])
+        for r in tfidf_top_terms(df, "doc_id", "text", 2).collect()
+    }
+    # doc 1: apple tf=2 x idf(df=1)=ln(2)+1 beats common tf=2 x idf 1
+    assert got[(1, 1)][0] == "apple"
+    # doc 3: common tf=3 x idf 1 = 3.0 beats durian 1 x 1.693
+    assert got[(3, 1)] == ("common", 3.0)
+    assert got[(3, 2)][0] == "durian"
+    # 'common' (df=3) scores idf=ln(4/4)+1=1 -> tfidf == its tf
+    common = [v for v in got.values() if v[0] == "common"]
+    assert all(abs(s - round(s)) < 1e-9 for _, s in common)
+    assert len(got) == 6  # k=2 per doc
