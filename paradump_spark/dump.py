@@ -20,12 +20,13 @@ from dataclasses import dataclass, field
 from paradump_spark.catalog import ParquetCatalog, _path_size
 from paradump_spark.sinks.files import (
     write_csv,
+    write_jsonl,
     write_noop,
     write_parquet,
     write_sql_inserts,
 )
 
-DUMP_MODES = ("sql", "csv", "csv_exact", "parquet", "nul")
+DUMP_MODES = ("sql", "csv", "csv_exact", "jsonl", "parquet", "nul")
 
 
 @dataclass
@@ -92,6 +93,11 @@ def dump_tables(
             write_csv(
                 df, path, meta=meta, exact=True,
                 compression=options.compression,
+                compression_level=options.compression_level,
+            )
+        elif options.mode == "jsonl":
+            write_jsonl(
+                df, path, compression=options.compression,
                 compression_level=options.compression_level,
             )
         elif options.mode == "parquet":

@@ -152,6 +152,33 @@ def write_csv(
     _commit_text(writer, df, path, compression, compression_level, "csv")
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = None,
+    compression_level: int = 1,
+    mode: str = "overwrite",
+    partitions: int | None = None,
+) -> None:
+    """JSON-lines dump — the training-corpus interchange format (beyond
+    the reference's sql/csv surface; every public LLM dataset ships as
+    jsonl[.zst]).
+
+    One ``to_json(struct(*))`` codegen'd expression per row through the
+    text committer, so the K3 compression path (including the pyarrow
+    zstd finalize) applies unchanged.  Key order is the column order —
+    deterministic, and ``spark.read.json`` round-trips it.
+    """
+    if partitions:
+        df = df.repartition(partitions)
+    out = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("line")
+    )
+    _commit_text(
+        out.write.mode(mode), out, path, compression, compression_level, "text"
+    )
+
+
 #: Spark/Hadoop can compress text output with these without native codecs.
 _HADOOP_TEXT_CODECS = ("gzip", "bzip2", "deflate", "none")
 

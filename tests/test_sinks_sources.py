@@ -407,3 +407,47 @@ def test_gzip_text_compression_still_streams_through_hadoop(spark, sf_dir, tmp_p
         gzip.open(os.path.join(out, f)).read().count(b"\n") for f in gz
     )
     assert rows == nat.count()
+
+
+def test_jsonl_dump_roundtrip(spark, sf_dir, tmp_path):
+    """jsonl mode round-trips through spark.read.json, uncompressed and
+    through the zstd finalize path."""
+    import os
+
+    from paradump_spark.sinks.files import write_jsonl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "jd")
+    write_jsonl(docs, out)
+    back = spark.read.schema(docs.schema).json(out)
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
+
+    outz = str(tmp_path / "jdz")
+    write_jsonl(docs, outz, compression="zstd", compression_level=3)
+    zparts = [f for f in os.listdir(outz) if f.endswith(".zst")]
+    assert zparts and not [
+        f for f in os.listdir(outz)
+        if f.startswith("part-") and not f.endswith((".zst", ".crc"))
+    ]
+    # spark reads .zst text/json natively on the inbound side
+    backz = spark.read.schema(docs.schema).json(outz)
+    assert backz.count() == docs.count()
+    assert backz.exceptAll(docs).count() == 0
+
+
+def test_jsonl_dump_via_cli(spark, sf_dir, tmp_path, capsys):
+    from paradump_spark.cli import main as cli_main
+
+    out = str(tmp_path / "dumpjl")
+    rc = cli_main(
+        ["dump", "--directory", sf_dir, "--output", out, "--mode", "jsonl",
+         "--table", "nation"]
+    )
+    assert rc == 0
+    assert "mode=jsonl" in capsys.readouterr().out
+    import os
+    files = os.listdir(os.path.join(out, "nation"))
+    assert any(f.startswith("part-") for f in files)
+    back = spark.read.json(os.path.join(out, "nation"))
+    assert back.count() == 25
