@@ -1031,6 +1031,19 @@ def _q_ngram_dup_profile(spark, sf_dir):
     return DD.ngram_duplication_profile(base, "doc_id", "text", 3)
 
 
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2, "srcX": 0.7}
+_MIX_BUDGET = 1_000_000
+
+
+def _q_mixture_plan(spark, sf_dir):
+    from paradump_spark.operators.sampling import mixture_plan
+
+    return mixture_plan(
+        _t(spark, sf_dir, "documents"), "source", "text",
+        _MIX_WEIGHTS, _MIX_BUDGET,
+    )
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     return TA.tfidf_top_terms(
         _t(spark, sf_dir, "documents"), "doc_id", "text", 5
@@ -1375,6 +1388,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dup_profile": _q_ngram_dup_profile,
         "substring_dedup": _q_substring_dedup,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "mixture_plan": _q_mixture_plan,
         "ann_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
@@ -1902,6 +1916,24 @@ SELECT g.doc_id,
        round(CAST(sum(CASE WHEN c.docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS shared_frac
 FROM g JOIN c USING (gram) GROUP BY g.doc_id""",
+        "mixture_plan": f"""
+WITH avail AS (
+  SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source
+),
+w AS (SELECT * FROM (VALUES {", ".join(f"('{s}', {wt})" for s, wt in _MIX_WEIGHTS.items())})
+      AS v(source, weight)),
+m AS (SELECT avail.source, available_tokens,
+             coalesce(w.weight, 0.0) AS weight
+      FROM avail LEFT JOIN w USING (source)),
+tw AS (SELECT sum(weight) AS total_w FROM m)
+SELECT source, available_tokens, round(weight, 6) AS weight,
+       round({float(_MIX_BUDGET)} * weight / total_w, 6) AS target_tokens,
+       round(round({float(_MIX_BUDGET)} * weight / total_w, 6)
+             / available_tokens, 6) AS fraction,
+       CAST(ceil(round(round({float(_MIX_BUDGET)} * weight / total_w, 6)
+                       / available_tokens, 6)) AS BIGINT) AS epochs
+FROM m, tw""",
         "tfidf_top_terms": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS token FROM t),

@@ -130,6 +130,55 @@ def mixture(
     return out
 
 
+def mixture_plan(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+) -> DataFrame:
+    """Turn target mixture weights + a token budget into per-source
+    sampling fractions — the planning step in front of :func:`mixture`.
+
+    For each source: ``target_tokens = budget · w/Σw``; ``fraction =
+    target/available`` (may exceed 1 — that's epochs: repeat the source
+    ``floor(fraction)`` times plus a ``fraction - floor`` partial pass).
+    One aggregation over the corpus (token counts partial-combine
+    map-side); the plan itself is one tiny row per source.
+
+    Sources missing from ``weights`` get weight 0 (excluded); weights
+    naming absent sources are ignored (their share is re-normalized away
+    by Σw over PRESENT sources only — the conventional behavior when a
+    configured source has no data yet).
+    """
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    if not weights or all(w <= 0 for w in weights.values()):
+        raise ValueError("weights must contain at least one positive entry")
+    from paradump_spark.functions import text as TX
+
+    avail = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(TX.token_count(text_col)).cast("long").alias("available_tokens")
+    )
+    w = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )[F.col("source")]
+    weighted = avail.withColumn("weight", F.coalesce(w, F.lit(0.0)))
+    total_w = weighted.agg(F.sum("weight")).collect()[0][0]
+    if not total_w:
+        raise ValueError("no weighted source present in the corpus")
+    target = F.round(F.lit(float(token_budget)) * F.col("weight") / total_w, 6)
+    frac = F.round(target / F.col("available_tokens"), 6)
+    return weighted.select(
+        "source",
+        "available_tokens",
+        F.round("weight", 6).alias("weight"),
+        target.alias("target_tokens"),
+        frac.alias("fraction"),
+        F.ceil(frac).cast("long").alias("epochs"),
+    )
+
+
 def group_top_k_partial(
     df: DataFrame,
     group_cols: Sequence[str],

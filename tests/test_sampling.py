@@ -188,3 +188,35 @@ def test_group_top_k_skewed_group_matches_naive(spark):
         .collect()
     }
     assert got == naive
+
+
+def test_mixture_plan_semantics(spark):
+    import pytest
+
+    from paradump_spark.operators.sampling import mixture_plan
+
+    rows = [
+        (1, "a", "w " * 100),   # 100 tokens in source a
+        (2, "a", "w " * 100),
+        (3, "b", "w " * 50),    # 50 tokens in source b
+        (4, "c", "w " * 10),    # unweighted source
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    plan = {
+        r["source"]: r.asDict()
+        for r in mixture_plan(
+            df, "source", "text", {"a": 3.0, "b": 1.0, "zz": 5.0}, 400
+        ).collect()
+    }
+    # zz absent -> ignored; sum(w) over present = 4.0
+    assert plan["a"]["available_tokens"] == 200
+    assert plan["a"]["target_tokens"] == 300.0     # 400 * 3/4
+    assert plan["a"]["fraction"] == 1.5 and plan["a"]["epochs"] == 2
+    assert plan["b"]["target_tokens"] == 100.0 and plan["b"]["epochs"] == 2
+    assert plan["c"]["weight"] == 0.0 and plan["c"]["fraction"] == 0.0
+    with pytest.raises(ValueError):
+        mixture_plan(df, "source", "text", {"a": 1.0}, 0)
+    with pytest.raises(ValueError):
+        mixture_plan(df, "source", "text", {}, 100)
+    with pytest.raises(ValueError):
+        mixture_plan(df, "source", "text", {"zz": 1.0}, 100)
