@@ -102,6 +102,30 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Jaccard threshold for minhash clustering")
     dd.add_argument("--span-tokens", type=int, default=20,
                     help="window width for spans mode")
+
+    pp = sub.add_parser(
+        "pipeline",
+        help="end-to-end corpus prep: scrub -> dedup -> decontam, one "
+             "staged parquet output per step",
+    )
+    pp.add_argument("--directory", required=True, help="corpus catalog directory")
+    pp.add_argument("--table", default="documents")
+    pp.add_argument("--id-col", default="doc_id")
+    pp.add_argument("--text-col", default="text")
+    pp.add_argument("--output-root", required=True,
+                    help="root directory for the staged outputs")
+    pp.add_argument("--skip-scrub", action="store_true")
+    pp.add_argument("--dedup-method", default="exact",
+                    choices=("exact", "minhash", "spans", "none"))
+    pp.add_argument("--bench-directory", default=None,
+                    help="benchmark catalog: enables the decontam stage")
+    pp.add_argument("--bench-table", default="documents")
+    pp.add_argument("--min-words", type=int, default=50)
+    pp.add_argument("--min-stopword-hits", type=int, default=2)
+    pp.add_argument("--ngram", type=int, default=3)
+    pp.add_argument("--threshold", type=float, default=0.8)
+    pp.add_argument("--span-tokens", type=int, default=20)
+    pp.add_argument("--max-hits", type=int, default=0)
     return p
 
 
@@ -210,6 +234,72 @@ def main(argv: list[str] | None = None) -> int:
             f"decontam {args.table}: kept {n_out} of {n_in} "
             f"(flagged {n_flagged}, max_hits={args.max_hits})"
         )
+        return 0
+    if args.command == "pipeline":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from paradump_spark.operators import dedup as DD
+        from paradump_spark.operators.decontam import flagged_ids
+        from paradump_spark.operators.pii import redact
+        from paradump_spark.operators.quality_rules import (
+            GopherThresholds,
+            gopher_keep,
+        )
+
+        cur = ParquetCatalog(spark, args.directory).load(args.table)
+        n_prev = cur.count()
+        print(f"pipeline {args.table}: {n_prev} input docs")
+        stage_no = 0
+
+        def _write_stage(df, name):
+            nonlocal cur, n_prev, stage_no
+            stage_no += 1
+            path = os.path.join(args.output_root, f"{stage_no:02d}_{name}")
+            df.write.mode("overwrite").parquet(path)
+            cur = spark.read.parquet(path)
+            n = cur.count()  # parquet-footer read
+            print(f"  {name}: kept {n} of {n_prev} (dropped {n_prev - n})")
+            n_prev = n
+
+        if not args.skip_scrub:
+            th = GopherThresholds(
+                min_words=args.min_words,
+                min_stopword_hits=args.min_stopword_hits,
+            )
+            _write_stage(
+                cur.where(gopher_keep(args.text_col, th)).withColumn(
+                    args.text_col, redact(args.text_col)
+                ),
+                "scrub",
+            )
+        if args.dedup_method != "none":
+            if args.dedup_method == "exact":
+                deduped = DD.dedup_exact(cur, [args.text_col], args.id_col)
+            elif args.dedup_method == "minhash":
+                deduped = DD.dedup_minhash_cc(
+                    cur, args.id_col, args.text_col,
+                    threshold=args.threshold, shingle_size=args.ngram,
+                )
+            else:
+                deduped = DD.remove_duplicate_spans(
+                    cur, args.id_col, args.text_col, args.span_tokens
+                )
+            _write_stage(deduped, f"dedup_{args.dedup_method}")
+        if args.bench_directory:
+            bench = ParquetCatalog(spark, args.bench_directory).load(
+                args.bench_table
+            )
+            flagged = flagged_ids(
+                cur, bench, args.id_col, args.text_col, args.ngram,
+                args.max_hits,
+            )
+            _write_stage(
+                cur.join(F.broadcast(flagged), args.id_col, "left_anti"),
+                "decontam",
+            )
+        print(f"pipeline done: final stage holds {n_prev} docs")
         return 0
     if args.command == "dedup":
         from paradump_spark.operators import dedup as DD

@@ -243,3 +243,47 @@ def test_cli_scrub_single_corpus_scan(spark, sf_dir, tmp_path, monkeypatch):
     )
     assert rc == 0
     assert reads["n"] == 1  # one filter application → one scrub pipeline
+
+
+def test_cli_pipeline_end_to_end(spark, sf_dir, tmp_path, capsys):
+    """scrub -> span-dedup -> decontam in one command, staged outputs."""
+    import os
+
+    root = str(tmp_path / "pipe")
+    rc = cli_main(
+        [
+            "pipeline", "--directory", sf_dir, "--output-root", root,
+            "--min-words", "40", "--min-stopword-hits", "1",
+            "--dedup-method", "spans",
+            "--bench-directory", sf_dir,  # corpus vs itself: all flagged
+        ]
+    )
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "pipeline documents: 500 input docs" in msg
+    assert "scrub: kept" in msg and "dedup_spans: kept" in msg
+    assert "decontam: kept" in msg
+    stages = sorted(os.listdir(root))
+    assert stages == ["01_scrub", "02_dedup_spans", "03_decontam"]
+    n_scrub = spark.read.parquet(os.path.join(root, "01_scrub")).count()
+    assert 0 < n_scrub < 500
+    # bench == the original table, so every doc whose text SURVIVED the
+    # earlier stages unchanged is flagged; only span-rewritten docs (cut
+    # seams produce novel shingles) can pass — a small remainder
+    n_final = spark.read.parquet(os.path.join(root, "03_decontam")).count()
+    assert n_final < n_scrub / 2
+    assert f"final stage holds {n_final} docs" in msg
+
+
+def test_cli_pipeline_minimal(spark, sf_dir, tmp_path, capsys):
+    root = str(tmp_path / "pipe2")
+    rc = cli_main(
+        [
+            "pipeline", "--directory", sf_dir, "--output-root", root,
+            "--skip-scrub", "--dedup-method", "exact",
+        ]
+    )
+    assert rc == 0
+    import os
+    assert os.listdir(root) == ["01_dedup_exact"]
+    assert spark.read.parquet(os.path.join(root, "01_dedup_exact")).count() == 500
