@@ -126,6 +126,21 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--threshold", type=float, default=0.8)
     pp.add_argument("--span-tokens", type=int, default=20)
     pp.add_argument("--max-hits", type=int, default=0)
+
+    op = sub.add_parser(
+        "optimize",
+        help="lake maintenance: small-file compaction, optionally Z-order "
+             "re-clustering",
+    )
+    op.add_argument("--path", required=True, help="parquet directory to optimize")
+    op.add_argument("--target-mb", type=int, default=512)
+    op.add_argument("--sort-col", default=None,
+                    help="re-sort within files for min/max locality")
+    op.add_argument("--partition-by", action="append", default=[],
+                    help="existing partition column (repeatable) — preserves layout")
+    op.add_argument("--zorder-by", action="append", default=[],
+                    help="Z-order cluster column (repeatable, >=2 to interleave); "
+                         "mutually exclusive with --sort-col/--partition-by")
     return p
 
 
@@ -163,6 +178,19 @@ def validate(args: argparse.Namespace) -> None:
             raise SystemExit("--threshold must be in (0, 1]")
         if args.span_tokens < 2:
             raise SystemExit("--span-tokens must be >= 2")
+    if args.command == "optimize":
+        if args.zorder_by and (args.sort_col or args.partition_by):
+            raise SystemExit(
+                "--zorder-by is a full re-cluster; it cannot combine with "
+                "--sort-col/--partition-by"
+            )
+        if args.target_mb <= 0:
+            raise SystemExit("--target-mb must be positive")
+        if len(args.zorder_by) == 1:
+            raise SystemExit(
+                "--zorder-by needs >= 2 columns (one column is plain "
+                "sorting: use --sort-col)"
+            )
     if args.command == "sync":
         # NB: src == dst is legal — the reference's no-op sync test relies
         # on diffing identical endpoints reporting zero DML
@@ -234,6 +262,41 @@ def main(argv: list[str] | None = None) -> int:
             f"decontam {args.table}: kept {n_out} of {n_in} "
             f"(flagged {n_flagged}, max_hits={args.max_hits})"
         )
+        return 0
+    if args.command == "optimize":
+        import math
+        import os
+        import shutil
+
+        from paradump_spark.catalog import _path_size
+        from paradump_spark.plans.zorder import compact_parquet, zorder_write
+
+        if args.zorder_by:
+            # Z-order rewrite: cluster + compact in one pass, same
+            # rename-swap publication as compact_parquet's local-FS mode
+            df = spark.read.parquet(args.path)
+            n_files = max(
+                1, math.ceil(_path_size(args.path) / (args.target_mb << 20))
+            )
+            tmp = args.path.rstrip("/") + "__zordering"
+            old = args.path.rstrip("/") + "__old"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            zorder_write(df, tmp, args.zorder_by, num_files=n_files)
+            os.rename(args.path, old)
+            os.rename(tmp, args.path)
+            shutil.rmtree(old, ignore_errors=True)
+            print(
+                f"optimize {args.path}: z-ordered on "
+                f"{','.join(args.zorder_by)} into {n_files} files"
+            )
+        else:
+            n = compact_parquet(
+                spark, args.path, target_mb=args.target_mb,
+                sort_col=args.sort_col,
+                partition_by=args.partition_by or None,
+            )
+            print(f"optimize {args.path}: compacted to {n} files")
         return 0
     if args.command == "pipeline":
         import os

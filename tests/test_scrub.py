@@ -287,3 +287,33 @@ def test_cli_pipeline_minimal(spark, sf_dir, tmp_path, capsys):
     import os
     assert os.listdir(root) == ["01_dedup_exact"]
     assert spark.read.parquet(os.path.join(root, "01_dedup_exact")).count() == 500
+
+
+def test_cli_optimize_compact_and_zorder(spark, sf_dir, tmp_path, capsys):
+    import glob as g
+
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lake = str(tmp_path / "lake")
+    src.repartition(24).write.parquet(lake)  # fragment it
+    assert len(g.glob(f"{lake}/part-*.parquet")) == 24
+
+    rc = cli_main(["optimize", "--path", lake, "--target-mb", "512"])
+    assert rc == 0
+    assert "compacted to 1 files" in capsys.readouterr().out
+    assert len(g.glob(f"{lake}/part-*.parquet")) == 1
+    assert spark.read.parquet(lake).count() == src.count()
+
+    rc = cli_main(
+        ["optimize", "--path", lake,
+         "--zorder-by", "l_orderkey", "--zorder-by", "l_partkey"]
+    )
+    assert rc == 0
+    assert "z-ordered on l_orderkey,l_partkey" in capsys.readouterr().out
+    back = spark.read.parquet(lake)
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0
+
+    with pytest.raises(SystemExit):
+        cli_main(["optimize", "--path", lake, "--zorder-by", "l_orderkey"])
+    with pytest.raises(SystemExit):
+        cli_main(["optimize", "--path", lake, "--target-mb", "0"])
