@@ -34,6 +34,18 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--compression-level", type=int, default=1,
                    help="zstd level (ref -dumpcompresslevel: 1, 3, 6, 11)")
     d.add_argument("--dialect", default="mysql", choices=("mysql", "postgres", "mssql"))
+    d.add_argument("--manifest", action="store_true",
+                   help="write _manifest.json (per-table row count + "
+                        "order-insensitive checksum) next to the dump")
+
+    vd = sub.add_parser(
+        "verify-dump",
+        help="recompute a dump manifest's checksums against a (restored) "
+             "catalog; exit 1 on any mismatch",
+    )
+    vd.add_argument("--directory", required=True,
+                    help="catalog holding the restored tables")
+    vd.add_argument("--manifest", required=True, help="path to _manifest.json")
 
     s = sub.add_parser("sync", help="table diff + stats (ref: parasync)")
     s.add_argument("--src", required=True)
@@ -221,7 +233,31 @@ def main(argv: list[str] | None = None) -> int:
         results = dump_tables(cat, args.output or "", args.table or None, opts)
         for r in results:
             print(f"dumped {r.table} mode={r.mode} path={r.path}")
+        if args.manifest and args.mode != "nul":
+            from paradump_spark.dump import write_manifest
+
+            mp = write_manifest(cat, args.output, results)
+            print(f"manifest {mp}")
         return 0
+    if args.command == "verify-dump":
+        import os
+
+        from paradump_spark.dump import verify_dump
+
+        class _RestoredCatalog:
+            """Accept both layouts: a source catalog (<table>.parquet) and
+            a dump/restore directory (<table>/ written by dump_tables)."""
+
+            def load(self, table):
+                p = os.path.join(args.directory, f"{table}.parquet")
+                if not os.path.exists(p):
+                    p = os.path.join(args.directory, table)
+                return spark.read.parquet(p)
+
+        checks = verify_dump(_RestoredCatalog(), args.manifest)
+        for table, ok in sorted(checks.items()):
+            print(f"verify {table}: {'OK' if ok else 'MISMATCH'}")
+        return 0 if all(checks.values()) else 1
     if args.command == "profile":
         from paradump_spark.operators.profile import profile_table
 

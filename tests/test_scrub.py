@@ -317,3 +317,33 @@ def test_cli_optimize_compact_and_zorder(spark, sf_dir, tmp_path, capsys):
         cli_main(["optimize", "--path", lake, "--zorder-by", "l_orderkey"])
     with pytest.raises(SystemExit):
         cli_main(["optimize", "--path", lake, "--target-mb", "0"])
+
+
+def test_cli_dump_manifest_and_verify(spark, sf_dir, tmp_path, capsys):
+    """dump --manifest -> restore (parquet mode IS the restore) ->
+    verify-dump passes; a tampered table fails with exit 1."""
+    out = str(tmp_path / "dump")
+    rc = cli_main(
+        ["dump", "--directory", sf_dir, "--output", out, "--mode", "parquet",
+         "--table", "nation", "--table", "region", "--manifest"]
+    )
+    assert rc == 0
+    assert "manifest" in capsys.readouterr().out
+    manifest = os.path.join(out, "_manifest.json")
+    assert os.path.exists(manifest)
+
+    rc = cli_main(["verify-dump", "--directory", out, "--manifest", manifest])
+    msg = capsys.readouterr().out
+    assert rc == 0 and msg.count(": OK") == 2
+
+    # tamper: drop a row from region
+    df = spark.read.parquet(os.path.join(out, "region"))
+    df.where("r_regionkey <> 0").write.mode("overwrite").parquet(
+        os.path.join(out, "region2")
+    )
+    import shutil as sh
+    sh.rmtree(os.path.join(out, "region"))
+    os.rename(os.path.join(out, "region2"), os.path.join(out, "region"))
+    rc = cli_main(["verify-dump", "--directory", out, "--manifest", manifest])
+    msg = capsys.readouterr().out
+    assert rc == 1 and "region: MISMATCH" in msg and "nation: OK" in msg
