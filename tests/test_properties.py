@@ -185,3 +185,138 @@ def test_morton_code_preserves_quadrant_order(spark, pts):
         for (x2, y2), z2 in z.items():
             if x1 >> 4 < x2 >> 4 and y1 >> 4 < y2 >> 4:
                 assert z1 < z2, ((x1, y1, z1), (x2, y2, z2))
+
+
+# --- round-4 operators ------------------------------------------------------
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abc @.-0123456789\n",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pii_redaction_idempotent_and_match_free(spark, texts):
+    """redact(redact(x)) == redact(x) and the redacted text has zero
+    residual matches, for arbitrary text near the pattern alphabets."""
+    from paradump_spark.operators.pii import pii_stats, redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = redact_pii(df, "text")
+    twice = redact_pii(once, "text")
+    a = sorted(r["text"] for r in once.collect())
+    b = sorted(r["text"] for r in twice.collect())
+    assert a == b
+    residual = pii_stats(once, "doc_id", "text").agg(
+        F.sum("n_pii")
+    ).collect()[0][0]
+    assert residual == 0
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \n.-#", min_size=0, max_size=80),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_gopher_filter_is_rules_keep_subset(spark, texts):
+    """gopher_filter == rows whose gopher_rules.keep is true, and every
+    ratio lies in [0, 1]."""
+    from paradump_spark.operators.quality_rules import gopher_filter, gopher_rules
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rules = gopher_rules(df, "doc_id", "text").collect()
+    keep_ids = {r["doc_id"] for r in rules if r["keep"]}
+    got_ids = {r["doc_id"] for r in gopher_filter(df, "doc_id", "text").collect()}
+    assert got_ids == keep_ids
+    for r in rules:
+        for c in ("symbol_word_ratio", "bullet_line_frac",
+                  "ellipsis_line_frac", "alpha_word_frac"):
+            if c == "symbol_word_ratio":
+                assert r[c] >= 0.0
+            else:
+                assert 0.0 <= r[c] <= 1.0
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_substring_dedup_conserves_and_keeps_first(spark, docs, k):
+    """Token conservation (kept + removed == original per doc) and the
+    keeper guarantee: the globally-smallest (doc, pos) occurrence of any
+    duplicated span is never cut."""
+    from paradump_spark.operators.dedup import (
+        duplicate_span_occurrences,
+        remove_duplicate_spans,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, "doc_id", "text", k).collect()
+    }
+    for i, toks in enumerate(docs):
+        kept = [t for t in out[i]["text"].split(" ") if t != ""]
+        assert len(kept) + out[i]["n_removed_tokens"] == len(toks)
+    # keeper survival: for each duplicated span hash the minimal (doc,pos)
+    # is absent from the removal occurrences
+    occ = duplicate_span_occurrences(df, "doc_id", "text", k).collect()
+    removed = {(r["doc_id"], r["pos"]) for r in occ}
+    # recompute spans in python and check the min occurrence never removed
+    from collections import defaultdict
+
+    spans = defaultdict(list)
+    for i, toks in enumerate(docs):
+        for p in range(max(len(toks) - k + 1, 0)):
+            spans[" ".join(toks[p:p + k])].append((i, p))
+    for gram, occs in spans.items():
+        if len(occs) > 1:
+            assert min(occs) not in removed
+            for o in occs:
+                if o != min(occs):
+                    assert o in removed
+
+
+@_slow
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.floats(min_value=0.1, max_value=5.0, allow_nan=False),
+        min_size=1,
+        max_size=3,
+    ),
+    budget=st.integers(min_value=100, max_value=10_000_000),
+)
+def test_mixture_plan_targets_sum_to_budget(spark, weights, budget):
+    """Σ target_tokens over weighted-present sources == budget (±rounding),
+    and fraction·available == target for every source."""
+    from paradump_spark.operators.sampling import mixture_plan
+
+    rows = [
+        (i, f"s{i % 3}", "w " * (10 + 7 * i)) for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = mixture_plan(df, "source", "text", weights, budget).collect()
+    total_target = sum(r["target_tokens"] for r in plan)
+    assert abs(total_target - budget) < 1e-3
+    for r in plan:
+        assert abs(r["fraction"] * r["available_tokens"] - r["target_tokens"]) < 0.5
