@@ -25,6 +25,7 @@ from paradump_spark.functions.render import csv_line, values_tuple
 from paradump_spark.operators.asof import asof_join
 from paradump_spark.operators import dedup as DD
 from paradump_spark.operators import diff as DF
+from paradump_spark.operators import funnel as FN
 from paradump_spark.operators import multimodal as MM
 from paradump_spark.operators import pii as PII
 from paradump_spark.operators import quality_rules as QR
@@ -1031,6 +1032,24 @@ def _q_ngram_dup_profile(spark, sf_dir):
     return DD.ngram_duplication_profile(base, "doc_id", "text", 3)
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WITHIN = 7 * 24 * 3600  # 7 days
+
+
+def _q_funnel_report(spark, sf_dir):
+    return FN.funnel_report(
+        _events(spark, sf_dir), "user_id", "ts", "event_type",
+        _FUNNEL_STEPS, _FUNNEL_WITHIN,
+    )
+
+
+def _q_funnel_users(spark, sf_dir):
+    return FN.funnel_users(
+        _events(spark, sf_dir), "user_id", "ts", "event_type",
+        _FUNNEL_STEPS, _FUNNEL_WITHIN,
+    )
+
+
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2, "srcX": 0.7}
 _MIX_BUDGET = 1_000_000
 
@@ -1389,6 +1408,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "mixture_plan": _q_mixture_plan,
+        "funnel_report": _q_funnel_report,
+        "funnel_users": _q_funnel_users,
         "ann_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
@@ -1916,6 +1937,14 @@ SELECT g.doc_id,
        round(CAST(sum(CASE WHEN c.docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS shared_frac
 FROM g JOIN c USING (gram) GROUP BY g.doc_id""",
+        "funnel_report": FN.oracle_funnel_report_sql(
+            "events", "user_id", "ts", "event_type",
+            _FUNNEL_STEPS, _FUNNEL_WITHIN,
+        ),
+        "funnel_users": FN.oracle_funnel_users_sql(
+            "events", "user_id", "ts", "event_type",
+            _FUNNEL_STEPS, _FUNNEL_WITHIN,
+        ),
         "mixture_plan": f"""
 WITH avail AS (
   SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS available_tokens
