@@ -1050,6 +1050,10 @@ def _q_funnel_users(spark, sf_dir):
     )
 
 
+def _q_retention_cohorts(spark, sf_dir):
+    return FN.retention_cohorts(_events(spark, sf_dir), "user_id", "ts", 7, 8)
+
+
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2, "srcX": 0.7}
 _MIX_BUDGET = 1_000_000
 
@@ -1410,6 +1414,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "funnel_report": _q_funnel_report,
         "funnel_users": _q_funnel_users,
+        "retention_cohorts": _q_retention_cohorts,
         "ann_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
@@ -1944,6 +1949,9 @@ FROM g JOIN c USING (gram) GROUP BY g.doc_id""",
         "funnel_users": FN.oracle_funnel_users_sql(
             "events", "user_id", "ts", "event_type",
             _FUNNEL_STEPS, _FUNNEL_WITHIN,
+        ),
+        "retention_cohorts": FN.oracle_retention_sql(
+            "events", "user_id", "ts", 7, 8
         ),
         "mixture_plan": f"""
 WITH avail AS (

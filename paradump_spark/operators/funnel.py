@@ -136,6 +136,89 @@ def funnel_report(
     )
 
 
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+    max_periods: int = 8,
+) -> DataFrame:
+    """Cohort retention: users grouped by first-seen period, then for each
+    later period the fraction of the cohort still active.
+
+    Two aggregations: min-ts per user (partial map-side) defines the
+    cohort; a co-keyed join back to the events (both sides hash on the
+    user) buckets every event into (cohort, periods-since-cohort); one
+    final count-distinct rollup.  ``period_days`` buckets count from the
+    cohort's own anchor (the user's first event), the standard product
+    analytics definition.
+    """
+    if period_days <= 0 or max_periods <= 0:
+        raise ValueError("period_days and max_periods must be positive")
+    p_us = period_days * 86_400 * 1_000_000
+    ev = events.select(
+        F.col(user_col), F.unix_micros(F.col(ts_col)).alias("__t")
+    )
+    first = ev.groupBy(user_col).agg(F.min("__t").alias("__t0"))
+    cohort = F.to_date(
+        F.timestamp_micros((F.floor(F.col("__t0") / p_us) * p_us).cast("long"))
+    )
+    marked = ev.join(first, user_col).select(
+        F.col(user_col),
+        cohort.alias("cohort"),
+        F.floor((F.col("__t") - F.col("__t0")) / p_us)
+        .cast("long")
+        .alias("period"),
+    )
+    sizes = marked.where(F.col("period") == 0).groupBy("cohort").agg(
+        F.count_distinct(F.col(user_col)).alias("cohort_size")
+    )
+    active = (
+        marked.where(F.col("period") < max_periods)
+        .groupBy("cohort", "period")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+    )
+    return (
+        active.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "period",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+def oracle_retention_sql(
+    table: str,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+    max_periods: int = 8,
+) -> str:
+    """DuckDB oracle for :func:`retention_cohorts`."""
+    p_us = period_days * 86_400 * 1_000_000
+    return f"""
+WITH ev AS (SELECT {user_col} AS u, epoch_us({ts_col}) AS t FROM {table}),
+f AS (SELECT u, min(t) AS t0 FROM ev GROUP BY u),
+m AS (SELECT ev.u,
+             CAST(make_timestamp((t0 // {p_us}) * {p_us}) AS DATE) AS cohort,
+             (t - t0) // {p_us} AS period
+      FROM ev JOIN f USING (u)),
+sizes AS (SELECT cohort, count(DISTINCT u) AS cohort_size
+          FROM m WHERE period = 0 GROUP BY cohort),
+act AS (SELECT cohort, period, count(DISTINCT u) AS n_active
+        FROM m WHERE period < {max_periods} GROUP BY cohort, period)
+SELECT act.cohort, CAST(period AS BIGINT) AS period,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+FROM act JOIN sizes USING (cohort)"""
+
+
 def _oracle_chain_ctes(
     table: str,
     user_col: str,

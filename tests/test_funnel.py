@@ -115,3 +115,35 @@ def test_funnel_plan_no_python(ev_df):
         ev_df, "user_id", "ts", "event_type", STEPS, WITHIN
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retention_cohorts_semantics(spark):
+    from paradump_spark.operators.funnel import retention_cohorts
+
+    rows = [
+        # cohort day-0 anchor per user; period length 7 days
+        _ev(1, 0, "A"), _ev(1, 7 * 24 * 60, "A"),           # periods 0, 1
+        _ev(2, 0, "A"),                                     # period 0 only
+        _ev(3, 0, "A"), _ev(3, 15 * 24 * 60, "A"),          # periods 0, 2
+        # user 9 starts 30 days later -> different cohort
+        _ev(9, 30 * 24 * 60, "A"), _ev(9, 37 * 24 * 60, "A"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (str(r["cohort"]), r["period"]): (r["n_active"], r["retention"])
+        for r in retention_cohorts(df, "user_id", "ts", 7, 8).collect()
+    }
+    cohorts = {c for c, _ in got}
+    assert len(cohorts) == 2
+    first = min(cohorts)
+    assert got[(first, 0)] == (3, 1.0)
+    assert got[(first, 1)][0] == 1 and got[(first, 1)][1] == pytest.approx(0.333333)
+    assert got[(first, 2)][0] == 1
+
+
+def test_retention_validates_args(spark):
+    from paradump_spark.operators.funnel import retention_cohorts
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp")
+    with pytest.raises(ValueError):
+        retention_cohorts(df, "user_id", "ts", 0, 8)
