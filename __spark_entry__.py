@@ -1054,6 +1054,12 @@ def _q_retention_cohorts(spark, sf_dir):
     return FN.retention_cohorts(_events(spark, sf_dir), "user_id", "ts", 7, 8)
 
 
+def _q_event_transitions(spark, sf_dir):
+    return FN.event_transitions(
+        _events(spark, sf_dir), "user_id", "ts", "event_type", "event_id"
+    )
+
+
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2, "srcX": 0.7}
 _MIX_BUDGET = 1_000_000
 
@@ -1415,6 +1421,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_report": _q_funnel_report,
         "funnel_users": _q_funnel_users,
         "retention_cohorts": _q_retention_cohorts,
+        "event_transitions": _q_event_transitions,
         "ann_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
@@ -1952,6 +1959,9 @@ FROM g JOIN c USING (gram) GROUP BY g.doc_id""",
         ),
         "retention_cohorts": FN.oracle_retention_sql(
             "events", "user_id", "ts", 7, 8
+        ),
+        "event_transitions": FN.oracle_event_transitions_sql(
+            "events", "user_id", "ts", "event_type", "event_id"
         ),
         "mixture_plan": f"""
 WITH avail AS (

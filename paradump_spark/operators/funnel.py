@@ -136,6 +136,71 @@ def funnel_report(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Markov transition matrix of consecutive events per user:
+    (from_type, to_type, n, prob) with ``prob`` normalized over each
+    ``from_type`` row.
+
+    One user-keyed window (``lead`` over (ts, tiebreak)) — a user's
+    events sort within their own partition slice, the standard sessions
+    shape — then a tiny (|types|²)-row aggregation.  Pass ``order_col``
+    (e.g. an event id) to make same-timestamp ordering deterministic.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)]
+    if order_col:
+        order.append(F.col(order_col))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(totals), 6).alias("prob"),
+    )
+
+
+def oracle_event_transitions_sql(
+    table: str,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str | None = None,
+) -> str:
+    """DuckDB oracle for :func:`event_transitions`."""
+    order = f"{ts_col}" + (f", {order_col}" if order_col else "")
+    return f"""
+WITH p AS (
+  SELECT {type_col} AS from_type,
+         lead({type_col}) OVER (PARTITION BY {user_col} ORDER BY {order})
+           AS to_type
+  FROM {table}
+), c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+FROM c"""
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str,

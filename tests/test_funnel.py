@@ -147,3 +147,29 @@ def test_retention_validates_args(spark):
     df = spark.createDataFrame([], "user_id long, ts timestamp")
     with pytest.raises(ValueError):
         retention_cohorts(df, "user_id", "ts", 0, 8)
+
+
+def test_event_transitions_semantics(spark):
+    from paradump_spark.operators.funnel import event_transitions
+
+    rows = [
+        (1, T0 + dt.timedelta(minutes=m), t, i)
+        for i, (m, t) in enumerate([(0, "A"), (1, "B"), (2, "A"), (3, "C")])
+    ] + [
+        (2, T0 + dt.timedelta(minutes=m), t, 100 + i)
+        for i, (m, t) in enumerate([(0, "A"), (1, "B")])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in event_transitions(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    # user1: A->B, B->A, A->C ; user2: A->B  => from A: B x2, C x1
+    assert got[("A", "B")] == (2, pytest.approx(0.666667))
+    assert got[("A", "C")] == (1, pytest.approx(0.333333))
+    assert got[("B", "A")] == (1, 1.0)
+    assert ("C", "A") not in got  # last events have no successor
