@@ -38,19 +38,12 @@ def _interleave(norms: list[Column], bits: int) -> Column:
     return reduce(lambda a, b: a.bitwiseOR(b), terms)
 
 
-def zvalue(
-    df: DataFrame, cols: Sequence[str], bits: int = 16
-) -> Column:
-    """Morton code over ``cols`` (numeric or date/timestamp).
-
-    Each column is rank-normalized to ``[0, 2^bits)`` by linear min/max
+def _normalized_cols(
+    df: DataFrame, cols: Sequence[str], bits: int
+) -> list[Column]:
+    """Each column rank-normalized to ``[0, 2^bits)`` by linear min/max
     scaling (one tiny agg job at plan time — the same cost class as
-    ``plan_chunks``'s sample).  ``bits * len(cols)`` must fit a signed
-    long (≤ 62).
-    """
-    cols = list(cols)
-    if bits * len(cols) > 62:
-        raise ValueError(f"bits({bits}) * cols({len(cols)}) exceeds a signed long")
+    ``plan_chunks``'s sample)."""
 
     def as_num(c: str):
         # DATE/TIMESTAMP don't cast to double directly; go through their
@@ -60,7 +53,7 @@ def zvalue(
             return F.unix_date(F.col(c)).cast("double")
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             # unix_micros wants TIMESTAMP; NTZ→TZ cast is monotonic, which
-            # is the only property the Morton scaling needs
+            # is the only property the curve scaling needs
             return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
         return F.col(c).cast("double")
 
@@ -76,7 +69,60 @@ def zvalue(
         scaled = ((as_num(c) - F.lit(mn or 0.0)) / F.lit(span)) * top
         # NULL keys sort first: normalized to 0
         norms.append(F.coalesce(F.round(scaled).cast("long"), F.lit(0)))
-    return _interleave(norms, bits)
+    return norms
+
+
+def zvalue(
+    df: DataFrame, cols: Sequence[str], bits: int = 16
+) -> Column:
+    """Morton code over ``cols`` (numeric or date/timestamp).
+    ``bits * len(cols)`` must fit a signed long (≤ 62)."""
+    cols = list(cols)
+    if bits * len(cols) > 62:
+        raise ValueError(f"bits({bits}) * cols({len(cols)}) exceeds a signed long")
+    return _interleave(_normalized_cols(df, cols, bits), bits)
+
+
+def hvalue(df: DataFrame, cols: Sequence[str], bits: int = 16) -> Column:
+    """Hilbert-curve index over exactly TWO columns — strictly better
+    locality than Morton (every curve step is an adjacent cell, no
+    quadrant jumps), the layout used by e.g. Iceberg's Hilbert clustering.
+
+    The classic per-bit rotate/reflect walk (the public-domain xy2d
+    algorithm) expressed as one ``aggregate`` fold over the bit indices
+    with a (x, y, d) struct accumulator — a single JVM expression, no
+    UDF, and no per-bit expression unrolling (which would blow up the
+    tree: each level references the previous x/y several times).
+    Shift-by-column isn't available as an expression, so ``s = 2^i``
+    comes from ``pow`` and bit tests from exact integer division —
+    values are < 2^bits ≤ 2^31, well inside double precision.
+    """
+    cols = list(cols)
+    if len(cols) != 2:
+        raise ValueError("hvalue is 2-D; use zvalue for other arities")
+    if bits * 2 > 62:
+        raise ValueError(f"bits({bits}) * 2 exceeds a signed long")
+    x0, y0 = _normalized_cols(df, cols, bits)
+    zero = F.struct(
+        x0.alias("x"), y0.alias("y"), F.lit(0).cast("long").alias("d")
+    )
+
+    def step(acc, i):
+        s = F.pow(F.lit(2.0), i.cast("double")).cast("long")
+        rx = F.pmod(F.floor(acc["x"] / s), F.lit(2)).cast("long")
+        ry = F.pmod(F.floor(acc["y"] / s), F.lit(2)).cast("long")
+        d2 = acc["d"] + s * s * (rx * 3).bitwiseXOR(ry)
+        flip = (ry == 0) & (rx == 1)
+        fx = F.when(flip, s - 1 - acc["x"]).otherwise(acc["x"])
+        fy = F.when(flip, s - 1 - acc["y"]).otherwise(acc["y"])
+        nx = F.when(ry == 0, fy).otherwise(fx)  # swap on ry == 0
+        ny = F.when(ry == 0, fx).otherwise(fy)
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    walk = F.aggregate(
+        F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1)), zero, step
+    )
+    return walk["d"]
 
 
 def zorder_write(
@@ -86,11 +132,19 @@ def zorder_write(
     num_files: int = 32,
     bits: int = 16,
     mode: str = "overwrite",
+    curve: str = "morton",
 ) -> None:
-    """Write ``df`` as parquet clustered on the Morton code of ``cols``:
-    range-partitioned into ``num_files`` Z-contiguous files, sorted within
-    each so row-group min/max stats stay tight on every ``cols`` member."""
-    z = zvalue(df, cols, bits).alias("__z")
+    """Write ``df`` as parquet clustered on the space-filling-curve index
+    of ``cols``: range-partitioned into ``num_files`` curve-contiguous
+    files, sorted within each so row-group min/max stats stay tight on
+    every ``cols`` member.  ``curve='hilbert'`` (2-D only) trades a
+    slightly costlier index expression for better locality."""
+    if curve == "hilbert":
+        z = hvalue(df, cols, bits).alias("__z")
+    elif curve == "morton":
+        z = zvalue(df, cols, bits).alias("__z")
+    else:
+        raise ValueError(f"unknown curve {curve!r}; use 'morton' or 'hilbert'")
     (
         df.withColumn("__z", z)
         .repartitionByRange(num_files, "__z")

@@ -135,3 +135,80 @@ def test_compaction_preserves_partition_layout_and_sidecars(spark, sf_dir, tmp_p
     p = after.where(F.col("band_idx") == 1)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in p
     assert "band_idx" in p.split("PartitionFilters")[1][:120]
+
+
+# --- Hilbert curve ----------------------------------------------------------
+
+
+def _xy2d_ref(n, x, y):
+    """Public-domain reference xy2d."""
+    rx = ry = 0
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hvalue_matches_python_reference(spark):
+    import random
+
+    from paradump_spark.plans.zorder import hvalue
+
+    random.seed(7)
+    bits = 8
+    n = 1 << bits
+    pts = [(random.randrange(n), random.randrange(n)) for _ in range(300)]
+    # identity normalization: feed grid coords whose min/max span [0, n-1]
+    pts += [(0, 0), (n - 1, n - 1), (0, n - 1), (n - 1, 0)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select("x", "y", hvalue(df, ["x", "y"], bits).alias("d")).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _xy2d_ref(n, x, y), (x, y)
+
+
+def test_hvalue_is_bijective_and_adjacent(spark):
+    """On a full 16x16 grid the Hilbert index is a bijection onto
+    [0, 256) and every consecutive pair of cells is grid-adjacent —
+    the locality property Morton lacks."""
+    from paradump_spark.plans.zorder import hvalue
+
+    bits = 4
+    n = 1 << bits
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y", hvalue(df, ["x", "y"], bits).alias("d")).collect()
+    by_d = {r["d"]: (r["x"], r["y"]) for r in rows}
+    assert sorted(by_d) == list(range(n * n))
+    for d in range(1, n * n):
+        (x1, y1), (x2, y2) = by_d[d - 1], by_d[d]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_zorder_write_hilbert_roundtrip(spark, sf_dir, tmp_path):
+    from paradump_spark.plans.zorder import zorder_write
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = str(tmp_path / "hz")
+    zorder_write(li, out, ["l_orderkey", "l_partkey"], num_files=4, curve="hilbert")
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_write(li, out, ["l_orderkey"], curve="hilbert")
+    with pytest.raises(ValueError):
+        zorder_write(li, out, ["l_orderkey", "l_partkey"], curve="peano")
