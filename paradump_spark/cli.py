@@ -153,6 +153,8 @@ def build_parser() -> argparse.ArgumentParser:
     op.add_argument("--zorder-by", action="append", default=[],
                     help="Z-order cluster column (repeatable, >=2 to interleave); "
                          "mutually exclusive with --sort-col/--partition-by")
+    op.add_argument("--curve", default="morton", choices=("morton", "hilbert"),
+                    help="space-filling curve for --zorder-by (hilbert is 2-D only)")
     return p
 
 
@@ -318,12 +320,14 @@ def main(argv: list[str] | None = None) -> int:
             old = args.path.rstrip("/") + "__old"
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(old, ignore_errors=True)
-            zorder_write(df, tmp, args.zorder_by, num_files=n_files)
+            zorder_write(
+                df, tmp, args.zorder_by, num_files=n_files, curve=args.curve
+            )
             os.rename(args.path, old)
             os.rename(tmp, args.path)
             shutil.rmtree(old, ignore_errors=True)
             print(
-                f"optimize {args.path}: z-ordered on "
+                f"optimize {args.path}: {args.curve}-clustered on "
                 f"{','.join(args.zorder_by)} into {n_files} files"
             )
         else:

@@ -308,10 +308,18 @@ def test_cli_optimize_compact_and_zorder(spark, sf_dir, tmp_path, capsys):
          "--zorder-by", "l_orderkey", "--zorder-by", "l_partkey"]
     )
     assert rc == 0
-    assert "z-ordered on l_orderkey,l_partkey" in capsys.readouterr().out
+    assert "morton-clustered on l_orderkey,l_partkey" in capsys.readouterr().out
     back = spark.read.parquet(lake)
     assert back.count() == src.count()
     assert back.exceptAll(src).count() == 0
+
+    rc = cli_main(
+        ["optimize", "--path", lake, "--curve", "hilbert",
+         "--zorder-by", "l_orderkey", "--zorder-by", "l_partkey"]
+    )
+    assert rc == 0
+    assert "hilbert-clustered" in capsys.readouterr().out
+    assert spark.read.parquet(lake).count() == src.count()
 
     with pytest.raises(SystemExit):
         cli_main(["optimize", "--path", lake, "--zorder-by", "l_orderkey"])
