@@ -38,12 +38,23 @@ def funnel_users(
     type_col: str,
     steps: list[str],
     within_seconds: int | None = None,
+    max_events_per_user: int | None = 100_000,
 ) -> DataFrame:
     """Per-user funnel depth: (user, max_stage) where ``max_stage`` = how
     many consecutive steps were completed in order (0..len(steps)).
     Users with no step-0 event appear with stage 0 only if they have ANY
     step event; users with no step events at all are absent (join against
-    the user dimension if you need zeros for everyone)."""
+    the user dimension if you need zeros for everyone).
+
+    ``max_events_per_user`` bounds the per-user array a hot key (bot
+    traffic) can collect: the cap keeps each user's EARLIEST events via
+    the skew-safe two-stage cut (`plans.topk.partial_topk` — no single
+    task ever sees the hot user's full history), and since greedy
+    matching anchored at the first step only ever advances on earliest
+    qualifying events, truncating the latest tail can only lose stages
+    completed beyond the cap — the documented trade for bounded memory
+    at 100 TB.  Pass ``None`` to disable.
+    """
     if len(set(steps)) != len(steps) or not steps:
         raise ValueError("steps must be a non-empty list of distinct types")
     n = len(steps)
@@ -54,9 +65,22 @@ def funnel_users(
         F.unix_micros(F.col(ts_col)).alias("__t"),
         _step_index(type_col, steps).alias("__idx"),
     )
-    seq = ev.groupBy(user_col).agg(
-        F.array_sort(F.collect_list(F.struct("__t", "__idx"))).alias("__seq")
-    )
+    if max_events_per_user is not None:
+        from paradump_spark.plans.topk import partial_topk
+
+        ev = partial_topk(
+            ev,
+            [user_col],
+            [F.col("__t").asc(), F.col("__idx").asc()],
+            max_events_per_user,
+        )
+    collected = F.array_sort(F.collect_list(F.struct("__t", "__idx")))
+    if max_events_per_user is not None:
+        # the partial cut kept a SUPERSET of the global earliest-n, so
+        # slicing the sorted array gives exactly the earliest n events —
+        # deterministic whatever the input partitioning
+        collected = F.slice(collected, 1, max_events_per_user)
+    seq = ev.groupBy(user_col).agg(collected.alias("__seq"))
     zero = F.struct(
         F.lit(0).cast("int").alias("stage"),
         F.lit(None).cast("long").alias("start"),

@@ -173,3 +173,24 @@ def test_event_transitions_semantics(spark):
     assert got[("A", "C")] == (1, pytest.approx(0.333333))
     assert got[("B", "A")] == (1, 1.0)
     assert ("C", "A") not in got  # last events have no successor
+
+
+def test_funnel_event_cap_keeps_earliest(spark):
+    """With a tiny cap the earliest events win deterministically; a
+    completed funnel inside the cap is unaffected."""
+    from paradump_spark.operators.funnel import funnel_users
+
+    rows = [_ev(1, m, t) for m, t in [(0, "A"), (1, "B"), (2, "C")]]
+    rows += [_ev(1, 10 + i, "A") for i in range(20)]  # late noise
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = funnel_users(
+        df, "user_id", "ts", "event_type", STEPS, WITHIN,
+        max_events_per_user=3,
+    ).collect()
+    assert got[0]["max_stage"] == 3
+    # cap smaller than the funnel: only stages within the kept prefix
+    got2 = funnel_users(
+        df, "user_id", "ts", "event_type", STEPS, WITHIN,
+        max_events_per_user=2,
+    ).collect()
+    assert got2[0]["max_stage"] == 2
