@@ -31,7 +31,9 @@ from paradump_spark.operators import pii as PII
 from paradump_spark.operators import quality_rules as QR
 from paradump_spark.operators import similarity as SIM
 from paradump_spark.operators import text_analysis as TA
+from paradump_spark.operators.fuzzyjoin import fuzzy_self_pairs
 from paradump_spark.operators.rangejoin import range_join
+from paradump_spark.operators.semdedup import semantic_dedup_flags
 from paradump_spark.operators.sessionize import session_stats
 from paradump_spark.plans.split import chunk_filter, chunk_predicates_sql, plan_chunks
 
@@ -1251,6 +1253,39 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_fuzzy_part_pairs(spark, sf_dir):
+    """Blocked fuzzy self-join (entity resolution): canonicalize part
+    names (min partkey per distinct name — dedup before matching, the
+    standard record-linkage first step, and what keeps pair counts
+    bounded by the NAME vocabulary rather than quadratic in rows), then
+    pair names that share a token within levenshtein ≤ 3.  Candidate
+    generation is a token-block equi-join, never a cartesian
+    (operators/fuzzyjoin.py)."""
+    canon = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+    )
+    return fuzzy_self_pairs(
+        canon, "name_id", "p_name", max_levenshtein=3
+    ).select(
+        F.col("id_a").alias("id_a"),
+        F.col("id_b").alias("id_b"),
+        F.col("lev").cast("int").alias("lev"),
+    )
+
+
+def _q_semantic_dedup_flags(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) keep/drop flags with the label column
+    as the cluster blocking unit: a vector is a semantic dup iff a
+    lower-id vector in its cluster has rounded cosine > 0.6
+    (operators/semdedup.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_flags(
+        emb, "vec_id", "embedding", threshold=0.6, cluster_col="label"
+    ).select("vec_id", F.col("label").cast("int").alias("label"), "is_semantic_dup")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 
@@ -1280,27 +1315,32 @@ _DRIVER_QUERY_NAMES = [
     "profile_orders",
     "sql_insert_render",
     "csv_render",
-    # LLM-pipeline: dedup / text / embeddings / multimodal / packing
+    # LLM-pipeline: dedup / text / embeddings / multimodal family
+    # representatives (one driver proof per family; the siblings moved
+    # to extra_queries() stay oracle-checked in tests/test_contract.py)
     "dedup_exact",
     "minhash_lsh_candidates",
-    "ngram_jaccard",
     "dedup_clusters",
-    "simhash",
     "text_quality",
-    "language_id",
-    "fingerprints",
-    "quality_filter",
     "ann_topk",
     "embedding_near_dup",
     "multimodal_features",
-    "repetition_ratios",
-    "vocab_top_tokens",
     "doc_split_counts",
-    "embedding_dim_stats",
-    "pack_stats",
-    "ivf_topk",
-    "embedding_near_dup_lsh",
     "asof_purchase_click",
+    # ------- round-4 additions never driver-evaluated: PII / quality
+    # rules / span dedup / TF-IDF / mixture / funnel analytics.  With
+    # these in, CORRECTNESS_r03 ∪ r04 covers all 81 declared queries.
+    "pii_stats",
+    "pii_redacted",
+    "gopher_rules",
+    "ngram_dup_profile",
+    "substring_dedup",
+    "tfidf_top_terms",
+    "mixture_plan",
+    "funnel_report",
+    "funnel_users",
+    "retention_cohorts",
+    "event_transitions",
     # ------- round-4 rotation: the 20 queries CORRECTNESS_r03 never
     # evaluated, so r03 ∪ r04 covers the full declared surface.  The
     # 20 rotated OUT (range_join_clicks, sessionize_stats, q1/q3/q5,
@@ -1432,6 +1472,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": _q_events_moving_avg,
         "lineitem_rollup": _q_lineitem_rollup,
         "customer_except": _q_customer_except,
+        "fuzzy_part_pairs": _q_fuzzy_part_pairs,
+        "semantic_dedup_flags": _q_semantic_dedup_flags,
         # approximate by design -> rows-only checks
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -2097,4 +2139,24 @@ SELECT c_custkey,
        'decode(''' || hx || ''',''hex'')' AS pg_lit,
        'convert(varbinary(max),''' || hx || ''',2)' AS mssql_lit
 FROM h""",
+        "fuzzy_part_pairs": """
+WITH p AS (SELECT min(p_partkey) AS id, lower(p_name) AS nm
+           FROM part GROUP BY p_name),
+t AS (SELECT id, nm, unnest(string_split_regex(nm, '[^a-z0-9]+')) AS tok FROM p),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS na, b.nm AS nb
+         FROM t a JOIN t b USING (tok)
+         WHERE a.id < b.id AND tok <> '')
+SELECT id_a, id_b, levenshtein(na, nb)::INT AS lev
+FROM cand WHERE levenshtein(na, nb) <= 3""",
+        "semantic_dedup_flags": f"""
+WITH e AS (
+  SELECT vec_id, label::INT AS label,
+         {_norm_sql("CAST(embedding AS DOUBLE[])")} AS nv
+  FROM embeddings)
+SELECT a.vec_id, a.label,
+       EXISTS (SELECT 1 FROM e b
+               WHERE b.label = a.label AND b.vec_id < a.vec_id
+                 AND round(list_dot_product(a.nv, b.nv), 6) > 0.6)
+         AS is_semantic_dup
+FROM e a""",
     }

