@@ -1275,6 +1275,26 @@ def _q_fuzzy_part_pairs(spark, sf_dir):
     )
 
 
+def _q_classifier_scores(spark, sf_dir):
+    """Hashed-feature linear classifier SERVING path (fasttext-style
+    quality scorer, operators/classifier.py): sigmoid of the mean
+    hashed-token weight via a broadcast weight-table join — no UDF.
+    Demo weights are binary-exact multiples of 1/1024 derived from the
+    bucket id, so the DuckDB oracle reproduces the sum bit-for-bit."""
+    from paradump_spark.operators.classifier import score_linear
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") * 2654435761) % 1025 - 512).cast("double") / 1024.0).alias(
+            "weight"
+        ),
+    )
+    return score_linear(
+        docs, weights, "doc_id", "text", n_buckets=4096
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_semantic_dedup_flags(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540) keep/drop flags with the label column
     as the cluster blocking unit: a vector is a semantic dup iff a
@@ -1474,6 +1494,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_except": _q_customer_except,
         "fuzzy_part_pairs": _q_fuzzy_part_pairs,
         "semantic_dedup_flags": _q_semantic_dedup_flags,
+        "classifier_scores": _q_classifier_scores,
         # approximate by design -> rows-only checks
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -2159,4 +2180,17 @@ SELECT a.vec_id, a.label,
                  AND round(list_dot_product(a.nv, b.nv), 6) > 0.6)
          AS is_semantic_dup
 FROM e a""",
+        "classifier_scores": r"""
+WITH t AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> x <> '') AS toks
+       FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+b AS (SELECT doc_id,
+        ('0x' || substr(md5('feat|' || tok), 1, 15))::BIGINT % 4096 AS bucket
+      FROM e),
+s AS (SELECT doc_id, avg(((bucket * 2654435761) % 1025 - 512) / 1024.0) AS m
+      FROM b GROUP BY doc_id)
+SELECT d.doc_id, round(1.0 / (1.0 + exp(-coalesce(s.m, 0.0))), 6) AS score
+FROM documents d LEFT JOIN s USING (doc_id)""",
     }
