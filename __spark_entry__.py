@@ -1275,6 +1275,15 @@ def _q_fuzzy_part_pairs(spark, sf_dir):
     )
 
 
+def _q_events_props_stats(spark, sf_dir):
+    """Semi-structured extraction: the events.props JSON column parsed
+    ONCE per row via from_json (JVM Jackson, PERMISSIVE null-on-garbage)
+    and profiled per event_type (operators/props.py)."""
+    from paradump_spark.operators.props import props_field_stats
+
+    return props_field_stats(_events(spark, sf_dir), "event_type")
+
+
 def _q_classifier_scores(spark, sf_dir):
     """Hashed-feature linear classifier SERVING path (fasttext-style
     quality scorer, operators/classifier.py): sigmoid of the mean
@@ -1495,6 +1504,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_pairs": _q_fuzzy_part_pairs,
         "semantic_dedup_flags": _q_semantic_dedup_flags,
         "classifier_scores": _q_classifier_scores,
+        "events_props_stats": _q_events_props_stats,
         # approximate by design -> rows-only checks
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -2193,4 +2203,12 @@ s AS (SELECT doc_id, avg(((bucket * 2654435761) % 1025 - 512) / 1024.0) AS m
       FROM b GROUP BY doc_id)
 SELECT d.doc_id, round(1.0 / (1.0 + exp(-coalesce(s.m, 0.0))), 6) AS score
 FROM documents d LEFT JOIN s USING (doc_id)""",
+        "events_props_stats": """
+WITH k AS (SELECT event_type,
+                  try_cast(json_extract_string(props, '$.k') AS INT) AS kv
+           FROM events)
+SELECT event_type, count(*) AS n_rows, count(kv) AS n_present,
+       round(avg(kv), 6) AS avg_val,
+       min(kv) AS min_val, max(kv) AS max_val
+FROM k GROUP BY event_type""",
     }

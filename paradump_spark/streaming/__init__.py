@@ -20,6 +20,7 @@ from paradump_spark.streaming.events import (
     purchase_click_stream_join,
     read_event_stream,
     running_user_totals,
+    session_rollup_stream,
     stream_sync_to_sink,
 )
 
@@ -30,6 +31,7 @@ __all__ = [
     "stream_sync_to_sink",
     "dedup_event_stream",
     "purchase_click_stream_join",
+    "session_rollup_stream",
     "read_document_stream",
     "scrub_document_stream",
     "pii_monitor_stream",

@@ -48,10 +48,23 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     TIMESTAMP across rounds — so sniff one footer via the batch reader and
     declare the matching stream schema, then normalize exactly like
     `paradump_spark.catalog.load_events` does for batch."""
+    # scoped conf flip (same contract as catalog.load_events): restore
+    # the session's previous value so later parquet reads are untouched
+    saved = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_field = [
-        f for f in spark.read.parquet(path).schema.fields if f.name == "ts"
-    ][0]
+    ts_field = None
+    try:
+        ts_field = [
+            f for f in spark.read.parquet(path).schema.fields if f.name == "ts"
+        ][0]
+    finally:
+        # the nanos branch still needs the conf at micro-batch scan time,
+        # so only restore when the files are NOT TIMESTAMP(NANOS)
+        if ts_field is None or not isinstance(ts_field.dataType, T.LongType):
+            if saved is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", saved)
     raw = (
         spark.readStream.schema(_event_schema(ts_field.dataType))
         .option("maxFilesPerTrigger", 8)
@@ -159,6 +172,43 @@ def dedup_event_stream(
     unbounded stream would)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         [id_col]
+    )
+
+
+def session_rollup_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap-based sessionization via the built-in
+    ``session_window`` aggregation: per-user sessions close when no
+    event arrives within ``gap_seconds``; the watermark finalizes and
+    evicts sessions once event time passes their close + gap, so state
+    is bounded by the number of OPEN sessions, not stream history.
+
+    Same rollup shape as the batch ``operators.sessionize.session_stats``
+    (n_events, start, end, span) — the stream==batch equality test pins
+    the two formulations to each other.
+    """
+    win = F.session_window("ts", f"{gap_seconds} seconds")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "session_start",
+            "session_end",
+            (
+                F.col("session_end").cast("long")
+                - F.col("session_start").cast("long")
+            ).alias("span_seconds"),
+        )
     )
 
 
