@@ -107,13 +107,18 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--output", required=True, help="parquet output")
     dd.add_argument("--method", default="exact",
-                    choices=("exact", "minhash", "spans"))
+                    choices=("exact", "minhash", "spans", "semantic"))
     dd.add_argument("--ngram", type=int, default=3,
                     help="shingle width for minhash")
     dd.add_argument("--threshold", type=float, default=0.8,
-                    help="Jaccard threshold for minhash clustering")
+                    help="Jaccard threshold for minhash clustering / "
+                         "cosine threshold for semantic (use ~0.95)")
     dd.add_argument("--span-tokens", type=int, default=20,
                     help="window width for spans mode")
+    dd.add_argument("--vec-col", default="embedding",
+                    help="embedding column for --method semantic")
+    dd.add_argument("--num-clusters", type=int, default=1024,
+                    help="k-means blocking clusters for --method semantic")
 
     pp = sub.add_parser(
         "pipeline",
@@ -138,6 +143,30 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--threshold", type=float, default=0.8)
     pp.add_argument("--span-tokens", type=int, default=20)
     pp.add_argument("--max-hits", type=int, default=0)
+
+    cl = sub.add_parser(
+        "classify",
+        help="hashed-feature linear classifier: train on a labeled "
+             "sample and/or score every document",
+    )
+    cl.add_argument("--directory", required=True, help="corpus catalog directory")
+    cl.add_argument("--table", default="documents")
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--label-col", default=None,
+                    help="0/1 label column to train on (omit to score "
+                         "with pre-trained --weights)")
+    cl.add_argument("--weights", default=None,
+                    help="weights parquet: read when scoring without "
+                         "--label-col, written after training with it")
+    cl.add_argument("--output", required=True,
+                    help="parquet output: corpus columns + score")
+    cl.add_argument("--n-buckets", type=int, default=1 << 18)
+    cl.add_argument("--train-cap", type=int, default=50_000)
+    cl.add_argument("--epochs", type=int, default=100)
+    cl.add_argument("--lr", type=float, default=10.0)
+    cl.add_argument("--keep-threshold", type=float, default=None,
+                    help="drop rows scoring below this (quality filter)")
 
     op = sub.add_parser(
         "optimize",
@@ -192,6 +221,15 @@ def validate(args: argparse.Namespace) -> None:
             raise SystemExit("--threshold must be in (0, 1]")
         if args.span_tokens < 2:
             raise SystemExit("--span-tokens must be >= 2")
+        if args.num_clusters < 1:
+            raise SystemExit("--num-clusters must be >= 1")
+    if args.command == "classify":
+        if not args.label_col and not args.weights:
+            raise SystemExit("need --label-col (train) or --weights (score)")
+        if args.n_buckets < 2:
+            raise SystemExit("--n-buckets must be >= 2")
+        if args.train_cap < 1 or args.epochs < 1 or args.lr <= 0:
+            raise SystemExit("--train-cap/--epochs/--lr must be positive")
     if args.command == "optimize":
         if args.zorder_by and (args.sort_col or args.partition_by):
             raise SystemExit(
@@ -415,6 +453,13 @@ def main(argv: list[str] | None = None) -> int:
                 corpus, args.id_col, args.text_col,
                 threshold=args.threshold, shingle_size=args.ngram,
             )
+        elif args.method == "semantic":
+            from paradump_spark.operators.semdedup import semantic_dedup
+
+            out = semantic_dedup(
+                corpus, args.id_col, args.vec_col,
+                threshold=args.threshold, num_clusters=args.num_clusters,
+            )
         else:  # spans
             out = DD.remove_duplicate_spans(
                 corpus, args.id_col, args.text_col, args.span_tokens
@@ -425,6 +470,48 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"dedup {args.table} method={args.method}: "
             f"kept {n_out} of {n_in} (dropped {n_in - n_out})"
+        )
+        return 0
+    if args.command == "classify":
+        from pyspark.sql import functions as F
+
+        from paradump_spark.operators.classifier import (
+            score_linear,
+            train_linear_classifier,
+        )
+
+        corpus = ParquetCatalog(spark, args.directory).load(args.table)
+        if args.label_col:
+            weights, bias = train_linear_classifier(
+                corpus, args.id_col, args.text_col, args.label_col,
+                n_buckets=args.n_buckets, train_cap=args.train_cap,
+                epochs=args.epochs, lr=args.lr,
+            )
+            if args.weights:
+                # bias rides along as the reserved bucket -1
+                weights.unionByName(
+                    spark.createDataFrame(
+                        [(-1, float(bias))], "bucket long, weight double"
+                    )
+                ).write.mode("overwrite").parquet(args.weights)
+        else:
+            stored = spark.read.parquet(args.weights)
+            bias_row = stored.where(F.col("bucket") == -1).collect()
+            bias = bias_row[0]["weight"] if bias_row else 0.0
+            weights = stored.where(F.col("bucket") >= 0)
+        scored = score_linear(
+            corpus, weights, args.id_col, args.text_col,
+            n_buckets=args.n_buckets, bias=bias,
+        )
+        if args.keep_threshold is not None:
+            scored = scored.where(F.col("score") >= args.keep_threshold)
+        scored.write.mode("overwrite").parquet(args.output)
+        n_in = corpus.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(
+            f"classify {args.table}: scored {n_in} docs, wrote {n_out}"
+            + (f" (kept score >= {args.keep_threshold})"
+               if args.keep_threshold is not None else "")
         )
         return 0
     if args.command == "scrub":
