@@ -224,6 +224,29 @@ def main() -> None:
         ).count()
     )
 
+    # SemDeDup: k-means blocking + within-cluster cosine + anti-join keep
+    def semdedup_step():
+        from paradump_spark.operators.semdedup import semantic_dedup
+
+        semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.95, num_clusters=32
+        ).count()
+
+    times["semantic_dedup"] = bench(semdedup_step)
+
+    # classifier serving: hashed tokens -> broadcast weight join -> sigmoid
+    def classify_step():
+        from paradump_spark.operators.classifier import score_linear
+
+        weights = spark.range(4096).select(
+            F.col("id").alias("bucket"),
+            (((F.col("id") * 2654435761) % 1025 - 512).cast("double") / 1024.0)
+            .alias("weight"),
+        )
+        score_linear(docs, weights, "doc_id", "text", n_buckets=4096).count()
+
+    times["classifier_score"] = bench(classify_step)
+
     # --- IVF index: build once (k-means-refined), probe at two widths, and
     # ledger recall@10 vs the brute-force exact answer so the ANN story is
     # quantitatively defensible, not just fast.
