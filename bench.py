@@ -247,6 +247,29 @@ def main() -> None:
 
     times["classifier_score"] = bench(classify_step)
 
+    # MinHash-LSH quality ledger (not timed as a headline query): recall
+    # and precision of the banded candidates vs exact-Jaccard truth at
+    # J >= 0.8, so the dedup story is quantitatively defensible like the
+    # ANN recall numbers.
+    lsh_quality: dict[str, float] = {}
+    try:
+        truth = DD.exact_jaccard_pairs(docs, "doc_id", "text", 0.8)
+        cand = DD.minhash_lsh_candidates(docs, "doc_id", "text")
+        n_truth = truth.count()
+        n_cand = cand.count()
+        tp = truth.join(cand, ["id_a", "id_b"]).count()
+        if n_truth:
+            lsh_quality["dedup_recall_at_j08"] = round(tp / n_truth, 4)
+        if n_cand:
+            verified = (
+                DD.ngram_jaccard_pairs(docs, "doc_id", "text", cand)
+                .where(F.col("jaccard") >= 0.8)
+                .count()
+            )
+            lsh_quality["dedup_precision_at_j08"] = round(verified / n_cand, 4)
+    except Exception:  # ledger must never sink the bench
+        pass
+
     # --- IVF index: build once (k-means-refined), probe at two widths, and
     # ledger recall@10 vs the brute-force exact answer so the ANN story is
     # quantitatively defensible, not just fast.
@@ -345,6 +368,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "ann_recall": recalls,
+                "lsh_quality": lsh_quality,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

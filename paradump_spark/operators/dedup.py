@@ -386,6 +386,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """ALL pairs with exact n-gram Jaccard ≥ ``threshold`` (> 0) —
+    ground truth for evaluating the LSH candidate generator.
+
+    Complete without an all-pairs scan: J(a,b) > 0 requires a shared
+    shingle, so the candidate set is the shingle-blocked self-join
+    (Σ|shingle block|² pairs).  That bound is evaluation-grade — fine on
+    a bench/QA sample, quadratic in block size on a full web corpus;
+    production dedup stays on :func:`minhash_lsh_candidates`, this
+    function quantifies its recall/precision (bench.py ledger).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(TX.word_shingles(text_col, shingle_size))
+        ).alias("__s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__s") == F.col("b.__s"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return ngram_jaccard_pairs(df, id_col, text_col, cand, shingle_size).where(
+        F.col("jaccard") >= threshold
+    )
+
+
 def dedup_minhash(
     df: DataFrame,
     id_col: str,

@@ -343,3 +343,45 @@ def test_connected_components_multi_component_and_isolated(spark):
     comp = connected_components(edges, vertices=verts)
     rows = {r["id"]: r["component"] for r in comp.collect()}
     assert rows == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 30: 30, 99: 99}
+
+
+def test_exact_jaccard_pairs_matches_bruteforce(spark, sf_dir):
+    """exact_jaccard_pairs (shingle-blocked, distributed) == python
+    all-pairs brute force — the ground truth the bench LSH-quality
+    ledger relies on."""
+    import itertools
+
+    from paradump_spark.operators.dedup import exact_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in exact_jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        k = max(len(toks) - 2, 1)
+        return {" ".join(toks[i:i + 3]) for i in range(k)}
+
+    sets = {r.doc_id: shingles(r.text) for r in docs.collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if not inter:
+            continue
+        j = inter / len(sets[a] | sets[b])
+        if j >= 0.5:
+            want[(a, b)] = round(j, 9)
+    assert got == want
+    assert len(want) > 0  # the testdata's injected dups make this non-empty
+
+
+def test_exact_jaccard_pairs_rejects_bad_threshold(spark, sf_dir):
+    import pytest as _pytest
+
+    from paradump_spark.operators.dedup import exact_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError):
+        exact_jaccard_pairs(docs, "doc_id", "text", 0.0)
