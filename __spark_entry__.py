@@ -1352,10 +1352,15 @@ _DRIVER_QUERY_NAMES = [
     "dedup_clusters",
     "text_quality",
     "ann_topk",
-    "embedding_near_dup",
-    "multimodal_features",
-    "doc_split_counts",
-    "asof_purchase_click",
+    # round-4-session additions (fuzzy join, SemDeDup, classifier,
+    # JSON props) take the remaining r03-green family-sibling slots
+    # (embedding_near_dup, multimodal_features, doc_split_counts,
+    # asof_purchase_click move to extras, pytest-oracle-checked), so
+    # r03 ∪ r04 covers the ENTIRE 85-query declared surface.
+    "fuzzy_part_pairs",
+    "semantic_dedup_flags",
+    "classifier_scores",
+    "events_props_stats",
     # ------- round-4 additions never driver-evaluated: PII / quality
     # rules / span dedup / TF-IDF / mixture / funnel analytics.  With
     # these in, CORRECTNESS_r03 ∪ r04 covers all 81 declared queries.
