@@ -1315,6 +1315,44 @@ def _q_semantic_dedup_flags(spark, sf_dir):
     ).select("vec_id", F.col("label").cast("int").alias("label"), "is_semantic_dup")
 
 
+def _q_contamination_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination
+    (operators/decontam.py:contamination_bloom): the map-side Bloom
+    membership test only prunes the exact verify join's input, so the
+    result is EXACTLY `contamination`'s — the two queries share one
+    oracle, which is itself the strongest driver proof that the Bloom
+    path loses nothing."""
+    from paradump_spark.operators.decontam import contamination_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return contamination_bloom(
+        corpus, bench, "doc_id", "text", 3, n_bits=1 << 20
+    )
+
+
+def _q_lm_bits_per_token(spark, sf_dir):
+    """CCNet-style self-perplexity (operators/lm.py): interpolated
+    bigram LM trained on the corpus scoring the same corpus; per-doc
+    mean -log2 P in bits/token.  Exact decimal(38,9) accumulation of
+    9-decimal-rounded log-probs keeps the value engine-reproducible."""
+    from paradump_spark.operators.lm import self_perplexity
+
+    return self_perplexity(_t(spark, sf_dir, "documents"))
+
+
+def _q_shard_plan_docs(spark, sf_dir):
+    """Deterministic training-shard plan (sinks/shards.py): md5-bucket
+    shard assignment, per-shard row and byte totals — the pre-export
+    coverage check (Σ n_rows == corpus count)."""
+    from paradump_spark.sinks.shards import shard_plan
+
+    return shard_plan(
+        _t(spark, sf_dir, "documents"), "doc_id", 16, size_col="n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 
@@ -1336,7 +1374,6 @@ _DRIVER_QUERY_NAMES = [
     # core paradump operators (S/P/J/A/F/K)
     "diff_classified",
     "incremental_diff_classified",
-    "diff_stats",
     "chunk_coverage_orders",
     "chunk_coverage_sqltext",
     "client_report",
@@ -1346,12 +1383,18 @@ _DRIVER_QUERY_NAMES = [
     "csv_render",
     # LLM-pipeline: dedup / text / embeddings / multimodal family
     # representatives (one driver proof per family; the siblings moved
-    # to extra_queries() stay oracle-checked in tests/test_contract.py)
-    "dedup_exact",
+    # to extra_queries() stay oracle-checked in tests/test_contract.py).
+    # diff_stats / dedup_exact / text_quality rotated to extras this
+    # round (r03-green, families still in-window) to make room for the
+    # three NEW round-4 operators below.
     "minhash_lsh_candidates",
     "dedup_clusters",
-    "text_quality",
     "ann_topk",
+    # new this round: Bloom decontam (exact), bigram-LM perplexity,
+    # deterministic shard plan
+    "contamination_bloom",
+    "lm_bits_per_token",
+    "shard_plan_docs",
     # round-4-session additions (fuzzy join, SemDeDup, classifier,
     # JSON props) take the remaining r03-green family-sibling slots
     # (embedding_near_dup, multimodal_features, doc_split_counts,
@@ -1411,7 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract queries beyond the driver's 50-entry evaluation window —
     redundant engine-surface variants, still oracle-verified by pytest
-    (tests/test_contract.py) and scratch/strict_verify.py."""
+    (tests/test_contract.py) and tools/strict_verify.py."""
     picked = set(_DRIVER_QUERY_NAMES)
     return {k: v for k, v in _all_queries().items() if k not in picked}
 
@@ -1476,6 +1519,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "dedup_exact": _q_dedup_exact,
         "contamination": _q_contamination,
+        "contamination_bloom": _q_contamination_bloom,
+        "lm_bits_per_token": _q_lm_bits_per_token,
+        "shard_plan_docs": _q_shard_plan_docs,
         "group_sample_lang": _q_group_sample_lang,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1906,6 +1952,46 @@ FROM u JOIN b USING (g)
 WHERE u.doc_id % 37 <> 0
 GROUP BY u.doc_id"""
         ),
+        # the Bloom path is EXACT (verify join kills FPs), so it shares
+        # contamination's oracle verbatim
+        "contamination_bloom": (
+            "WITH "
+            + _shingle_cte("documents")
+            + """,
+u AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(sh) AS g FROM s)),
+b AS (SELECT DISTINCT g FROM u WHERE doc_id % 37 = 0)
+SELECT u.doc_id, count(*)::BIGINT AS n_hits
+FROM u JOIN b USING (g)
+WHERE u.doc_id % 37 <> 0
+GROUP BY u.doc_id"""
+        ),
+        "lm_bits_per_token": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tk AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok FROM t),
+uni AS (SELECT tok AS token, count(*) AS c1 FROM tk GROUP BY 1),
+st AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_tokens, CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+bg AS (SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bi AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2),
+model AS (SELECT bi.prev, bi.cur,
+                 round(ln({0.8} * bi.c2 / up.c1
+                          + {1.0 - 0.8} * (uc.c1 + 1.0)
+                            / (st.n_tokens + st.vocab)), 9) AS logp
+          FROM bi
+          JOIN uni up ON up.token = bi.prev
+          JOIN uni uc ON uc.token = bi.cur
+          CROSS JOIN st),
+lp AS (SELECT g.doc_id, m.logp AS lp
+       FROM bg g JOIN model m ON m.prev = g.prev AND m.cur = g.cur)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(-CAST(sum(CAST(lp AS DECIMAL(38,9))) AS DOUBLE) / count(*)
+             / 0.6931471805599453, 6) AS bits_per_token
+FROM lp GROUP BY doc_id""",
+        "shard_plan_docs": """
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
+       count(*)::BIGINT AS n_rows,
+       sum(n_chars)::BIGINT AS n_bytes
+FROM documents GROUP BY 1""",
         "minhash_lsh_candidates": _MINHASH_CAND_SQL,
         "ngram_jaccard": (
             "WITH "

@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--no-broadcast-bench", action="store_true",
                     help="shuffle-join the benchmark shingles instead of "
                          "broadcasting (for benchmarks too big to broadcast)")
+    dc.add_argument("--bloom-bits", type=int, default=0,
+                    help="power-of-two Bloom bitmap size: prefilter corpus "
+                         "shingles map-side before the exact verify join "
+                         "(EXACT result; for benchmarks too big to "
+                         "broadcast as a set). 0 = off; size ~10x the "
+                         "distinct benchmark shingle count")
 
     sc = sub.add_parser(
         "scrub",
@@ -314,17 +320,31 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "decontam":
         from pyspark.sql import functions as F
 
-        from paradump_spark.operators.decontam import flagged_ids
+        from paradump_spark.operators.decontam import (
+            contamination_bloom,
+            flagged_ids,
+        )
 
         corpus = ParquetCatalog(spark, args.directory).load(args.table)
         bench = ParquetCatalog(spark, args.bench_directory).load(args.bench_table)
         # ONE shingle-join pass: persist the (tiny) flagged-id frame, then
         # the report count, the anti-join filter, and the write all derive
         # from it — the corpus text is shingled exactly once.
-        flagged = flagged_ids(
-            corpus, bench, args.id_col, args.text_col, args.ngram,
-            args.max_hits, broadcast_bench=not args.no_broadcast_bench,
-        ).persist()
+        if args.bloom_bits:
+            flagged = (
+                contamination_bloom(
+                    corpus, bench, args.id_col, args.text_col,
+                    args.ngram, n_bits=args.bloom_bits,
+                )
+                .where(F.col("n_hits") > args.max_hits)
+                .select(args.id_col)
+                .persist()
+            )
+        else:
+            flagged = flagged_ids(
+                corpus, bench, args.id_col, args.text_col, args.ngram,
+                args.max_hits, broadcast_bench=not args.no_broadcast_bench,
+            ).persist()
         try:
             n_flagged = flagged.count()  # materializes the persisted frame
             clean = corpus.join(F.broadcast(flagged), args.id_col, "left_anti")

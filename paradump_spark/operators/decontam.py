@@ -17,6 +17,8 @@ is read once; cost is independent of how many benchmark files there are.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under
+#                      PEP 563 (string annotations need module globals)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -106,4 +108,155 @@ def flagged_ids(
         contamination(docs, bench, id_col, text_col, n, broadcast_bench)
         .where(F.col("n_hits") > max_hits)
         .select(id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prefilter — the beyond-broadcast scale path
+#
+# `contamination(broadcast_bench=True)` caps the benchmark at what a
+# broadcast exact shingle set can hold (few hundred MB of text); the
+# shuffle fallback pays one full corpus shuffle on the shingle key.  A
+# Bloom filter removes both limits: at ~10 bits/shingle a 100M-shingle
+# benchmark compresses to a 128 MB bit array — broadcastable — and the
+# corpus-side membership test is MAP-ONLY (Arrow-batched numpy over the
+# broadcast bitmap).  Only the surviving ~FP+true fraction of corpus
+# shingles reaches the exact verification join, so the result is EXACT
+# (false positives are eliminated by the verify join; false negatives
+# are impossible by Bloom construction).
+
+_BLOOM_SLICE_BITS = 1 << 23  # 1 MiB bitmap slices for the distributed build
+
+
+def _bloom_hashes(sh: F.Column) -> tuple[F.Column, F.Column]:
+    """Double-hashing pair (h1, h2|1) from two independent xxhash64
+    views of the shingle.  ``|1`` keeps the stride odd, so with a
+    power-of-two table every probe index is distinct."""
+    return F.xxhash64(sh), F.xxhash64(sh, F.lit(1)).bitwiseOR(F.lit(1))
+
+
+def _bloom_pos(h1: F.Column, h2odd: F.Column, i: int, n_bits: int) -> F.Column:
+    # (h1 + i*h2) mod 2^m.  Mask BEFORE the multiply-add: mod-2^m is a
+    # ring homomorphism, so ((h1&mask) + i*(h2&mask)) & mask gives the
+    # identical residue while keeping every intermediate < k*2^m — no
+    # signed-long overflow under ANSI mode.  The numpy probe computes
+    # (a + i*b) & mask in wrapping uint64; same residue class.
+    mask = F.lit(n_bits - 1)
+    return (
+        h1.bitwiseAND(mask) + F.lit(i) * h2odd.bitwiseAND(mask)
+    ).bitwiseAND(mask)
+
+
+def build_bench_bloom(
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    n_bits: int = 1 << 24,
+    n_hashes: int = 5,
+):
+    """Distributed Bloom build over the benchmark's distinct shingles.
+
+    No driver-side hashing: shingles → k probe positions (JVM
+    expressions) → distinct → 1 MiB bitmap slices assembled per-group
+    with Arrow-batched numpy → driver ORs ≤ n_bits/2^23 slice rows.
+    Returns the packed ``uint8`` bitmap (length ``n_bits/8``).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_bits & (n_bits - 1):
+        raise ValueError("n_bits must be a power of two")
+    sh = bench.select(
+        F.explode(
+            F.array_distinct(TX.word_shingles(text_col, n))
+        ).alias("__sh")
+    ).distinct()
+    h1, h2 = _bloom_hashes(F.col("__sh"))
+    pos = sh.select(
+        F.explode(
+            F.array(*[_bloom_pos(h1, h2, i, n_bits) for i in range(n_hashes)])
+        ).alias("pos")
+    ).distinct()
+    slice_bits = min(_BLOOM_SLICE_BITS, n_bits)
+    sliced = pos.withColumn("slice_id", (F.col("pos") / slice_bits).cast("long"))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["slice_id"].iloc[0])
+        local = np.zeros(slice_bits // 8, dtype=np.uint8)
+        off = pdf["pos"].to_numpy(dtype=np.int64) - sid * slice_bits
+        np.bitwise_or.at(local, off >> 3, (1 << (off & 7)).astype(np.uint8))
+        return pd.DataFrame({"slice_id": [sid], "bits": [local.tobytes()]})
+
+    rows = (
+        sliced.groupBy("slice_id")
+        .applyInPandas(_pack, "slice_id long, bits binary")
+        .collect()
+    )
+    bloom = np.zeros(n_bits // 8, dtype=np.uint8)
+    for r in rows:
+        sid = r["slice_id"]
+        bloom[sid * slice_bits // 8 : (sid + 1) * slice_bits // 8] = np.frombuffer(
+            r["bits"], dtype=np.uint8
+        )
+    return bloom
+
+
+def contamination_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_bits: int = 1 << 24,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """:func:`contamination` semantics — EXACT same result — via a
+    Bloom prefilter: map-only membership test over the broadcast bitmap
+    drops the non-overlapping bulk of corpus shingles before the exact
+    verification join, so neither a giant broadcast set nor a full
+    corpus shuffle is ever needed.
+
+    Sizing: ``n_bits ≈ 10 × distinct benchmark shingles`` gives ~1% FP
+    (only cost: FP shingles reach the verify join and are discarded
+    there).  The bitmap is built distributed (:func:`build_bench_bloom`)
+    and broadcast once per job.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bloom = build_bench_bloom(bench, text_col, n, n_bits, n_hashes)
+    spark = docs.sparkSession
+    bloom_bc = spark.sparkContext.broadcast(bloom)
+    mask = np.uint64(n_bits - 1)
+
+    @pandas_udf("boolean")
+    def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        arr = bloom_bc.value
+        a = h1.to_numpy().astype(np.uint64)
+        b = h2.to_numpy().astype(np.uint64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(n_hashes):
+            p = (a + np.uint64(i) * b) & mask
+            ok &= (arr[(p >> np.uint64(3)).astype(np.int64)]
+                   >> (p & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return pd.Series(ok)
+
+    d = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(TX.word_shingles(text_col, n))).alias("__sh"),
+    )
+    h1, h2 = _bloom_hashes(F.col("__sh"))
+    survivors = d.withColumn("__h1", h1).withColumn("__h2", h2).where(
+        might_contain(F.col("__h1"), F.col("__h2"))
+    )
+    b = (
+        bench.select(
+            F.explode(F.array_distinct(TX.word_shingles(text_col, n))).alias("__sh")
+        ).distinct()
+    )
+    return (
+        survivors.join(b, "__sh")  # exact verify: kills Bloom FPs
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )

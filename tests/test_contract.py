@@ -1,5 +1,5 @@
 """Driver-contract shape tests (cheap; full oracle parity runs in the
-driver and in scratch/strict_verify.py)."""
+driver and in tools/strict_verify.py)."""
 
 import duckdb
 import pandas as pd
