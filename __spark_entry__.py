@@ -1342,6 +1342,50 @@ def _q_lm_bits_per_token(spark, sf_dir):
     return self_perplexity(_t(spark, sf_dir, "documents"))
 
 
+def _q_line_dedup(spark, sf_dir):
+    """C4-style cross-corpus line-level boilerplate removal
+    (operators/dedup.py:remove_boilerplate_lines): documents are first
+    re-lined (every 3 tokens — the synthetic corpus ships single-line
+    text), then every line appearing in >3 distinct documents is
+    dropped everywhere and the text re-joined."""
+    from paradump_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", "((\\S+ ){2}\\S+) ", "$1\n").alias("text"),
+    )
+    return remove_boilerplate_lines(
+        docs, "doc_id", "text", max_docs=3
+    ).select("doc_id", "text", "n_removed_lines")
+
+
+def _q_url_features_docs(spark, sf_dir):
+    """URL shape features (operators/urls.py): host, registered domain,
+    path depth, query-param count via parse_url over synthesized
+    crawl-style URLs (the corpus carries no native URL column).  The
+    oracle re-derives every value arithmetically from the source
+    columns — an independent check of the parse."""
+    from paradump_spark.operators.urls import url_features
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.expr("repeat('s/', CAST(doc_id % 3 AS INT))"),
+            F.lit("p"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("?q=1&r=2")).otherwise(
+                F.lit("?q=1")
+            ),
+        ).alias("url"),
+    )
+    return url_features(urls, "url").select(
+        "doc_id", "url_host", "url_domain", "url_path_depth", "url_n_params"
+    )
+
+
 def _q_shard_plan_docs(spark, sf_dir):
     """Deterministic training-shard plan (sinks/shards.py): md5-bucket
     shard assignment, per-shard row and byte totals — the pre-export
@@ -1384,17 +1428,19 @@ _DRIVER_QUERY_NAMES = [
     # LLM-pipeline: dedup / text / embeddings / multimodal family
     # representatives (one driver proof per family; the siblings moved
     # to extra_queries() stay oracle-checked in tests/test_contract.py).
-    # diff_stats / dedup_exact / text_quality rotated to extras this
-    # round (r03-green, families still in-window) to make room for the
-    # three NEW round-4 operators below.
-    "minhash_lsh_candidates",
-    "dedup_clusters",
+    # diff_stats / dedup_exact / text_quality / minhash_lsh_candidates /
+    # dedup_clusters rotated to extras this round (all r03-green,
+    # families still in-window via substring/line/semantic dedup) to
+    # make room for the five NEW round-4 operators below.
     "ann_topk",
     # new this round: Bloom decontam (exact), bigram-LM perplexity,
-    # deterministic shard plan
+    # deterministic shard plan, line-level boilerplate removal, URL
+    # features
     "contamination_bloom",
     "lm_bits_per_token",
     "shard_plan_docs",
+    "line_dedup",
+    "url_features_docs",
     # round-4-session additions (fuzzy join, SemDeDup, classifier,
     # JSON props) take the remaining r03-green family-sibling slots
     # (embedding_near_dup, multimodal_features, doc_split_counts,
@@ -1522,6 +1568,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_bloom": _q_contamination_bloom,
         "lm_bits_per_token": _q_lm_bits_per_token,
         "shard_plan_docs": _q_shard_plan_docs,
+        "line_dedup": _q_line_dedup,
+        "url_features_docs": _q_url_features_docs,
         "group_sample_lang": _q_group_sample_lang,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1992,6 +2040,34 @@ SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS sha
        count(*)::BIGINT AS n_rows,
        sum(n_chars)::BIGINT AS n_bytes
 FROM documents GROUP BY 1""",
+        "line_dedup": """
+WITH d AS (SELECT doc_id,
+                  regexp_replace(text, '((\\S+ ){2}\\S+) ', '\\1' || chr(10), 'g') AS text
+           FROM documents),
+l AS (SELECT doc_id,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM d),
+dup AS (SELECT line FROM l WHERE trim(line) <> ''
+        GROUP BY line HAVING count(DISTINCT doc_id) > 3),
+m AS (SELECT l.doc_id, l.pos, l.line,
+             (dup.line IS NOT NULL AND trim(l.line) <> '') AS is_dup
+      FROM l LEFT JOIN dup ON dup.line = l.line)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE NOT is_dup), '') AS text,
+       (count(*) FILTER (WHERE is_dup))::BIGINT AS n_removed_lines
+FROM m GROUP BY doc_id""",
+        # independent re-derivation: the oracle computes every feature
+        # arithmetically from the base columns, never parsing the URL —
+        # so a parse_url bug on the Spark side cannot self-confirm
+        "url_features_docs": """
+SELECT doc_id,
+       source || '.example.com' AS url_host,
+       'example.com' AS url_domain,
+       (1 + doc_id % 3)::INTEGER AS url_path_depth,
+       (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)::INTEGER AS url_n_params
+FROM documents""",
         "minhash_lsh_candidates": _MINHASH_CAND_SQL,
         "ngram_jaccard": (
             "WITH "

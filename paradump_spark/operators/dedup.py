@@ -810,3 +810,97 @@ def incremental_dedup(
         return fresh, matches
     finally:
         banded.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus line-level boilerplate removal (the C4/RefinedWeb policy:
+# a LINE that recurs across many documents is navigation chrome, cookie
+# banners, or license boilerplate — drop it everywhere, keep the
+# documents).  Complements the token-window exact-substring dedup above:
+# spans catch long verbatim quotes at arbitrary offsets; lines catch
+# short templated strings that repeat at huge fan-out.
+
+
+def line_duplication_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-line fan-out evidence: (line, n_docs, n_occurrences) for
+    every distinct non-blank line, ``n_docs`` counting DISTINCT
+    documents.  One partially-aggregated shuffle keyed by the line —
+    bounded by distinct-line volume, not corpus size.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).where(F.trim(F.col("line")) != "")
+    return lines.groupBy("line").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_docs: int = 1,
+    out_col: str | None = None,
+    broadcast_dups: bool = True,
+) -> DataFrame:
+    """Drop every line that appears in more than ``max_docs`` distinct
+    documents; rejoin the survivors with ``\\n`` (blank lines always
+    survive — they are structure, not content).  Adds
+    ``n_removed_lines``.
+
+    Scale shape: the duplicated-line set is usually a sliver of the
+    distinct-line space (only fan-out > max_docs survives the filter),
+    so it is broadcast by default — the corpus-side pass is then
+    map-side explode + broadcast anti-lookup + one groupBy(id)
+    reconstruction shuffle.  ``broadcast_dups=False`` degrades the
+    lookup to a shuffle join for corpora whose boilerplate set itself
+    is huge (mirrors `operators.decontam`'s gate).
+    """
+    dups = (
+        line_duplication_profile(df, id_col, text_col)
+        .where(F.col("n_docs") > max_docs)
+        .select(F.col("line"), F.lit(True).alias("__is_dup"))
+    )
+    if broadcast_dups:
+        dups = F.broadcast(dups)
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    marked = exploded.join(dups, "line", "left").withColumn(
+        "__drop",
+        F.col("__is_dup").isNotNull() & (F.trim(F.col("line")) != ""),
+    )
+    rebuilt = (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__drop"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("__clean"),
+            F.sum(F.col("__drop").cast("long")).alias("n_removed_lines"),
+        )
+    )
+    out = out_col or text_col
+    keep_cols = [c for c in df.columns if c != text_col or out != text_col]
+    return (
+        df.select(*keep_cols)
+        .join(rebuilt, id_col)
+        .withColumnRenamed("__clean", out)
+    )

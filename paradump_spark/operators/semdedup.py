@@ -147,9 +147,17 @@ def semantic_dedup(
     otherwise the caller's column is the blocking unit.
     """
     if cluster_col is None:
+        # Materialize the assignment once: the flags computation consumes
+        # the clustered frame three times (both self-join sides + the
+        # anti-join base), and the broadcast-argmax assignment expression
+        # is enormous (num_clusters × dim terms) — without truncation
+        # Catalyst re-analyzes and re-executes it per consumer, which
+        # dominates wall-clock.  Persisting cluster ids is also the
+        # production shape: at corpus scale the assignment is written
+        # once and every downstream pass reads the materialized column.
         clustered = assign_clusters(
             emb, id_col, vec_col, num_clusters, seed=seed
-        )
+        ).localCheckpoint(eager=True)
         cluster_col = "cluster_id"
         out_cols = emb.columns
     else:

@@ -1,0 +1,99 @@
+"""URL analysis and domain blocklist filtering — corpus-curation surface.
+
+Web-crawl pipelines (C4, RefinedWeb) gate documents by their source URL
+before any text judgment: known-bad registered domains are dropped, URL
+shape (path depth, query-string noise) feeds quality heuristics.  The
+reference engine has no URL surface; this sits in the LLM-pipeline
+family next to `operators/quality_rules.py`.
+
+All pure JVM expressions (``parse_url`` + array ops) — per-row
+projections that fuse into the scan; the blocklist join broadcasts (a
+blocklist is at most millions of rows — MBs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def url_host(url: Column) -> Column:
+    """HOST part, lower-cased (authority without port/user)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def registered_domain(url: Column) -> Column:
+    """Last-two-label heuristic of the host (``a.b.example.com`` →
+    ``example.com``).  A public-suffix-list lookup is the production
+    refinement (``co.uk`` etc.); the heuristic is deliberate here —
+    suffix tables change monthly and belong in caller config, and the
+    blocklist join below accepts either convention."""
+    labels = F.split(url_host(url), "\\.")
+    n = F.size(labels)
+    return F.when(
+        n >= 2, F.array_join(F.slice(labels, -2, 2), ".")
+    ).otherwise(F.array_join(labels, "."))
+
+
+def path_depth(url: Column) -> Column:
+    """Number of non-empty ``/`` segments in the PATH part."""
+    path = F.parse_url(url, F.lit("PATH"))
+    return F.size(
+        F.filter(F.split(F.coalesce(path, F.lit("")), "/"), lambda s: s != "")
+    ).cast("int")
+
+
+def query_param_count(url: Column) -> Column:
+    """Number of ``&``-separated parameters in the QUERY part (0 when
+    absent)."""
+    q = F.parse_url(url, F.lit("QUERY"))
+    return F.when(
+        q.isNull() | (q == ""), F.lit(0)
+    ).otherwise(F.size(F.split(q, "&"))).cast("int")
+
+
+def url_features(
+    df: DataFrame, url_col: str, prefix: str = "url_"
+) -> DataFrame:
+    """Append host / registered domain / path depth / query-param count
+    columns derived from ``url_col`` — one narrow projection."""
+    u = F.col(url_col)
+    return (
+        df.withColumn(f"{prefix}host", url_host(u))
+        .withColumn(f"{prefix}domain", registered_domain(u))
+        .withColumn(f"{prefix}path_depth", path_depth(u))
+        .withColumn(f"{prefix}n_params", query_param_count(u))
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame | Sequence[str],
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose registered domain appears in ``blocklist``
+    (a DataFrame with ``domain_col``, or a plain sequence of domains).
+
+    Broadcast anti-join: the corpus never shuffles, the blocklist ships
+    once per executor.
+    """
+    spark = df.sparkSession
+    if not isinstance(blocklist, DataFrame):
+        blocklist = spark.createDataFrame(
+            [(d,) for d in blocklist], f"{domain_col} string"
+        )
+    block = blocklist.select(
+        F.lower(F.col(domain_col)).alias("__blocked_domain")
+    ).distinct()
+    return (
+        df.withColumn("__dom", registered_domain(F.col(url_col)))
+        .join(
+            F.broadcast(block),
+            F.col("__dom") == F.col("__blocked_domain"),
+            "left_anti",
+        )
+        .drop("__dom")
+    )
