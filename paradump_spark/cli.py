@@ -113,7 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--output", required=True, help="parquet output")
     dd.add_argument("--method", default="exact",
-                    choices=("exact", "minhash", "spans", "semantic"))
+                    choices=("exact", "minhash", "spans", "semantic", "lines"))
+    dd.add_argument("--max-docs", type=int, default=1,
+                    help="lines mode: drop lines appearing in more than "
+                         "this many distinct documents")
     dd.add_argument("--ngram", type=int, default=3,
                     help="shingle width for minhash")
     dd.add_argument("--threshold", type=float, default=0.8,
@@ -190,6 +193,47 @@ def build_parser() -> argparse.ArgumentParser:
                          "mutually exclusive with --sort-col/--partition-by")
     op.add_argument("--curve", default="morton", choices=("morton", "hilbert"),
                     help="space-filling curve for --zorder-by (hilbert is 2-D only)")
+
+    es = sub.add_parser(
+        "export-shards",
+        help="deterministic training-shard export: one file per "
+             "md5-bucket shard plus a checksummed manifest",
+    )
+    es.add_argument("--directory", required=True, help="source catalog directory")
+    es.add_argument("--table", default="documents")
+    es.add_argument("--id-col", default="doc_id")
+    es.add_argument("--output", required=True, help="shard output directory")
+    es.add_argument("--n-shards", type=int, default=16)
+    es.add_argument("--format", default="parquet", choices=("parquet", "jsonl"))
+    es.add_argument("--sort-col", default=None,
+                    help="in-shard sort for byte-reproducible files")
+    es.add_argument("--seed", default="", help="shard-assignment salt")
+
+    vs = sub.add_parser(
+        "verify-shards",
+        help="recompute per-shard checksums against the _shards.json manifest",
+    )
+    vs.add_argument("--path", required=True, help="shard directory to verify")
+
+    lm = sub.add_parser(
+        "score-lm",
+        help="bigram-LM perplexity scoring (bits/token per document); "
+             "optionally train on a separate trusted corpus",
+    )
+    lm.add_argument("--directory", required=True, help="corpus catalog directory")
+    lm.add_argument("--table", default="documents")
+    lm.add_argument("--id-col", default="doc_id")
+    lm.add_argument("--text-col", default="text")
+    lm.add_argument("--output", required=True, help="scores parquet output")
+    lm.add_argument("--train-directory", default=None,
+                    help="trusted-corpus catalog for training (default: "
+                         "self-perplexity on the scored corpus)")
+    lm.add_argument("--train-table", default="documents")
+    lm.add_argument("--lam", type=float, default=0.8,
+                    help="interpolation weight on the bigram term")
+    lm.add_argument("--max-bits", type=float, default=None,
+                    help="also write <output>_kept: docs at or below this "
+                         "bits/token threshold")
     return p
 
 
@@ -249,6 +293,12 @@ def validate(args: argparse.Namespace) -> None:
                 "--zorder-by needs >= 2 columns (one column is plain "
                 "sorting: use --sort-col)"
             )
+    if args.command == "export-shards":
+        if args.n_shards < 1:
+            raise SystemExit("--n-shards must be >= 1")
+    if args.command == "score-lm":
+        if not (0.0 < args.lam < 1.0):
+            raise SystemExit("--lam must be in (0, 1)")
     if args.command == "sync":
         # NB: src == dst is legal — the reference's no-op sync test relies
         # on diffing identical endpoints reporting zero DML
@@ -396,6 +446,77 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"optimize {args.path}: compacted to {n} files")
         return 0
+    if args.command == "export-shards":
+        from paradump_spark.sinks.shards import write_shards
+
+        src = ParquetCatalog(spark, args.directory).load(args.table)
+        manifest = write_shards(
+            src, args.output, args.id_col, args.n_shards,
+            seed=args.seed, fmt=args.format, sort_col=args.sort_col,
+        )
+        import json as _json
+
+        with open(manifest) as fh:
+            m = _json.load(fh)
+        total = sum(s["n_rows"] for s in m["shards"].values())
+        print(
+            f"export-shards {args.table}: {total} rows into "
+            f"{len(m['shards'])} shards at {args.output} "
+            f"(format={args.format})"
+        )
+        return 0
+    if args.command == "verify-shards":
+        from paradump_spark.sinks.shards import verify_shards
+
+        res = verify_shards(spark, args.path)
+        bad = sorted(s for s, ok in res.items() if not ok)
+        for s in sorted(res, key=int):
+            print(f"shard {s}: {'OK' if res[s] else 'MISMATCH'}")
+        if bad:
+            print(f"verify-shards: {len(bad)} of {len(res)} shards FAILED")
+            return 1
+        print(f"verify-shards: all {len(res)} shards faithful")
+        return 0
+    if args.command == "score-lm":
+        from pyspark.sql import functions as F
+
+        from paradump_spark.operators.lm import lm_score, train_bigram_lm
+
+        corpus = ParquetCatalog(spark, args.directory).load(args.table)
+        train_src = (
+            ParquetCatalog(spark, args.train_directory).load(args.train_table)
+            if args.train_directory
+            else corpus
+        )
+        model, backoff, floor = train_bigram_lm(
+            train_src, args.text_col, lam=args.lam
+        )
+        scores = lm_score(
+            corpus, model, backoff, floor, args.id_col, args.text_col
+        )
+        scores.write.mode("overwrite").parquet(args.output)
+        back = spark.read.parquet(args.output)
+        q = back.agg(
+            F.expr(
+                "percentile_approx(bits_per_token, array(0.5, 0.9, 0.99))"
+            ).alias("q")
+        ).collect()[0]["q"]
+        print(
+            f"score-lm {args.table}: {back.count()} docs scored; "
+            f"bits/token p50={q[0]:.3f} p90={q[1]:.3f} p99={q[2]:.3f}"
+        )
+        if args.max_bits is not None:
+            kept = corpus.join(
+                back.where(F.col("bits_per_token") <= args.max_bits)
+                .select(args.id_col),
+                args.id_col,
+            )
+            kept.write.mode("overwrite").parquet(args.output + "_kept")
+            print(
+                f"score-lm filter: kept {kept.count()} docs at "
+                f"<= {args.max_bits} bits/token"
+            )
+        return 0
     if args.command == "pipeline":
         import os
 
@@ -479,6 +600,10 @@ def main(argv: list[str] | None = None) -> int:
             out = semantic_dedup(
                 corpus, args.id_col, args.vec_col,
                 threshold=args.threshold, num_clusters=args.num_clusters,
+            )
+        elif args.method == "lines":
+            out = DD.remove_boilerplate_lines(
+                corpus, args.id_col, args.text_col, max_docs=args.max_docs
             )
         else:  # spans
             out = DD.remove_duplicate_spans(

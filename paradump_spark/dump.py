@@ -22,11 +22,12 @@ from paradump_spark.sinks.files import (
     write_csv,
     write_jsonl,
     write_noop,
+    write_orc,
     write_parquet,
     write_sql_inserts,
 )
 
-DUMP_MODES = ("sql", "csv", "csv_exact", "jsonl", "parquet", "nul")
+DUMP_MODES = ("sql", "csv", "csv_exact", "jsonl", "parquet", "orc", "nul")
 
 
 @dataclass
@@ -102,6 +103,8 @@ def dump_tables(
             )
         elif options.mode == "parquet":
             write_parquet(df, path)
+        elif options.mode == "orc":
+            write_orc(df, path)
         elif options.mode == "nul":
             write_noop(df)
             path = None

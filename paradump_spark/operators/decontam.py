@@ -166,17 +166,20 @@ def build_bench_bloom(
 
     if n_bits & (n_bits - 1):
         raise ValueError("n_bits must be a power of two")
+    # no distinct() anywhere in the build: bit-set OR is idempotent, so
+    # duplicate shingles/positions cost nothing in the pack stage while
+    # a distinct would cost a full extra shuffle each
     sh = bench.select(
         F.explode(
             F.array_distinct(TX.word_shingles(text_col, n))
         ).alias("__sh")
-    ).distinct()
+    )
     h1, h2 = _bloom_hashes(F.col("__sh"))
     pos = sh.select(
         F.explode(
             F.array(*[_bloom_pos(h1, h2, i, n_bits) for i in range(n_hashes)])
         ).alias("pos")
-    ).distinct()
+    )
     slice_bits = min(_BLOOM_SLICE_BITS, n_bits)
     sliced = pos.withColumn("slice_id", (F.col("pos") / slice_bits).cast("long"))
 

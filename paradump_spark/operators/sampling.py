@@ -136,6 +136,7 @@ def mixture_plan(
     text_col: str,
     weights: dict[str, float],
     token_budget: int,
+    temperature: float = 1.0,
 ) -> DataFrame:
     """Turn target mixture weights + a token budget into per-source
     sampling fractions — the planning step in front of :func:`mixture`.
@@ -150,11 +151,23 @@ def mixture_plan(
     naming absent sources are ignored (their share is re-normalized away
     by Σw over PRESENT sources only — the conventional behavior when a
     configured source has no data yet).
+
+    ``temperature`` applies multilingual-style smoothing BEFORE
+    normalization: ``w ← w^(1/T)`` (Conneau & Lample 2019's α = 1/T).
+    T=1 keeps the weights as given; T>1 flattens the mixture toward
+    uniform (up-samples small sources); T<1 sharpens it.
     """
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
     if not weights or all(w <= 0 for w in weights.values()):
         raise ValueError("weights must contain at least one positive entry")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    if temperature != 1.0:
+        weights = {
+            k: (w ** (1.0 / temperature) if w > 0 else 0.0)
+            for k, w in weights.items()
+        }
     from paradump_spark.functions import text as TX
 
     avail = df.groupBy(F.col(source_col).alias("source")).agg(

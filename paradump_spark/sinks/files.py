@@ -278,6 +278,15 @@ def write_parquet(
     df.write.mode(mode).option("compression", compression).parquet(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, compression: str = "zlib", mode: str = "overwrite"
+) -> None:
+    """ORC sink (beyond-reference; Hive-ecosystem handoff).  Default
+    codec is zlib — ORC's zstd needs Hadoop natives absent here, and
+    unlike the text path an ORC file is not re-codeable after commit."""
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
 def render_file_template(
     template: str,
     db_name: str,

@@ -1,0 +1,82 @@
+"""CLI: export-shards / verify-shards / score-lm / dedup --method lines."""
+
+import glob
+import os
+
+import pytest
+
+from paradump_spark.cli import main
+
+
+def test_export_and_verify_shards(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "shards")
+    rc = main([
+        "export-shards", "--directory", sf_dir, "--output", out,
+        "--n-shards", "4", "--sort-col", "doc_id",
+    ])
+    assert rc == 0
+    assert "into 4 shards" in capsys.readouterr().out
+    rc = main(["verify-shards", "--path", out])
+    assert rc == 0
+    assert "all 4 shards faithful" in capsys.readouterr().out
+    # tamper -> exit 1
+    victim = glob.glob(os.path.join(out, "shard=2", "*.parquet"))[0]
+    os.remove(victim)
+    rc = main(["verify-shards", "--path", out])
+    assert rc == 1
+    assert "FAILED" in capsys.readouterr().out
+
+
+def test_export_shards_validation(tmp_path):
+    with pytest.raises(SystemExit):
+        main([
+            "export-shards", "--directory", "/x", "--output", str(tmp_path),
+            "--n-shards", "0",
+        ])
+
+
+def test_score_lm_self(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "scores")
+    rc = main([
+        "score-lm", "--directory", sf_dir, "--output", out,
+    ])
+    assert rc == 0
+    assert "bits/token p50=" in capsys.readouterr().out
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert set(back.columns) == {"doc_id", "n_bigrams", "bits_per_token"}
+
+
+def test_score_lm_filter_and_validation(spark, sf_dir, tmp_path, capsys):
+    with pytest.raises(SystemExit):
+        main([
+            "score-lm", "--directory", sf_dir,
+            "--output", str(tmp_path / "x"), "--lam", "1.5",
+        ])
+    out = str(tmp_path / "scores")
+    rc = main([
+        "score-lm", "--directory", sf_dir, "--output", out,
+        "--max-bits", "999",
+    ])
+    assert rc == 0
+    kept = spark.read.parquet(out + "_kept")
+    scored = spark.read.parquet(out)
+    # threshold far above any score: every SCORED doc is kept
+    assert kept.count() == scored.count()
+
+
+def test_dedup_lines_method(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "clean")
+    rc = main([
+        "dedup", "--directory", sf_dir, "--output", out,
+        "--method", "lines", "--max-docs", "3",
+    ])
+    assert rc == 0
+    assert "method=lines" in capsys.readouterr().out
+    back = spark.read.parquet(out)
+    assert "n_removed_lines" in back.columns
+    # single-line corpus: a full-text line duplicated across docs only
+    # if the text repeats; row count must be preserved (lines mode
+    # rewrites text, never drops documents)
+    n_src = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert back.count() == n_src

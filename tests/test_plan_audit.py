@@ -1,0 +1,43 @@
+"""Systematic physical-plan audit over the ENTIRE declared query
+surface: no row-at-a-time Python UDFs anywhere, Arrow-batched pandas
+UDFs only where a numpy/bitmap kernel is the design (allowlisted), and
+no non-broadcast cartesian product in any plan.
+
+This is the guard that keeps "stay JVM-side" true as the surface grows:
+a new query that silently falls back to BatchEvalPython or a cartesian
+join fails here before it ships.
+"""
+
+import pytest
+
+import __spark_entry__ as E
+
+# queries whose DESIGN includes an Arrow-batched pandas UDF / Python
+# stage (bitmap probe, Arrow feature extraction, PQ encode); everything
+# else must be pure JVM
+ARROW_ALLOWED = {
+    "contamination_bloom",   # numpy bitmap membership probe
+    "multimodal_features",   # Arrow-batched feature kernel
+    "pq_topk",               # Arrow-batched PQ encode
+    "ivf_topk",              # PQ/IVF build path
+    "pack_stats",            # stateful per-partition packer
+    "embedding_near_dup_lsh",
+}
+
+
+def _plans(spark, sf_dir):
+    for name, fn in {**E.queries(), **E.extra_queries()}.items():
+        df = fn(spark, sf_dir)
+        yield name, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_row_python_and_no_cartesian(spark, sf_dir):
+    offenders = []
+    for name, plan in _plans(spark, sf_dir):
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython (row-at-a-time Python)"))
+        if "ArrowEvalPython" in plan and name not in ARROW_ALLOWED:
+            offenders.append((name, "unexpected ArrowEvalPython"))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct (non-broadcast)"))
+    assert not offenders, offenders

@@ -320,3 +320,81 @@ def test_mixture_plan_targets_sum_to_budget(spark, weights, budget):
     assert abs(total_target - budget) < 1e-3
     for r in plan:
         assert abs(r["fraction"] * r["available_tokens"] - r["target_tokens"]) < 0.5
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab \n", min_size=0, max_size=40),
+        min_size=1,
+        max_size=25,
+    ),
+    max_docs=st.integers(min_value=1, max_value=3),
+)
+def test_line_dedup_idempotent_and_conservative(spark, docs, max_docs):
+    """Removing boilerplate lines twice equals once (after the first
+    pass every surviving line's fan-out is <= max_docs), and no document
+    row is ever dropped."""
+    from paradump_spark.operators.dedup import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    once = remove_boilerplate_lines(df, "doc_id", "text", max_docs=max_docs)
+    once_rows = {(r["doc_id"], r["text"]) for r in once.collect()}
+    twice = remove_boilerplate_lines(
+        once.select("doc_id", "text"), "doc_id", "text", max_docs=max_docs
+    )
+    twice_rows = {(r["doc_id"], r["text"]) for r in twice.collect()}
+    assert once_rows == twice_rows
+    assert len(once_rows) == len(docs)
+    assert twice.agg(F.sum("n_removed_lines")).collect()[0][0] == 0
+
+
+@_slow
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    n_shards=st.integers(min_value=1, max_value=9),
+)
+def test_shard_plan_partitions_any_idset(spark, ids, n_shards):
+    """Shard assignment is a partition of the corpus: plan rows sum to
+    the corpus count and every shard id is in range — for ANY id set and
+    shard count, including non-power-of-two."""
+    from paradump_spark.sinks.shards import shard_plan
+
+    df = spark.createDataFrame([(k,) for k in ids], "doc_id bigint")
+    plan = shard_plan(df, "doc_id", n_shards).collect()
+    assert sum(r["n_rows"] for r in plan) == len(ids)
+    assert all(0 <= r["shard"] < n_shards for r in plan)
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc d", min_size=0, max_size=30),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_lm_score_partitioning_invariant(spark, texts):
+    """bits_per_token depends only on document content, never on the
+    physical partitioning of corpus or model."""
+    from paradump_spark.operators.lm import self_perplexity
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {
+        (r["doc_id"], r["bits_per_token"])
+        for r in self_perplexity(df).collect()
+    }
+    b = {
+        (r["doc_id"], r["bits_per_token"])
+        for r in self_perplexity(df.repartition(7)).collect()
+    }
+    assert a == b

@@ -220,3 +220,45 @@ def test_mixture_plan_semantics(spark):
         mixture_plan(df, "source", "text", {}, 100)
     with pytest.raises(ValueError):
         mixture_plan(df, "source", "text", {"zz": 1.0}, 100)
+
+
+def test_mixture_plan_temperature(spark):
+    """T→∞ flattens toward uniform; T=1 is identity; T<=0 rejected."""
+    import pytest
+
+    from paradump_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("a", "w " * 10), ("b", "w " * 10)], "source string, text string"
+    )
+    w = {"a": 4.0, "b": 1.0}
+    base = {
+        r["source"]: r["target_tokens"]
+        for r in mixture_plan(df, "source", "text", w, 1000).collect()
+    }
+    ident = {
+        r["source"]: r["target_tokens"]
+        for r in mixture_plan(
+            df, "source", "text", w, 1000, temperature=1.0
+        ).collect()
+    }
+    assert base == ident
+    assert base["a"] == 800.0 and base["b"] == 200.0
+    flat = {
+        r["source"]: r["target_tokens"]
+        for r in mixture_plan(
+            df, "source", "text", w, 1000, temperature=100.0
+        ).collect()
+    }
+    # nearly uniform at high T
+    assert abs(flat["a"] - flat["b"]) < 20
+    # T=2: 4^0.5 : 1^0.5 = 2 : 1
+    t2 = {
+        r["source"]: r["target_tokens"]
+        for r in mixture_plan(
+            df, "source", "text", w, 1000, temperature=2.0
+        ).collect()
+    }
+    assert round(t2["a"] / t2["b"], 6) == 2.0
+    with pytest.raises(ValueError):
+        mixture_plan(df, "source", "text", w, 1000, temperature=0)

@@ -451,3 +451,20 @@ def test_jsonl_dump_via_cli(spark, sf_dir, tmp_path, capsys):
     assert any(f.startswith("part-") for f in files)
     back = spark.read.json(os.path.join(out, "nation"))
     assert back.count() == 25
+
+
+def test_orc_dump_round_trip(spark, sf_dir, tmp_path):
+    """ORC dump mode: checksum-identical content on read-back."""
+    from paradump_spark.catalog import ParquetCatalog
+    from paradump_spark.dump import DumpOptions, dump_tables
+    from paradump_spark.operators.checksum import table_checksum
+
+    cat = ParquetCatalog(spark, sf_dir)
+    out = str(tmp_path / "orc")
+    res = dump_tables(cat, out, ["nation"], DumpOptions(mode="orc"))
+    assert res[0].mode == "orc"
+    back = spark.read.orc(res[0].path)
+    src = cat.load("nation")
+    a = table_checksum(src).collect()[0]
+    b = table_checksum(back).collect()[0]
+    assert (a["n_rows"], str(a["hash_sum"])) == (b["n_rows"], str(b["hash_sum"]))
