@@ -106,6 +106,32 @@ SELECT * FROM classified WHERE dmltype <> 'N'"""
 # DuckDB token-list expression shared by the text oracles.
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 
+# interpolated bigram LM self-perplexity (operators/lm.py); shared by the
+# lm_bits_per_token and lm_buckets oracles.  Constants mirror the Spark
+# side exactly: lam = 0.8, 1 - lam rendered through the same float op.
+_LM_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tk AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok FROM t),
+uni AS (SELECT tok AS token, count(*) AS c1 FROM tk GROUP BY 1),
+st AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_tokens, CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+bg AS (SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bi AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2),
+model AS (SELECT bi.prev, bi.cur,
+                 round(ln({0.8} * bi.c2 / up.c1
+                          + {1.0 - 0.8} * (uc.c1 + 1.0)
+                            / (st.n_tokens + st.vocab)), 9) AS logp
+          FROM bi
+          JOIN uni up ON up.token = bi.prev
+          JOIN uni uc ON uc.token = bi.cur
+          CROSS JOIN st),
+lp AS (SELECT g.doc_id, m.logp AS lp
+       FROM bg g JOIN model m ON m.prev = g.prev AND m.cur = g.cur)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(-CAST(sum(CAST(lp AS DECIMAL(38,9))) AS DOUBLE) / count(*)
+             / 0.6931471805599453, 6) AS bits_per_token
+FROM lp GROUP BY doc_id"""
+
 
 def _shingle_cte(base: str = "documents") -> str:
     """CTEs t (tokens) and s (3-word shingles) over ``base``."""
@@ -1386,6 +1412,29 @@ def _q_url_features_docs(spark, sf_dir):
     )
 
 
+def _q_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity buckets
+    (operators/lm.py:perplexity_buckets): equal-count ntile(3) over the
+    self-perplexity scores, ties broken by doc_id."""
+    from paradump_spark.operators.lm import perplexity_buckets, self_perplexity
+
+    scores = self_perplexity(_t(spark, sf_dir, "documents"))
+    return perplexity_buckets(scores, n_buckets=3)
+
+
+def _q_price_drift_psi(spark, sf_dir):
+    """Distribution-drift PSI decomposition (operators/drift.py):
+    even-keyed orders as the blessed baseline vs odd-keyed as the new
+    snapshot, o_totalprice over 10 fixed-bound bins.  The oracle
+    recomputes the identical smoothed fractions and per-bin PSI terms."""
+    from paradump_spark.operators.drift import psi_report
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 2 == 0)
+    new = orders.where(F.col("o_orderkey") % 2 == 1)
+    return psi_report(base, new, "o_totalprice", 0.0, 600000.0, n_bins=10)
+
+
 def _q_shard_plan_docs(spark, sf_dir):
     """Deterministic training-shard plan (sinks/shards.py): md5-bucket
     shard assignment, per-shard row and byte totals — the pre-export
@@ -1418,9 +1467,7 @@ _DRIVER_QUERY_NAMES = [
     # core paradump operators (S/P/J/A/F/K)
     "diff_classified",
     "incremental_diff_classified",
-    "chunk_coverage_orders",
     "chunk_coverage_sqltext",
-    "client_report",
     "table_checksum",
     "profile_orders",
     "sql_insert_render",
@@ -1429,18 +1476,21 @@ _DRIVER_QUERY_NAMES = [
     # representatives (one driver proof per family; the siblings moved
     # to extra_queries() stay oracle-checked in tests/test_contract.py).
     # diff_stats / dedup_exact / text_quality / minhash_lsh_candidates /
-    # dedup_clusters rotated to extras this round (all r03-green,
-    # families still in-window via substring/line/semantic dedup) to
-    # make room for the five NEW round-4 operators below.
+    # dedup_clusters / chunk_coverage_orders / client_report rotated to
+    # extras this round (all r03-green; the chunk family keeps sqltext +
+    # lineitem in-window, dedup keeps substring/line/semantic) to make
+    # room for the seven NEW round-4 operators below.
     "ann_topk",
-    # new this round: Bloom decontam (exact), bigram-LM perplexity,
-    # deterministic shard plan, line-level boilerplate removal, URL
-    # features
+    # new this round: Bloom decontam (exact), bigram-LM perplexity +
+    # CCNet buckets, deterministic shard plan, line-level boilerplate
+    # removal, URL features, PSI drift report
     "contamination_bloom",
     "lm_bits_per_token",
+    "lm_buckets",
     "shard_plan_docs",
     "line_dedup",
     "url_features_docs",
+    "price_drift_psi",
     # round-4-session additions (fuzzy join, SemDeDup, classifier,
     # JSON props) take the remaining r03-green family-sibling slots
     # (embedding_near_dup, multimodal_features, doc_split_counts,
@@ -1570,6 +1620,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan_docs": _q_shard_plan_docs,
         "line_dedup": _q_line_dedup,
         "url_features_docs": _q_url_features_docs,
+        "lm_buckets": _q_lm_buckets,
+        "price_drift_psi": _q_price_drift_psi,
         "group_sample_lang": _q_group_sample_lang,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2013,28 +2065,36 @@ FROM u JOIN b USING (g)
 WHERE u.doc_id % 37 <> 0
 GROUP BY u.doc_id"""
         ),
-        "lm_bits_per_token": f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-tk AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok FROM t),
-uni AS (SELECT tok AS token, count(*) AS c1 FROM tk GROUP BY 1),
-st AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_tokens, CAST(count(*) AS DOUBLE) AS vocab FROM uni),
-bg AS (SELECT a.doc_id, a.tok AS prev, b.tok AS cur
-       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-bi AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2),
-model AS (SELECT bi.prev, bi.cur,
-                 round(ln({0.8} * bi.c2 / up.c1
-                          + {1.0 - 0.8} * (uc.c1 + 1.0)
-                            / (st.n_tokens + st.vocab)), 9) AS logp
-          FROM bi
-          JOIN uni up ON up.token = bi.prev
-          JOIN uni uc ON uc.token = bi.cur
-          CROSS JOIN st),
-lp AS (SELECT g.doc_id, m.logp AS lp
-       FROM bg g JOIN model m ON m.prev = g.prev AND m.cur = g.cur)
-SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-       round(-CAST(sum(CAST(lp AS DECIMAL(38,9))) AS DOUBLE) / count(*)
-             / 0.6931471805599453, 6) AS bits_per_token
-FROM lp GROUP BY doc_id""",
+        "lm_bits_per_token": _LM_SQL,
+        "lm_buckets": f"""
+WITH scores AS ({_LM_SQL})
+SELECT doc_id, n_bigrams, bits_per_token,
+       ntile(3) OVER (ORDER BY bits_per_token ASC, doc_id ASC)::INTEGER
+         AS ppl_bucket
+FROM scores""",
+        "price_drift_psi": """
+WITH bins AS (SELECT range::INTEGER AS bin FROM range(10)),
+hb AS (SELECT least(9, greatest(0, floor((o_totalprice - 0.0) / 600000.0 * 10)))::INTEGER AS bin,
+              count(*) AS n
+       FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+       GROUP BY 1),
+hn AS (SELECT least(9, greatest(0, floor((o_totalprice - 0.0) / 600000.0 * 10)))::INTEGER AS bin,
+              count(*) AS n
+       FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+       GROUP BY 1),
+j AS (SELECT bins.bin,
+             coalesce(hb.n, 0) AS n_base,
+             coalesce(hn.n, 0) AS n_new
+      FROM bins LEFT JOIN hb USING (bin) LEFT JOIN hn USING (bin)),
+t AS (SELECT CAST(sum(n_base) AS DOUBLE) AS t_base,
+             CAST(sum(n_new) AS DOUBLE) AS t_new FROM j)
+SELECT bin, n_base::BIGINT AS n_base, n_new::BIGINT AS n_new,
+       round((n_base + 0.5) / (t_base + 5.0), 6) AS frac_base,
+       round((n_new + 0.5) / (t_new + 5.0), 6) AS frac_new,
+       round(((n_new + 0.5) / (t_new + 5.0) - (n_base + 0.5) / (t_base + 5.0))
+             * ln(((n_new + 0.5) / (t_new + 5.0))
+                  / ((n_base + 0.5) / (t_base + 5.0))), 6) AS psi_term
+FROM j, t""",
         "shard_plan_docs": """
 SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
        count(*)::BIGINT AS n_rows,

@@ -214,3 +214,26 @@ def self_perplexity(
     return lm_score(
         docs, model, backoff, floor, id_col, text_col, broadcast_model
     )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    bits_col: str = "bits_per_token",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by bits/token and
+    cut into ``n_buckets`` equal-count buckets (1 = most predictable).
+
+    ``ntile`` over a single global ordering — at corpus scale feed it
+    PRE-AGGREGATED scores (one row per doc, the output of
+    :func:`lm_score`), and if even that is too large for one task,
+    bucket by approximate quantile thresholds instead; ties break by id
+    so the cut is deterministic and engine-reproducible.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(bits_col).asc(), F.col(id_col).asc())
+    return scores.withColumn(
+        "ppl_bucket", F.ntile(n_buckets).over(w).cast("int")
+    )
