@@ -234,6 +234,26 @@ def build_parser() -> argparse.ArgumentParser:
     lm.add_argument("--max-bits", type=float, default=None,
                     help="also write <output>_kept: docs at or below this "
                          "bits/token threshold")
+
+    tk = sub.add_parser(
+        "tokenize",
+        help="learn a BPE merge table from the corpus word counts and "
+             "write per-document subword token counts",
+    )
+    tk.add_argument("--directory", required=True, help="corpus catalog directory")
+    tk.add_argument("--table", default="documents")
+    tk.add_argument("--id-col", default="doc_id")
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--output", required=True,
+                    help="parquet output: (id, n_bpe_tokens)")
+    tk.add_argument("--num-merges", type=int, default=200)
+    tk.add_argument("--train-cap", type=int, default=50_000,
+                    help="most-frequent-words bound for driver-side training")
+    tk.add_argument("--merges", default=None,
+                    help="merge-table json: load when it exists, else "
+                         "train and save here (reproducible re-runs)")
+    tk.add_argument("--emit-tokens", action="store_true",
+                    help="also include the bpe_tokens array column")
     return p
 
 
@@ -296,6 +316,9 @@ def validate(args: argparse.Namespace) -> None:
     if args.command == "export-shards":
         if args.n_shards < 1:
             raise SystemExit("--n-shards must be >= 1")
+    if args.command == "tokenize":
+        if args.num_merges < 1 or args.train_cap < 1:
+            raise SystemExit("--num-merges/--train-cap must be positive")
     if args.command == "score-lm":
         if not (0.0 < args.lam < 1.0):
             raise SystemExit("--lam must be in (0, 1)")
@@ -516,6 +539,46 @@ def main(argv: list[str] | None = None) -> int:
                 f"score-lm filter: kept {kept.count()} docs at "
                 f"<= {args.max_bits} bits/token"
             )
+        return 0
+    if args.command == "tokenize":
+        import json as _json
+        import os
+
+        from pyspark.sql import functions as F
+
+        from paradump_spark.operators.bpe import (
+            bpe_encode,
+            bpe_token_count,
+            train_bpe,
+            word_counts,
+        )
+
+        corpus = ParquetCatalog(spark, args.directory).load(args.table)
+        merges = None
+        if args.merges and os.path.exists(args.merges):
+            with open(args.merges) as fh:
+                merges = [tuple(m) for m in _json.load(fh)]
+        if merges is None:
+            merges = train_bpe(
+                word_counts(corpus, args.text_col),
+                num_merges=args.num_merges,
+                train_cap=args.train_cap,
+            )
+            if args.merges:
+                with open(args.merges, "w") as fh:
+                    _json.dump([list(m) for m in merges], fh)
+        out = bpe_token_count(corpus, merges, args.text_col)
+        cols = [args.id_col, "n_bpe_tokens"]
+        if args.emit_tokens:
+            out = bpe_encode(out, merges, args.text_col)
+            cols.append("bpe_tokens")
+        out.select(*cols).write.mode("overwrite").parquet(args.output)
+        back = spark.read.parquet(args.output)
+        total = back.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+        print(
+            f"tokenize {args.table}: {len(merges)} merges, "
+            f"{back.count()} docs, {total} bpe tokens -> {args.output}"
+        )
         return 0
     if args.command == "pipeline":
         import os

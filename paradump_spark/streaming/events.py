@@ -250,3 +250,57 @@ def purchase_click_stream_join(
     return purchases.join(clicks, cond, "inner").select(
         F.col("p_user").alias("user_id"), "purchase_id", "click_id", "p_ts", "c_ts"
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """`running_user_totals` re-expressed on ``transformWithStateInPandas``
+    (Spark 4 arbitrary-state API): typed ValueState instead of a packed
+    tuple, explicit processor lifecycle, and room for timers/TTL that
+    ``applyInPandasWithState`` cannot express.  Requires the RocksDB
+    state store provider::
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider")
+
+    Both implementations are kept: the GroupState one runs on any state
+    store (and is the one provable in this container — the TWS driver
+    worker additionally needs the ``protobuf`` package); this one is
+    the forward path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n LONG, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

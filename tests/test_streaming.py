@@ -156,3 +156,52 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
         ).collect()
     }
     assert got == exp and len(exp) > 0
+
+
+def test_running_user_totals_tws_matches_batch(spark, events_dir, sf_dir):
+    """transformWithStateInPandas path == batch groupBy (and therefore ==
+    the applyInPandasWithState path, tested above).
+
+    Guarded like tests/test_live_mysql.py: the TWS driver worker needs
+    the protobuf package, which this container lacks — the operator is
+    the documented forward path, the GroupState twin above is the one
+    provable here."""
+    pytest.importorskip("google.protobuf")
+    from paradump_spark.streaming.events import running_user_totals_tws
+
+    saved = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, events_dir)
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = _run_to_memory(running_user_totals_tws(stream), name, "update")
+        rows = spark.sql(
+            f"SELECT * FROM {name} QUALIFY row_number() OVER "
+            "(PARTITION BY user_id ORDER BY n_events DESC) = 1"
+        ).collect()
+        q.stop()
+        got = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+            for r in rows
+        }
+        ev = load_events(spark, f"{sf_dir}/events.parquet")
+        exp = {
+            r["user_id"]: (r["n"], round(r["t"], 6))
+            for r in ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+            .collect()
+        }
+        assert got == exp
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", saved
+            )
