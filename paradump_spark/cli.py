@@ -254,6 +254,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "train and save here (reproducible re-runs)")
     tk.add_argument("--emit-tokens", action="store_true",
                     help="also include the bpe_tokens array column")
+
+    dr = sub.add_parser(
+        "drift",
+        help="PSI distribution drift of a new snapshot vs a blessed "
+             "baseline catalog",
+    )
+    dr.add_argument("--directory", required=True, help="baseline catalog directory")
+    dr.add_argument("--new-directory", required=True, help="new snapshot catalog")
+    dr.add_argument("--table", default="documents")
+    dr.add_argument("--column", action="append", required=True,
+                    help="numeric column to monitor, as col:lo:hi "
+                         "(repeatable; bounds from the blessed profile)")
+    dr.add_argument("--bins", type=int, default=10)
+    dr.add_argument("--threshold", type=float, default=0.25,
+                    help="exit 1 when any column's PSI exceeds this")
     return p
 
 
@@ -319,6 +334,19 @@ def validate(args: argparse.Namespace) -> None:
     if args.command == "tokenize":
         if args.num_merges < 1 or args.train_cap < 1:
             raise SystemExit("--num-merges/--train-cap must be positive")
+    if args.command == "drift":
+        if args.bins < 2:
+            raise SystemExit("--bins must be >= 2")
+        for spec in args.column:
+            parts = spec.split(":")
+            if len(parts) != 3:
+                raise SystemExit(f"--column must be col:lo:hi, got {spec!r}")
+            try:
+                lo, hi = float(parts[1]), float(parts[2])
+            except ValueError:
+                raise SystemExit(f"non-numeric bounds in {spec!r}")
+            if hi <= lo:
+                raise SystemExit(f"hi must exceed lo in {spec!r}")
     if args.command == "score-lm":
         if not (0.0 < args.lam < 1.0):
             raise SystemExit("--lam must be in (0, 1)")
@@ -579,6 +607,32 @@ def main(argv: list[str] | None = None) -> int:
             f"tokenize {args.table}: {len(merges)} merges, "
             f"{back.count()} docs, {total} bpe tokens -> {args.output}"
         )
+        return 0
+    if args.command == "drift":
+        from paradump_spark.operators.drift import psi_report
+
+        from pyspark.sql import functions as F
+
+        base = ParquetCatalog(spark, args.directory).load(args.table)
+        new = ParquetCatalog(spark, args.new_directory).load(args.table)
+        worst = 0.0
+        for spec in args.column:
+            col, lo, hi = spec.split(":")
+            psi = (
+                psi_report(base, new, col, float(lo), float(hi), args.bins)
+                .agg(F.round(F.sum("psi_term"), 6).alias("psi"))
+                .collect()[0]["psi"]
+            )
+            band = (
+                "stable" if psi < 0.1
+                else "drifting" if psi <= 0.25
+                else "BROKEN"
+            )
+            print(f"drift {args.table}.{col}: psi={psi:.6f} ({band})")
+            worst = max(worst, psi)
+        if worst > args.threshold:
+            print(f"drift: worst psi {worst:.6f} exceeds {args.threshold}")
+            return 1
         return 0
     if args.command == "pipeline":
         import os

@@ -196,3 +196,61 @@ def verify_shards(spark, out_dir: str) -> dict[str, bool]:
         s: recomputed.get(s) == (m["n_rows"], m["hash_sum"])
         for s, m in manifest["shards"].items()
     }
+
+
+def append_to_shards(
+    df_new: DataFrame,
+    out_dir: str,
+) -> str:
+    """Append new rows to an existing shard set — the late-arriving-shard
+    path: membership is content-hashed, so old documents never move and
+    only shard CONTENT grows.
+
+    Reads the manifest for the frozen (n_shards, seed, id_col, format),
+    writes the new rows into the same ``shard=<i>`` layout in append
+    mode, and updates the manifest EXACTLY without touching old data:
+    both ``n_rows`` and the order-insensitive ``hash_sum`` are additive,
+    so the delta aggregate over ``df_new`` alone suffices.
+    ``verify_shards`` afterwards proves the merged set faithful.
+
+    Caller contract (same as any append-only corpus): new ids must be
+    new — this function does not scan history to check (at scale that
+    is the dedup/signature-store layer's job, `operators.dedup`).
+    """
+    with open(os.path.join(out_dir, "_shards.json")) as fh:
+        manifest = json.load(fh)
+    n_shards = int(manifest["n_shards"])
+    seed = manifest["seed"]
+    id_col = manifest["id_col"]
+    fmt = manifest["format"]
+
+    keyed = df_new.withColumn(
+        "shard", shard_id(F.col(id_col), n_shards, seed)
+    ).repartition(n_shards, "shard")
+    if fmt == "parquet":
+        keyed.write.mode("append").partitionBy("shard").parquet(out_dir)
+    else:
+        cols = [c for c in keyed.columns if c != "shard"]
+        (
+            keyed.select(
+                F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+                "shard",
+            )
+            .write.mode("append")
+            .partitionBy("shard")
+            .text(out_dir)
+        )
+
+    delta = _shard_checksums(df_new, id_col, n_shards, seed)
+    from decimal import Decimal
+
+    for s, d in delta.items():
+        old = manifest["shards"].get(s, {"n_rows": 0, "hash_sum": "0"})
+        manifest["shards"][s] = {
+            "n_rows": old["n_rows"] + d["n_rows"],
+            "hash_sum": str(Decimal(old["hash_sum"]) + Decimal(d["hash_sum"])),
+        }
+    path = os.path.join(out_dir, "_shards.json")
+    with open(path, "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return path

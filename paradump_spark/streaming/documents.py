@@ -133,3 +133,70 @@ def pii_monitor_stream(
         *[col.alias(f"n_{name}") for name, col in counts.items()],
         total.alias("n_pii"),
     )
+
+
+def drift_monitor_stream(
+    stream: DataFrame,
+    baseline_hist: dict[int, int],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    on_report,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Per-micro-batch PSI of an incoming stream against a blessed
+    baseline histogram — the continuous version of
+    `operators.drift.psi_report` (ingestion monitoring: alert the moment
+    an upstream shard's value distribution breaks).
+
+    ``baseline_hist``: {bin → count} from the blessed snapshot (compute
+    once with `operators.drift.histogram`; it is n_bins numbers, part of
+    the pipeline's config, NOT recomputed per batch).  ``on_report`` is
+    called per micro-batch with ``(batch_id, psi, report_rows)`` where
+    ``report_rows`` is the per-bin decomposition.
+
+    State shape: NONE — each batch is judged independently against the
+    fixed baseline, so there is no watermark and no state store; the
+    per-batch cost is one partial-agg histogram over the batch.
+    """
+    from paradump_spark.operators import drift as DR
+
+    def _judge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        import math
+
+        hb = {int(b): int(n) for b, n in baseline_hist.items()}
+        hn = {
+            r["bin"]: r["n_rows"]
+            for r in DR.histogram(batch_df, value_col, lo, hi, n_bins).collect()
+        }
+        t_base = float(sum(hb.values()))
+        t_new = float(sum(hn.values()))
+        rows = []
+        psi = 0.0
+        for b in range(n_bins):
+            pb = (hb.get(b, 0) + DR.SMOOTH) / (t_base + DR.SMOOTH * n_bins)
+            pn = (hn.get(b, 0) + DR.SMOOTH) / (t_new + DR.SMOOTH * n_bins)
+            term = round((pn - pb) * math.log(pn / pb), 6)
+            psi += term
+            rows.append(
+                {
+                    "bin": b,
+                    "n_base": hb.get(b, 0),
+                    "n_new": hn.get(b, 0),
+                    "psi_term": term,
+                }
+            )
+        on_report(batch_id, round(psi, 6), rows)
+
+    writer = (
+        stream.writeStream.foreachBatch(_judge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -120,3 +120,33 @@ def test_perplexity_buckets(spark, sf_dir):
     max_b1 = max(r["bits_per_token"] for r in rows if r["ppl_bucket"] == 1)
     min_b3 = min(r["bits_per_token"] for r in rows if r["ppl_bucket"] == 3)
     assert max_b1 <= min_b3
+
+
+def test_drift_cli(spark, sf_dir, tmp_path, capsys):
+    from paradump_spark.cli import main
+
+    # same catalog on both sides: stable, exit 0
+    rc = main([
+        "drift", "--directory", sf_dir, "--new-directory", sf_dir,
+        "--table", "orders", "--column", "o_totalprice:0:600000",
+    ])
+    assert rc == 0
+    assert "stable" in capsys.readouterr().out
+    # perturbed snapshot: shift prices far beyond the band -> exit 1
+    shifted_dir = str(tmp_path / "snap")
+    import os
+    os.makedirs(shifted_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.withColumn(
+        "o_totalprice", F.col("o_totalprice") + 500000.0
+    ).coalesce(1).write.parquet(f"{shifted_dir}/orders.parquet")
+    rc = main([
+        "drift", "--directory", sf_dir, "--new-directory", shifted_dir,
+        "--table", "orders", "--column", "o_totalprice:0:600000",
+    ])
+    assert rc == 1
+    assert "BROKEN" in capsys.readouterr().out
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["drift", "--directory", sf_dir, "--new-directory", sf_dir,
+              "--table", "orders", "--column", "bad-spec"])

@@ -103,3 +103,33 @@ def test_jsonl_shards_round_trip(spark, docs, tmp_path):
 def test_bad_format_rejected(docs, tmp_path):
     with pytest.raises(ValueError):
         write_shards(docs, str(tmp_path / "x"), "doc_id", 2, fmt="orc")
+
+
+def test_append_preserves_membership_and_checksums(spark, docs, tmp_path):
+    from paradump_spark.sinks.shards import append_to_shards
+
+    out = str(tmp_path / "grow")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    write_shards(old, out, "doc_id", 4)
+    append_to_shards(new, out)
+    # merged set verifies against the additively-updated manifest
+    assert all(verify_shards(spark, out).values())
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # every row is in the shard its id hashes to (old AND appended)
+    mismatched = back.withColumn(
+        "want", shard_id(F.col("doc_id"), 4)
+    ).where(F.col("shard") != F.col("want"))
+    assert mismatched.count() == 0
+
+
+def test_append_then_tamper_detected(spark, docs, tmp_path):
+    from paradump_spark.sinks.shards import append_to_shards
+
+    out = str(tmp_path / "grow2")
+    write_shards(docs.limit(60), out, "doc_id", 3)
+    append_to_shards(docs.filter(F.col("doc_id") >= 90).limit(30), out)
+    victim = glob.glob(os.path.join(out, "shard=0", "*.parquet"))[0]
+    os.remove(victim)
+    assert verify_shards(spark, out)["0"] is False
