@@ -1412,6 +1412,15 @@ def _q_url_features_docs(spark, sf_dir):
     )
 
 
+def _q_source_quality_report(spark, sf_dir):
+    """Per-source quality dashboard
+    (operators/text_analysis.py:source_quality_report): volumes + mean
+    stopword/alpha ratios per ingest source, exact-decimal means."""
+    return TA.source_quality_report(
+        _t(spark, sf_dir, "documents"), "source", "text"
+    )
+
+
 def _q_lm_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity buckets
     (operators/lm.py:perplexity_buckets): equal-count ntile(3) over the
@@ -1622,6 +1631,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features_docs": _q_url_features_docs,
         "lm_buckets": _q_lm_buckets,
         "price_drift_psi": _q_price_drift_psi,
+        "source_quality_report": _q_source_quality_report,
         "group_sample_lang": _q_group_sample_lang,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2118,6 +2128,25 @@ SELECT doc_id,
                 FILTER (WHERE NOT is_dup), '') AS text,
        (count(*) FILTER (WHERE is_dup))::BIGINT AS n_removed_lines
 FROM m GROUP BY doc_id""",
+        "source_quality_report": f"""
+WITH t AS (SELECT source, text, {_TOKS} AS toks FROM documents),
+p AS (SELECT source,
+             len(toks)::BIGINT AS n_tok,
+             length(text)::BIGINT AS n_ch,
+             CAST(round(CASE WHEN len(toks) > 0
+                   THEN len(list_filter(toks, x -> list_contains({_EN_SW}, x)))::DOUBLE / len(toks)
+                   ELSE 0.0 END, 6) AS DECIMAL(20,6)) AS sw,
+             CAST(round(CASE WHEN length(text) > 0
+                   THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+                   ELSE 0.0 END, 6) AS DECIMAL(20,6)) AS al
+      FROM t)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens,
+       sum(n_ch)::BIGINT AS n_chars,
+       round(CAST(sum(sw) AS DOUBLE) / count(*), 6) AS mean_stopword_ratio,
+       round(CAST(sum(al) AS DOUBLE) / count(*), 6) AS mean_alpha_ratio
+FROM p GROUP BY source""",
         # independent re-derivation: the oracle computes every feature
         # arithmetically from the base columns, never parsing the URL —
         # so a parse_url bug on the Spark side cannot self-confirm

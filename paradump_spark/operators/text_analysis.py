@@ -220,3 +220,43 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         TX.fingerprint(text_col).alias("fingerprint"),
         F.md5(F.col(text_col)).alias("content_md5"),
     )
+
+
+def source_quality_report(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source quality dashboard: document/token/char volume and mean
+    stopword/alpha ratios by ``group_col`` — the monitoring view a
+    curation pipeline watches per ingest source.
+
+    One partially-aggregated pass.  Means accumulate the 6-dp-rounded
+    per-doc ratios as exact DECIMAL sums before the divide, so the
+    result is order-independent and engine-reproducible (same trick as
+    `operators.lm`).
+    """
+    t = TX.tokens(text_col)
+    per_doc = df.select(
+        F.col(group_col).alias("source"),
+        F.size(t).cast("long").alias("__n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("__n_chars"),
+        F.round(TX.stopword_ratio(text_col), 6)
+        .cast("decimal(20,6)")
+        .alias("__sw"),
+        F.round(TX.char_class_ratio(text_col, "[A-Za-z]"), 6)
+        .cast("decimal(20,6)")
+        .alias("__al"),
+    )
+    n = F.count(F.lit(1))
+    return per_doc.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("__n_tokens").alias("n_tokens"),
+        F.sum("__n_chars").alias("n_chars"),
+        F.round(F.sum("__sw").cast("double") / n, 6).alias(
+            "mean_stopword_ratio"
+        ),
+        F.round(F.sum("__al").cast("double") / n, 6).alias(
+            "mean_alpha_ratio"
+        ),
+    )
