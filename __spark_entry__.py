@@ -1421,6 +1421,18 @@ def _q_source_quality_report(spark, sf_dir):
     )
 
 
+def _q_stable_id_audit(spark, sf_dir):
+    """Content-hash stable-id collision audit (operators/ids.py): one
+    row proving the 60-bit md5 id is injective over the (doc_id,
+    source) keys — the referential-integrity gate in front of shard
+    export / cross-system joins."""
+    from paradump_spark.operators.ids import collision_report
+
+    return collision_report(
+        _t(spark, sf_dir, "documents"), ["doc_id", "source"]
+    )
+
+
 def _q_lm_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity buckets
     (operators/lm.py:perplexity_buckets): equal-count ntile(3) over the
@@ -1632,6 +1644,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_buckets": _q_lm_buckets,
         "price_drift_psi": _q_price_drift_psi,
         "source_quality_report": _q_source_quality_report,
+        "stable_id_audit": _q_stable_id_audit,
         "group_sample_lang": _q_group_sample_lang,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2128,6 +2141,15 @@ SELECT doc_id,
                 FILTER (WHERE NOT is_dup), '') AS text,
        (count(*) FILTER (WHERE is_dup))::BIGINT AS n_removed_lines
 FROM m GROUP BY doc_id""",
+        "stable_id_audit": """
+WITH k AS (SELECT DISTINCT doc_id, source,
+  ('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0)) || chr(31)
+                      || coalesce(source, chr(0))), 1, 15))::BIGINT AS id
+  FROM documents)
+SELECT count(*)::BIGINT AS n_keys,
+       count(DISTINCT id)::BIGINT AS n_ids,
+       (count(*) - count(DISTINCT id))::BIGINT AS n_collisions
+FROM k""",
         "source_quality_report": f"""
 WITH t AS (SELECT source, text, {_TOKS} AS toks FROM documents),
 p AS (SELECT source,

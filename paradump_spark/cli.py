@@ -234,6 +234,12 @@ def build_parser() -> argparse.ArgumentParser:
     lm.add_argument("--max-bits", type=float, default=None,
                     help="also write <output>_kept: docs at or below this "
                          "bits/token threshold")
+    lm.add_argument("--save-model", default=None,
+                    help="persist the trained model (model/backoff/floor "
+                         "parquet) under this directory")
+    lm.add_argument("--model", default=None,
+                    help="score with a previously saved model instead of "
+                         "training")
 
     tk = sub.add_parser(
         "tokenize",
@@ -533,15 +539,39 @@ def main(argv: list[str] | None = None) -> int:
 
         from paradump_spark.operators.lm import lm_score, train_bigram_lm
 
+        import os as _os
+
         corpus = ParquetCatalog(spark, args.directory).load(args.table)
-        train_src = (
-            ParquetCatalog(spark, args.train_directory).load(args.train_table)
-            if args.train_directory
-            else corpus
-        )
-        model, backoff, floor = train_bigram_lm(
-            train_src, args.text_col, lam=args.lam
-        )
+        if args.model:
+            model = spark.read.parquet(_os.path.join(args.model, "model"))
+            backoff = spark.read.parquet(_os.path.join(args.model, "backoff"))
+            floor = spark.read.parquet(_os.path.join(args.model, "floor"))
+        else:
+            train_src = (
+                ParquetCatalog(spark, args.train_directory).load(
+                    args.train_table
+                )
+                if args.train_directory
+                else corpus
+            )
+            model, backoff, floor = train_bigram_lm(
+                train_src, args.text_col, lam=args.lam
+            )
+        if args.save_model:
+            model.write.mode("overwrite").parquet(
+                _os.path.join(args.save_model, "model")
+            )
+            backoff.write.mode("overwrite").parquet(
+                _os.path.join(args.save_model, "backoff")
+            )
+            floor.write.mode("overwrite").parquet(
+                _os.path.join(args.save_model, "floor")
+            )
+            model = spark.read.parquet(_os.path.join(args.save_model, "model"))
+            backoff = spark.read.parquet(
+                _os.path.join(args.save_model, "backoff")
+            )
+            floor = spark.read.parquet(_os.path.join(args.save_model, "floor"))
         scores = lm_score(
             corpus, model, backoff, floor, args.id_col, args.text_col
         )

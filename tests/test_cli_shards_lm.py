@@ -80,3 +80,25 @@ def test_dedup_lines_method(spark, sf_dir, tmp_path, capsys):
     # rewrites text, never drops documents)
     n_src = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert back.count() == n_src
+
+
+def test_score_lm_model_persistence(spark, sf_dir, tmp_path):
+    """Train+save, then score-only with the saved model: identical
+    scores (the CCNet serving shape — model frozen, corpora rotate)."""
+    out1 = str(tmp_path / "s1")
+    model_dir = str(tmp_path / "model")
+    assert main([
+        "score-lm", "--directory", sf_dir, "--output", out1,
+        "--save-model", model_dir,
+    ]) == 0
+    assert os.path.isdir(os.path.join(model_dir, "model"))
+    out2 = str(tmp_path / "s2")
+    assert main([
+        "score-lm", "--directory", sf_dir, "--output", out2,
+        "--model", model_dir,
+    ]) == 0
+    a = {(r["doc_id"], r["bits_per_token"])
+         for r in spark.read.parquet(out1).collect()}
+    b = {(r["doc_id"], r["bits_per_token"])
+         for r in spark.read.parquet(out2).collect()}
+    assert a == b
