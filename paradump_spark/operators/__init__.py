@@ -1,9 +1,32 @@
 """Operator layer.
 
 ``diff``          — parasync's full-outer diff + stats (J1/A2).
+``checksum``      — chunk checksums, two-phase incremental diff.
+``profile``       — one-pass column profiles + mergeable HLL sketches.
 ``dedup``         — exact / MinHash-LSH / SimHash / n-gram-Jaccard /
-                    embedding near-dup deduplication.
+                    embedding near-dup / connected-components /
+                    exact-substring-span / line-boilerplate dedup.
+``semdedup``      — SemDeDup semantic dedup (k-means blocking).
+``fuzzyjoin``     — blocked fuzzy join / entity resolution.
 ``similarity``    — brute-force and IVF top-k embedding search.
-``text_analysis`` — quality scoring, language-ID, fingerprints.
+``pq``            — product quantization (flat / IVFPQ, residual codes).
+``decontam``      — benchmark decontamination (broadcast or Bloom).
+``text_analysis`` — quality scoring, language-ID, fingerprints, TF-IDF,
+                    per-source quality dashboard.
+``quality_rules`` — Gopher rule set as pushdown expressions.
+``pii``           — regex PII detection / redaction.
+``classifier``    — hashed-feature linear quality classifier.
+``lm``            — bigram-LM perplexity scoring + CCNet buckets.
+``bpe``           — BPE vocabulary learning + subword tokenization.
+``urls``          — URL features + domain blocklist.
+``drift``         — PSI distribution-drift detection.
+``ids``           — stable content-hash IDs + collision audit.
+``sampling``      — deterministic splits, mixtures, group top-k.
+``packing``       — FFD document packing for training sequences.
+``asof``          — as-of (point-in-time) join.
+``rangejoin``     — bucketized range join.
+``sessionize``    — gap sessionization.
+``funnel``        — funnels, cohort retention, event transitions.
+``props``         — JSON property extraction / field profiling.
 ``multimodal``    — binary-payload plumbing with Arrow-batched extract.
 """
