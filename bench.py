@@ -393,6 +393,19 @@ def main() -> None:
         r = SIM.ann_recall(pq_out["df"], exact).collect()[0]
         recalls["recall_at_10_pq_rescore100"] = round(r["mean_recall"], 4)
 
+        # OPQ ledger (untimed): same code budget, learned rotation —
+        # completes the faiss trifecta next to the flat/residual entries
+        opq_books = PQ.train_pq(
+            emb, "vec_id", "embedding", m=8, ksub=256, opq_iters=5
+        )
+        opq_codes = PQ.pq_encode(emb, "embedding", opq_books)
+        opq_got = PQ.pq_adc_topk(
+            opq_codes, q, opq_books, "vec_id", "embedding",
+            k=10, rescore=100,
+        )
+        r = SIM.ann_recall(opq_got, exact).collect()[0]
+        recalls["recall_at_10_opq_rescore100"] = round(r["mean_recall"], 4)
+
         # --- composed IVF+PQ, flat vs residual codes (faiss IVFPQ
         # refinement): recall at EQUAL nprobe/rescore budget, ledger-only
         # (untimed — the headline total stays comparable across rounds).

@@ -43,9 +43,17 @@ from paradump_spark.plans.topk import partial_topk
 class PQCodebooks:
     """``centroids[s][j]`` = codeword ``j`` of subspace ``s`` (numpy
     (m, ksub, dsub) float64).  Trained on unit-normalized vectors so
-    dot(query, reconstruction) approximates cosine."""
+    dot(query, reconstruction) approximates cosine.
+
+    ``rotation``: optional orthogonal (d, d) OPQ matrix (Ge et al.
+    CVPR'13).  Codes then quantize ``x·R`` instead of ``x``; because R
+    is orthogonal, ``(q·R)·(x·R) = q·x``, so ADC stays a plain LUT sum —
+    queries are rotated once driver-side, vectors once inside the
+    Arrow encode batch, and the exact re-score on raw vectors is
+    untouched."""
 
     centroids: "object"  # np.ndarray (m, ksub, dsub)
+    rotation: "object" = None  # np.ndarray (d, d) orthogonal, or None
 
     @property
     def m(self) -> int:
@@ -91,6 +99,43 @@ def _kmeans_subspaces(X, m: int, ksub: int, iters: int) -> "object":
     return books
 
 
+def _reconstruct(Xr, books):
+    """Encode-then-decode ``Xr`` (already in the rotated space) against
+    the codebook tensor — the quantized approximation OPQ's Procrustes
+    step aligns the rotation to."""
+    import numpy as np
+
+    m, k, dsub = books.shape
+    out = np.empty_like(Xr)
+    for s in range(m):
+        S = Xr[:, s * dsub : (s + 1) * dsub]
+        d2 = -2.0 * (S @ books[s].T) + (books[s] * books[s]).sum(1)[None, :]
+        out[:, s * dsub : (s + 1) * dsub] = books[s][np.argmin(d2, axis=1)]
+    return out
+
+
+def _learn_opq(X, m, ksub, iters, opq_iters):
+    """OPQ-NP (Ge et al. CVPR'13, non-parametric): alternate k-means
+    codebooks in the rotated space with the orthogonal-Procrustes update
+    ``R = U Vᵀ`` of ``SVD(Xᵀ X̂)``.  Deterministic (no randomness
+    anywhere); returns ``(books, R)`` with codebooks trained on ``X R``.
+    """
+    import numpy as np
+
+    d = X.shape[1]
+    R = np.eye(d)
+    books = _kmeans_subspaces(X, m, ksub, iters)
+    for _ in range(opq_iters):
+        Xr = X @ R
+        books = _kmeans_subspaces(Xr, m, ksub, iters)
+        Xhat = _reconstruct(Xr, books)
+        U, _, Vt = np.linalg.svd(X.T @ Xhat)
+        R = U @ Vt
+    if opq_iters:
+        books = _kmeans_subspaces(X @ R, m, ksub, iters)
+    return books, (R if opq_iters else None)
+
+
 def _train_sample(corpus, id_col, vec_col, train_cap, seed):
     """Bounded hash-random sample of unit-normalized vectors
     (deterministic: smallest md5(id), like `similarity.ivf_centroids` /
@@ -116,13 +161,18 @@ def train_pq(
     train_cap: int = 4096,
     iters: int = 8,
     seed: int = 42,
+    opq_iters: int = 0,
 ) -> PQCodebooks:
-    """Train codebooks on raw unit-normalized vectors (flat PQ)."""
-    return PQCodebooks(
-        _kmeans_subspaces(
-            _train_sample(corpus, id_col, vec_col, train_cap, seed), m, ksub, iters
-        )
+    """Train codebooks on raw unit-normalized vectors (flat PQ).
+
+    ``opq_iters > 0`` additionally learns the OPQ rotation (see
+    :class:`PQCodebooks`); 5–10 alternations are the published
+    sweet spot."""
+    books, R = _learn_opq(
+        _train_sample(corpus, id_col, vec_col, train_cap, seed),
+        m, ksub, iters, opq_iters,
     )
+    return PQCodebooks(books, R)
 
 
 def train_pq_residual(
@@ -135,6 +185,7 @@ def train_pq_residual(
     train_cap: int = 4096,
     iters: int = 8,
     seed: int = 42,
+    opq_iters: int = 0,
 ) -> PQCodebooks:
     """Train codebooks on IVF RESIDUALS — the faiss IVFPQ refinement.
 
@@ -152,8 +203,9 @@ def train_pq_residual(
     C = np.array([r["centroid"] for r in cents], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
     assign = np.argmax(X @ Cn.T, axis=1)  # argmax ties -> lowest cell id
-    R = X - Cn[assign]
-    return PQCodebooks(_kmeans_subspaces(R, m, ksub, iters))
+    resid = X - Cn[assign]
+    books, rot = _learn_opq(resid, m, ksub, iters, opq_iters)
+    return PQCodebooks(books, rot)
 
 
 def pq_encode(
@@ -172,6 +224,7 @@ def pq_encode(
     from pyspark.sql.functions import pandas_udf
 
     C = books.centroids  # closure-captured; broadcast with the task
+    R = books.rotation
     m, k, dsub = C.shape
     cnorm2 = [(C[s] * C[s]).sum(1) for s in range(m)]
 
@@ -185,6 +238,8 @@ def pq_encode(
         if normalize:
             norms = np.linalg.norm(X, axis=1, keepdims=True)
             X = X / np.where(norms == 0.0, 1.0, norms)
+        if R is not None:  # OPQ: quantize in the rotated space
+            X = X @ R
         codes = np.empty((len(X), m), dtype=np.int32)
         for s in range(m):
             S = X[:, s * dsub : (s + 1) * dsub]
@@ -208,6 +263,9 @@ def _query_luts(queries, qid_col, vec_col, books: PQCodebooks):
         q = np.array(r[vec_col], dtype=np.float64)
         nq = np.linalg.norm(q)
         q = q / (nq if nq > 0 else 1.0)
+        if books.rotation is not None:
+            # (q·R)·(x·R) = q·x for orthogonal R — rotate the query once
+            q = q @ books.rotation
         lut = np.concatenate(
             [C[s] @ q[s * dsub : (s + 1) * dsub] for s in range(m)]
         )
@@ -317,6 +375,12 @@ def save_codebooks(spark, books: PQCodebooks, path: str) -> None:
         for s in range(books.m)
         for j in range(books.ksub)
     ]
+    if books.rotation is not None:
+        # OPQ rotation rides along as subspace -1 rows (code = row index)
+        rows += [
+            (-1, int(i), [float(x) for x in books.rotation[i]])
+            for i in range(books.rotation.shape[0])
+        ]
     spark.createDataFrame(
         rows, "subspace int, code int, centroid array<double>"
     ).write.mode("overwrite").parquet(path)
@@ -326,13 +390,21 @@ def load_codebooks(spark, path: str) -> PQCodebooks:
     import numpy as np
 
     rows = spark.read.parquet(path).collect()
+    rot_rows = [r for r in rows if r["subspace"] == -1]
+    rows = [r for r in rows if r["subspace"] >= 0]
     m = max(r["subspace"] for r in rows) + 1
     k = max(r["code"] for r in rows) + 1
     dsub = len(rows[0]["centroid"])
     C = np.empty((m, k, dsub))
     for r in rows:
         C[r["subspace"], r["code"]] = r["centroid"]
-    return PQCodebooks(C)
+    R = None
+    if rot_rows:
+        d = len(rot_rows)
+        R = np.empty((d, d))
+        for r in rot_rows:
+            R[r["code"]] = r["centroid"]
+    return PQCodebooks(C, R)
 
 
 def ivf_pq_build_index(
@@ -347,6 +419,7 @@ def ivf_pq_build_index(
     train_cap: int = 4096,
     seed: int = 42,
     residual: bool = False,
+    opq_iters: int = 0,
 ) -> PQCodebooks:
     """Materialize the composed index: corpus rows + their PQ codes,
     written ``partitionBy(cell_id)`` (cell layout and training both reuse
@@ -371,7 +444,7 @@ def ivf_pq_build_index(
     if residual:
         books = train_pq_residual(
             corpus, cents, id_col, vec_col, m=m, ksub=ksub,
-            train_cap=train_cap, seed=seed,
+            train_cap=train_cap, seed=seed, opq_iters=opq_iters,
         )
         cn = F.broadcast(
             cents.select(
@@ -390,7 +463,7 @@ def ivf_pq_build_index(
     else:
         books = train_pq(
             corpus, id_col, vec_col, m=m, ksub=ksub,
-            train_cap=train_cap, seed=seed,
+            train_cap=train_cap, seed=seed, opq_iters=opq_iters,
         )
         encoded = pq_encode(assigned, vec_col, books)
     encoded.repartition(F.col("cell_id")).write.mode("overwrite").partitionBy(

@@ -187,3 +187,62 @@ def test_residual_ivfpq_exact_at_full_probe_and_recall_gain(spark, sf_dir, tmp_p
     # plumbing, this bound proves the ADC path isn't degraded.
     assert rec_res >= rec_flat - 0.08, (rec_res, rec_flat)
     assert rec_res >= 0.45, rec_res
+
+
+def test_opq_rotation_orthogonal_and_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = PQ.train_pq(emb, "vec_id", "embedding", m=8, ksub=64, iters=3,
+                     opq_iters=4)
+    b2 = PQ.train_pq(emb, "vec_id", "embedding", m=8, ksub=64, iters=3,
+                     opq_iters=4)
+    R = b1.rotation
+    assert R is not None and R.shape == (64, 64)
+    assert np.allclose(R @ R.T, np.eye(64), atol=1e-9)
+    assert np.array_equal(b1.rotation, b2.rotation)
+    assert np.array_equal(b1.centroids, b2.centroids)
+    # opq_iters=0 keeps the flat contract (no rotation)
+    assert PQ.train_pq(emb, "vec_id", "embedding", m=8, ksub=64,
+                       iters=3).rotation is None
+
+
+def test_opq_quantization_error_not_worse(spark, sf_dir):
+    """OPQ minimizes sample reconstruction error — it must not be worse
+    than plain PQ on the matrix it optimized (the training objective)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    X = PQ._train_sample(emb, "vec_id", "embedding", 2048, 42)
+    books_pq, _ = PQ._learn_opq(X, 8, 64, 4, 0)
+    books_opq, R = PQ._learn_opq(X, 8, 64, 4, 4)
+    err_pq = np.linalg.norm(X - PQ._reconstruct(X, books_pq))
+    err_opq = np.linalg.norm(X @ R - PQ._reconstruct(X @ R, books_opq))
+    assert err_opq <= err_pq * 1.001, (err_opq, err_pq)
+
+
+def test_opq_adc_recall_and_roundtrip(spark, sf_dir, tmp_path):
+    """End-to-end OPQ: encode + ADC search stay faithful (recall within
+    noise of plain PQ on these weakly-structured synthetic embeddings),
+    and the rotation survives the codebook save/load round-trip."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, q, "vec_id", "embedding", k=10)
+
+    books = PQ.train_pq(emb, "vec_id", "embedding", m=8, ksub=256,
+                        opq_iters=4)
+    codes = PQ.pq_encode(emb, "embedding", books)
+    got = PQ.pq_adc_topk(
+        codes, q, books, "vec_id", "embedding", k=10, rescore=50
+    )
+    rec = ann_recall(got, exact).collect()[0]["mean_recall"]
+    assert rec >= 0.85, rec
+
+    path = str(tmp_path / "books")
+    PQ.save_codebooks(spark, books, path)
+    loaded = PQ.load_codebooks(spark, path)
+    assert np.allclose(loaded.rotation, books.rotation)
+    assert np.allclose(loaded.centroids, books.centroids)
+    # codes from the loaded books are identical
+    a = {r["vec_id"]: r["pq_code"] for r in codes.collect()}
+    b = {
+        r["vec_id"]: r["pq_code"]
+        for r in PQ.pq_encode(emb, "embedding", loaded).collect()
+    }
+    assert a == b
