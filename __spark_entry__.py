@@ -1421,6 +1421,24 @@ def _q_source_quality_report(spark, sf_dir):
     )
 
 
+def _q_text_normalize(spark, sf_dir):
+    """Text normalization (operators/textnorm.py): control chars,
+    zero-width code points, whitespace runs and ragged edges removed
+    from deterministically-dirtied documents; the oracle replays the
+    identical regex chain in RE2 (\\x{...} spellings)."""
+    from paradump_spark.operators.textnorm import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("  "),
+            F.col("text"),
+            F.lit("\t\tx\x07 mid ​ end  \n"),
+        ).alias("text"),
+    )
+    return normalize_text(docs, "text")
+
+
 def _q_stable_id_audit(spark, sf_dir):
     """Content-hash stable-id collision audit (operators/ids.py): one
     row proving the 60-bit md5 id is injective over the (doc_id,
@@ -1645,6 +1663,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_drift_psi": _q_price_drift_psi,
         "source_quality_report": _q_source_quality_report,
         "stable_id_audit": _q_stable_id_audit,
+        "text_normalize": _q_text_normalize,
         "group_sample_lang": _q_group_sample_lang,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2141,6 +2160,26 @@ SELECT doc_id,
                 FILTER (WHERE NOT is_dup), '') AS text,
        (count(*) FILTER (WHERE is_dup))::BIGINT AS n_removed_lines
 FROM m GROUP BY doc_id""",
+        "text_normalize": """
+WITH d AS (SELECT doc_id,
+                  '  ' || text || chr(9) || chr(9) || 'x' || chr(7)
+                       || ' mid ' || chr(8203) || ' end  ' || chr(10) AS text
+           FROM documents),
+n AS (SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                     '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+                   '[ \\t]+', ' ', 'g'),
+                 ' ?\\n ?', chr(10), 'g'),
+               '^[ \\n]+|[ \\n]+$', '', 'g') AS clean
+      FROM d)
+SELECT doc_id, clean AS text,
+       (length(text) - length(clean))::BIGINT AS n_removed_chars
+FROM n""",
         "stable_id_audit": """
 WITH k AS (SELECT DISTINCT doc_id, source,
   ('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0)) || chr(31)

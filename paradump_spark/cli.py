@@ -102,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--min-stopword-hits", type=int, default=2,
                     help="distinct Gopher stopwords required (lower for "
                          "non-English or synthetic corpora)")
+    sc.add_argument("--normalize", action="store_true",
+                    help="normalize text FIRST (strip control/zero-width "
+                         "chars, collapse whitespace) so filters and "
+                         "redaction key on the canonical form")
 
     dd = sub.add_parser(
         "dedup", help="corpus deduplication (exact, MinHash-LSH clusters, "
@@ -817,6 +821,10 @@ def main(argv: list[str] | None = None) -> int:
 
         corpus = ParquetCatalog(spark, args.directory).load(args.table)
         out = corpus
+        if args.normalize:
+            from paradump_spark.operators.textnorm import normalize_text
+
+            out = normalize_text(out, args.text_col).drop("n_removed_chars")
         if not args.no_filter:
             th = GopherThresholds(
                 min_words=args.min_words,
