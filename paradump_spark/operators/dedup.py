@@ -904,3 +904,68 @@ def remove_boilerplate_lines(
         .join(rebuilt, id_col)
         .withColumnRenamed("__clean", out)
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: near-duplicate pairs that STRADDLE a train/val/
+# test boundary are silent eval contamination — the exact failure the
+# deterministic splits (`operators.sampling.split`) cannot prevent when
+# two near-identical documents carry different ids.  Audit after
+# splitting, before release.
+
+
+def split_leakage_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Cross-split near-duplicate evidence: (id_a, id_b, split_a,
+    split_b, jaccard) for LSH-candidate pairs whose exact n-gram Jaccard
+    clears ``threshold`` AND whose splits differ.
+
+    Same plan shape as `minhash_lsh_candidates` + `ngram_jaccard_pairs`
+    (banded bucket join, never all-pairs); the cross-split filter is a
+    projection over the verified pairs, so the audit costs the same as
+    the dedup pass it usually rides along with.
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, shingle_size, num_hashes, bands, hash_fn
+    )
+    verified = ngram_jaccard_pairs(
+        df, id_col, text_col, cands, shingle_size
+    ).where(F.col("jaccard") >= threshold)
+    labels = df.select(F.col(id_col), F.col(split_col))
+    la = labels.select(
+        F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b")
+    )
+    return (
+        verified.join(la, "id_a")
+        .join(lb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    **kwargs,
+) -> DataFrame:
+    """One row per (split_a, split_b) boundary with the leaking-pair
+    count — the release-gate number (0 everywhere = clean splits)."""
+    return (
+        split_leakage_pairs(df, id_col, text_col, split_col, **kwargs)
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_leaking_pairs"))
+    )
