@@ -304,6 +304,17 @@ def validate(args: argparse.Namespace) -> None:
             raise SystemExit("--ngram must be >= 1")
         if args.max_hits < 0:
             raise SystemExit("--max-hits must be >= 0")
+        if args.bloom_bits < 0 or (
+            args.bloom_bits and args.bloom_bits & (args.bloom_bits - 1)
+        ):
+            raise SystemExit("--bloom-bits must be 0 or a power of two")
+        if args.bloom_bits and args.no_broadcast_bench:
+            raise SystemExit(
+                "--bloom-bits and --no-broadcast-bench are mutually "
+                "exclusive: the Bloom path broadcasts a fixed-size bitmap "
+                "(never the shingle set), so the no-broadcast knob does "
+                "not apply to it"
+            )
     if args.command == "scrub":
         if args.no_redact and args.no_filter:
             raise SystemExit("--no-redact with --no-filter leaves nothing to do")

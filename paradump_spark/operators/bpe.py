@@ -125,9 +125,16 @@ def bpe_encode(
     Arrow-batched, map-only; a per-batch word→tokens cache exploits the
     Zipfian distribution (each distinct word is encoded once per batch).
     """
+    import re
+
     from pyspark.sql.functions import pandas_udf
 
     ranks = {pair: i for i, pair in enumerate(merges)}
+    # Same whitespace convention as training (`TX.tokens`'s JVM `\s+`,
+    # which is the ASCII class [ \t\n\x0B\f\r]) — Python's str.split()
+    # would also break on Unicode whitespace (U+00A0, U+3000) and make
+    # apply-time token streams diverge from the trained distribution.
+    ws = re.compile("[ \t\n\x0b\f\r]+")
 
     @pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
@@ -137,7 +144,9 @@ def bpe_encode(
             if t is None:
                 return []
             out = []
-            for w in t.split():
+            for w in ws.split(t):
+                if not w:
+                    continue
                 got = cache.get(w)
                 if got is None:
                     got = _encode_word(w, ranks)

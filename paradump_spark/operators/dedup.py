@@ -899,9 +899,15 @@ def remove_boilerplate_lines(
     )
     out = out_col or text_col
     keep_cols = [c for c in df.columns if c != text_col or out != text_col]
+    # Left join: documents whose text is NULL produce no posexplode rows
+    # (split(NULL) is NULL), so they have no `rebuilt` entry — they must
+    # stay in the corpus with a NULL cleaned text, not be dropped.
     return (
         df.select(*keep_cols)
-        .join(rebuilt, id_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(
+            "n_removed_lines", F.coalesce(F.col("n_removed_lines"), F.lit(0))
+        )
         .withColumnRenamed("__clean", out)
     )
 

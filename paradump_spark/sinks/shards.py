@@ -115,6 +115,7 @@ def write_shards(
         "seed": seed,
         "id_col": id_col,
         "format": fmt,
+        "sort_col": sort_col,
         "shards": stats,
     }
     path = os.path.join(out_dir, "_shards.json")
@@ -192,9 +193,16 @@ def verify_shards(spark, out_dir: str) -> dict[str, bool]:
     recomputed = {
         str(r["shard"]): (int(r["n_rows"]), str(r["hash_sum"])) for r in got
     }
+    # Compare over the UNION of manifest and on-disk shard ids: a shard
+    # directory whose id is absent from the manifest (planted data) is
+    # just as unfaithful as a manifest shard that lost rows, so it must
+    # surface as a False entry rather than being silently skipped.
+    declared = {
+        s: (m["n_rows"], m["hash_sum"]) for s, m in manifest["shards"].items()
+    }
     return {
-        s: recomputed.get(s) == (m["n_rows"], m["hash_sum"])
-        for s, m in manifest["shards"].items()
+        s: recomputed.get(s) == declared.get(s)
+        for s in set(declared) | set(recomputed)
     }
 
 
@@ -216,6 +224,12 @@ def append_to_shards(
     Caller contract (same as any append-only corpus): new ids must be
     new — this function does not scan history to check (at scale that
     is the dedup/signature-store layer's job, `operators.dedup`).
+
+    Ordering: the manifest's frozen ``sort_col`` (recorded by
+    :func:`write_shards`) is re-applied with ``sortWithinPartitions``,
+    so every part FILE is internally ordered and byte-reproducible.
+    Across files within a shard the order is append order — full-shard
+    byte reproducibility is a property of the initial export only.
     """
     with open(os.path.join(out_dir, "_shards.json")) as fh:
         manifest = json.load(fh)
@@ -223,10 +237,13 @@ def append_to_shards(
     seed = manifest["seed"]
     id_col = manifest["id_col"]
     fmt = manifest["format"]
+    sort_col = manifest.get("sort_col")
 
     keyed = df_new.withColumn(
         "shard", shard_id(F.col(id_col), n_shards, seed)
     ).repartition(n_shards, "shard")
+    if sort_col is not None:
+        keyed = keyed.sortWithinPartitions(sort_col)
     if fmt == "parquet":
         keyed.write.mode("append").partitionBy("shard").parquet(out_dir)
     else:

@@ -124,3 +124,23 @@ def test_cli_bloom_flag(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     # corpus decontaminated against itself: every doc overlaps itself
     assert spark.read.parquet(out).count() == 0
+
+
+def test_cli_validates_bloom_bits_early(tmp_path):
+    """Bad --bloom-bits must die in validate() with a message, not as a
+    mid-job ValueError; --no-broadcast-bench + --bloom-bits conflict
+    (ADVICE r04)."""
+    from paradump_spark.cli import main
+
+    base = [
+        "decontam",
+        "--directory", "/nonexistent",
+        "--bench-directory", "/nonexistent",
+        "--output", str(tmp_path / "x"),
+    ]
+    with pytest.raises(SystemExit):
+        main(base + ["--bloom-bits", "1000"])
+    with pytest.raises(SystemExit):
+        main(base + ["--bloom-bits", "-8"])
+    with pytest.raises(SystemExit):
+        main(base + ["--bloom-bits", str(1 << 20), "--no-broadcast-bench"])

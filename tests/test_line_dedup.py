@@ -83,3 +83,16 @@ def test_no_python_in_plan(spark):
     out = remove_boilerplate_lines(_docs(spark), "doc_id", "text")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_text_document_survives(spark):
+    """NULL-text documents produce no exploded lines; the left-join
+    rebuild must keep them in the corpus (ADVICE r04)."""
+    docs = _docs(spark).union(
+        spark.createDataFrame([(6, None)], "doc_id long, text string")
+    )
+    out = remove_boilerplate_lines(docs, "doc_id", "text", max_docs=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    assert rows[6]["text"] is None
+    assert rows[6]["n_removed_lines"] == 0

@@ -133,3 +133,32 @@ def test_append_then_tamper_detected(spark, docs, tmp_path):
     victim = glob.glob(os.path.join(out, "shard=0", "*.parquet"))[0]
     os.remove(victim)
     assert verify_shards(spark, out)["0"] is False
+
+
+def test_verify_flags_planted_shard(spark, docs, tmp_path):
+    """A shard directory whose id is absent from the manifest must show
+    up as a False entry, not be silently skipped (ADVICE r04)."""
+    out = str(tmp_path / "planted")
+    write_shards(docs.limit(40), out, "doc_id", 3)
+    planted = docs.limit(5).withColumn("shard", F.lit(99))
+    planted.repartition(1).write.mode("append").partitionBy("shard").parquet(out)
+    res = verify_shards(spark, out)
+    assert res["99"] is False
+    assert res["0"] is True and res["1"] is True and res["2"] is True
+
+
+def test_append_reapplies_sort_col(spark, docs, tmp_path):
+    """write_shards' sort_col is persisted in the manifest and re-applied
+    on append, so every part file stays internally ordered."""
+    from paradump_spark.sinks.shards import append_to_shards
+
+    out = str(tmp_path / "sorted_grow")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    write_shards(old, out, "doc_id", 3, sort_col="doc_id")
+    with open(os.path.join(out, "_shards.json")) as fh:
+        assert json.load(fh)["sort_col"] == "doc_id"
+    append_to_shards(new, out)
+    for f in glob.glob(os.path.join(out, "shard=*", "*.parquet")):
+        ids = [r["doc_id"] for r in spark.read.parquet(f).collect()]
+        assert ids == sorted(ids), f
