@@ -514,18 +514,25 @@ def _q_open_order_customers(spark, sf_dir):
 
 
 def _q_customer_spend_quartiles(spark, sf_dir):
-    """NTILE(4) over total spend.  The quartile window is a global
-    ordering — inherently one partition; the heavy part (the per-customer
-    sum) shuffles on the key first, so only (custkey, spend) pairs reach
-    the single sort, not raw orders."""
+    """NTILE(4) over total spend, computed WITHOUT the single-partition
+    global window: per-customer sums shuffle on the key, then
+    `plans.ranking.global_ntile` range-partitions on (spend desc,
+    custkey) and reproduces SQL NTILE's exact fill rule from
+    distributed row numbers — identical output, no one-task sort."""
+    from paradump_spark.plans.ranking import global_ntile
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("spend")
     )
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
-    return spend.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    return global_ntile(
+        spend,
+        4,
+        [F.col("spend").desc(), F.col("o_custkey").asc()],
+        out_col="quartile",
+    )
 
 
 def _q_nation_customer_names(spark, sf_dir):

@@ -221,19 +221,34 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     bits_col: str = "bits_per_token",
     n_buckets: int = 3,
+    method: str = "distributed",
 ) -> DataFrame:
     """CCNet's head/middle/tail split: rank documents by bits/token and
     cut into ``n_buckets`` equal-count buckets (1 = most predictable).
 
-    ``ntile`` over a single global ordering — at corpus scale feed it
-    PRE-AGGREGATED scores (one row per doc, the output of
-    :func:`lm_score`), and if even that is too large for one task,
-    bucket by approximate quantile thresholds instead; ties break by id
-    so the cut is deterministic and engine-reproducible.
+    ``method="distributed"`` (default) computes the EXACT ntile via
+    `plans.ranking.global_ntile` — range-partitioned ranking plus the
+    SQL fill rule, no single-partition window, so billions of scored
+    documents never funnel through one task.  ``method="window"`` is
+    the naive global-window spelling, kept as the tiny-frame /
+    plan-parity reference; both return identical buckets because ties
+    break by id (a total order).
     """
-    from pyspark.sql import Window
+    if method == "window":
+        from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(bits_col).asc(), F.col(id_col).asc())
-    return scores.withColumn(
-        "ppl_bucket", F.ntile(n_buckets).over(w).cast("int")
+        w = Window.orderBy(F.col(bits_col).asc(), F.col(id_col).asc())
+        return scores.withColumn(
+            "ppl_bucket", F.ntile(n_buckets).over(w).cast("int")
+        )
+    if method != "distributed":
+        raise ValueError(f"method must be distributed or window, got {method!r}")
+    from paradump_spark.plans.ranking import global_ntile
+
+    out = global_ntile(
+        scores,
+        n_buckets,
+        [F.col(bits_col).asc(), F.col(id_col).asc()],
+        out_col="ppl_bucket",
     )
+    return out.withColumn("ppl_bucket", F.col("ppl_bucket").cast("int"))

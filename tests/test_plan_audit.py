@@ -25,10 +25,37 @@ ARROW_ALLOWED = {
 }
 
 
+# queries whose plan contains a GLOBAL (unpartitioned) window by design
+# because its input is provably bounded before the window runs: a
+# limit(k) head, per-cell centroid sets (≤ num_cells rows), or a
+# partial_topk cut (≤ n × partitions rows).  Unbounded inputs must use
+# plans/ranking.py (global_row_number / global_ntile) instead.
+GLOBAL_WINDOW_ALLOWED = {
+    "vocab_top_tokens",      # window over a limit(k) result
+    "ann_topk",              # final rank over a partial_topk cut
+    "ivf_topk",              # centroid ranking over ≤ num_cells rows
+    "pq_topk",               # final rank over a partial_topk cut
+    "embedding_near_dup",    # pair rank over a bounded candidate set
+    "embedding_near_dup_lsh",
+}
+
+
 def _plans(spark, sf_dir):
     for name, fn in {**E.queries(), **E.extra_queries()}.items():
         df = fn(spark, sf_dir)
         yield name, df._jdf.queryExecution().executedPlan().toString()
+
+
+def _has_global_window(plan: str) -> bool:
+    """A Window fed by an Exchange SinglePartition (directly or through
+    its Sort child) is the one-task global-ordering cliff."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" in line and "Exchange SinglePartition" in "\n".join(
+            lines[i + 1 : i + 4]
+        ):
+            return True
+    return False
 
 
 def test_no_row_python_and_no_cartesian(spark, sf_dir):
@@ -40,4 +67,6 @@ def test_no_row_python_and_no_cartesian(spark, sf_dir):
             offenders.append((name, "unexpected ArrowEvalPython"))
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct (non-broadcast)"))
+        if _has_global_window(plan) and name not in GLOBAL_WINDOW_ALLOWED:
+            offenders.append((name, "global (single-partition) Window"))
     assert not offenders, offenders
