@@ -1582,9 +1582,15 @@ _DRIVER_QUERY_NAMES = [
     "order_price_rankstats",
     "first_last_order_value",
     "value_histogram",
-    "orders_by_year",
-    "part_like_filter",
-    "customers_without_orders",
+    # ------- round-5 rotation: the 3 queries no CORRECTNESS_r* file has
+    # ever evaluated (added late in round 4; strict_verify-green), so
+    # r03 ∪ r04 ∪ r05 covers the entire declared surface with hard
+    # driver evidence.  orders_by_year / part_like_filter /
+    # customers_without_orders rotate out (r04-green simple SQL
+    # variants; still oracle-checked via extra_queries() + pytest). ----
+    "source_quality_report",
+    "stable_id_audit",
+    "text_normalize",
 ]
 
 
