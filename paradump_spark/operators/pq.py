@@ -250,27 +250,47 @@ def pq_encode(
     return df.withColumn(code_col, encode(F.col(vec_col)))
 
 
-def _query_luts(queries, qid_col, vec_col, books: PQCodebooks):
-    """Per-query flat ADC table: lut[s*ksub + j] = q_sub(s) · codeword(s,j),
-    so Σ_s lut[s*ksub + code_s] ≈ cosine(q, vector) for unit vectors."""
-    import numpy as np
+def query_luts(queries, qid_col, vec_col, books: PQCodebooks):
+    """(query_id, __lut) frame — per-query flat ADC table:
+    lut[s*ksub + j] = q_sub(s) · codeword(s,j), so
+    Σ_s lut[s*ksub + code_s] ≈ cosine(q, vector) for unit vectors.
+
+    Computed DISTRIBUTED (Arrow-batched over the query side; the
+    codebooks ride in the UDF closure — m·ksub·dsub doubles, a few MB)
+    so a million-query batch never materializes on the driver.  The
+    CALLER decides whether the result is small enough to broadcast into
+    the scoring join (`max_broadcast_queries` gates in
+    :func:`pq_adc_topk` / :func:`ivf_pq_search`).
+    """
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
 
     C = books.centroids
+    R = books.rotation
     m, k, dsub = C.shape
-    rows = queries.select(F.col(qid_col), F.col(vec_col)).collect()
-    out = []
-    for r in rows:
-        q = np.array(r[vec_col], dtype=np.float64)
-        nq = np.linalg.norm(q)
-        q = q / (nq if nq > 0 else 1.0)
-        if books.rotation is not None:
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def lut(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(vs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / np.where(norms == 0.0, 1.0, norms)
+        if R is not None:
             # (q·R)·(x·R) = q·x for orthogonal R — rotate the query once
-            q = q @ books.rotation
-        lut = np.concatenate(
-            [C[s] @ q[s * dsub : (s + 1) * dsub] for s in range(m)]
+            X = X @ R
+        out = np.concatenate(
+            [X[:, s * dsub : (s + 1) * dsub] @ C[s].T for s in range(m)],
+            axis=1,
         )
-        out.append((r[qid_col], [float(x) for x in lut]))
-    return out
+        return pd.Series(list(out))
+
+    return queries.select(
+        F.col(qid_col).alias("query_id"), lut(F.col(vec_col)).alias("__lut")
+    )
 
 
 def pq_adc_topk(
@@ -283,27 +303,34 @@ def pq_adc_topk(
     rescore: int = 50,
     code_col: str = "pq_code",
     query_id_col: str | None = None,
+    max_broadcast_queries: int = 65536,
 ) -> DataFrame:
     """Two-stage PQ search: ADC-score every code against each query's
-    broadcast lookup table (pure codegen expression over the corpus
-    side), keep ``rescore`` candidates per query, re-score those few
-    exactly on the raw vectors, return the top ``k``.
+    lookup table (pure codegen expression over the corpus side), keep
+    ``rescore`` candidates per query, re-score those few exactly on the
+    raw vectors, return the top ``k``.
+
+    Query-side scale: LUTs are computed distributed (:func:`query_luts`
+    — never a driver collect).  Up to ``max_broadcast_queries`` they
+    broadcast into the scoring join (map-side, zero shuffle on the
+    corpus); past the bound — a million-query batch — the join degrades
+    to Spark's blocked nested-loop (each corpus partition streams each
+    query partition once) and the exact re-score becomes a shuffle
+    equi-join on query_id.  The Q×N score work is inherent to flat-PQ
+    search; for huge Q prefer the IVF-pruned :func:`ivf_pq_search`.
 
     Output: (query_id, neighbor_id, rank, cosine) — the
     `similarity.brute_force_topk` shape, so `ann_recall` composes.
     """
     qid = query_id_col or id_col
-    spark = codes.sparkSession
     ksub = books.ksub
-    luts = spark.createDataFrame(
-        _query_luts(queries, qid, vec_col, books),
-        T.StructType(
-            [
-                T.StructField("query_id", queries.schema[qid].dataType),
-                T.StructField("__lut", T.ArrayType(T.DoubleType())),
-            ]
-        ),
-    )
+    broadcast_q = queries.count() <= max_broadcast_queries
+    luts = query_luts(queries, qid, vec_col, books)
+    if broadcast_q:
+        # materialize the (small) LUT frame so the broadcast holds plain
+        # rows and the search plan stays pure JVM — the Arrow stage runs
+        # once here, never against the corpus side
+        luts = F.broadcast(luts.localCheckpoint(eager=True))
     # ADC score: fold over the m code positions, reading the lut slot of
     # each code — aggregate+element_at are codegen'd JVM expressions
     pos = F.sequence(F.lit(0), F.lit(books.m - 1))
@@ -318,7 +345,7 @@ def pq_adc_topk(
     )
     scored = (
         codes.select(F.col(id_col).alias("neighbor_id"), code_col, vec_col)
-        .crossJoin(F.broadcast(luts))
+        .crossJoin(luts)
         .withColumn("__adc", score)
     )
     # skew-safe candidate cut: ≤ rescore rows per (input partition, query)
@@ -339,11 +366,11 @@ def pq_adc_topk(
         .drop("__r", "__adc", code_col)
     )
     # exact re-score of rescore×queries rows only
-    q = F.broadcast(
-        queries.select(
-            F.col(qid).alias("query_id"), V.normalized(F.col(vec_col)).alias("__qn")
-        )
+    q = queries.select(
+        F.col(qid).alias("query_id"), V.normalized(F.col(vec_col)).alias("__qn")
     )
+    if broadcast_q:
+        q = F.broadcast(q)
     exact = cands.join(q, "query_id").select(
         "query_id",
         "neighbor_id",
@@ -488,16 +515,25 @@ def ivf_pq_query_index(
     rescore: int = 100,
     query_id_col: str | None = None,
     code_col: str = "pq_code",
+    max_broadcast_queries: int = 65536,
 ) -> DataFrame:
     """Search the composed index: nprobe cell pruning (PartitionFilters
     on the scan) → ADC over the probed cells' codes (codegen aggregate
-    against each query's broadcast LUT) → exact re-score of ``rescore``
-    candidates on the stored raw vectors.  Output shape composes with
-    `similarity.ann_recall`."""
+    against each query's LUT) → exact re-score of ``rescore`` candidates
+    on the stored raw vectors.  Output shape composes with
+    `similarity.ann_recall`.
+
+    Query-side scale: LUTs are computed distributed (:func:`query_luts`)
+    and the (probes ⋈ luts) side broadcasts only up to
+    ``max_broadcast_queries``; past that the scoring join becomes a
+    shuffle equi-join on ``cell_id`` — the cell id is the blocking key,
+    so a million-query batch co-partitions with the probed corpus cells
+    instead of collecting on the driver or overflowing a broadcast."""
     qid = query_id_col or id_col
     books = load_codebooks(spark, f"{path}/pq_codebooks")
     cents = spark.read.parquet(f"{path}/centroids")
     ksub = books.ksub
+    broadcast_q = queries.count() <= max_broadcast_queries
     try:
         residual = bool(
             spark.read.parquet(f"{path}/index_meta").collect()[0]["residual"]
@@ -506,9 +542,10 @@ def ivf_pq_query_index(
         residual = False
 
     q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    # centroids broadcast (≤ num_cells rows); the QUERY side streams —
+    # broadcasting it too would cap Q at the broadcast limit for no gain
     qcells = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cents))
+        q.crossJoin(F.broadcast(cents))
         .select(
             "query_id",
             "cell_id",
@@ -525,15 +562,10 @@ def ivf_pq_query_index(
         .where(F.col("__pr") <= nprobe)
         .select("query_id", "cell_id", F.col("__ccos").alias("__coff"))
     )
-    luts = spark.createDataFrame(
-        _query_luts(queries, qid, vec_col, books),
-        T.StructType(
-            [
-                T.StructField("query_id", queries.schema[qid].dataType),
-                T.StructField("__lut", T.ArrayType(T.DoubleType())),
-            ]
-        ),
-    )
+    luts = query_luts(queries, qid, vec_col, books)
+    if broadcast_q:
+        # see pq_adc_topk: broadcast plain rows, keep the probe plan JVM
+        luts = luts.localCheckpoint(eager=True)
     cells = sorted(
         {r["cell_id"] for r in probes.select("cell_id").distinct().collect()}
     )
@@ -550,9 +582,11 @@ def ivf_pq_query_index(
             s * ksub + F.element_at(F.col(code_col), s + 1) + 1,
         ),
     )
+    plan = probes.join(luts, "query_id")
+    if broadcast_q:
+        plan = F.broadcast(plan)
     scored = (
-        F.broadcast(probes.join(luts, "query_id"))
-        .join(corpus, "cell_id")
+        plan.join(corpus, "cell_id")
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
@@ -579,11 +613,11 @@ def ivf_pq_query_index(
         .where(F.col("__r") <= rescore)
         .drop("__r", "__adc", "__lut", code_col)
     )
-    qn = F.broadcast(
-        queries.select(
-            F.col(qid).alias("query_id"), V.normalized(F.col(vec_col)).alias("__qn")
-        )
+    qn = queries.select(
+        F.col(qid).alias("query_id"), V.normalized(F.col(vec_col)).alias("__qn")
     )
+    if broadcast_q:
+        qn = F.broadcast(qn)
     exact = cands.join(qn, "query_id").select(
         "query_id",
         "neighbor_id",

@@ -246,3 +246,63 @@ def test_opq_adc_recall_and_roundtrip(spark, sf_dir, tmp_path):
         for r in PQ.pq_encode(emb, "embedding", loaded).collect()
     }
     assert a == b
+
+
+def test_large_query_batch_takes_join_path(spark, sf_dir, tmp_path):
+    """Past max_broadcast_queries the LUT side is no longer FORCED to
+    broadcast: with auto-broadcast off (simulating a batch beyond the
+    broadcast threshold) the ADC join degrades to a blocked nested-loop
+    and the exact re-score to a shuffle equi-join — and the result must
+    equal the broadcast path bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = PQ.train_pq(emb, "vec_id", "embedding", m=8, ksub=64)
+    PQ.pq_encode(emb, "embedding", books).write.parquet(str(tmp_path / "codes"))
+    codes = spark.read.parquet(str(tmp_path / "codes"))
+    queries = emb.limit(10)
+
+    def run(bound):
+        df = PQ.pq_adc_topk(
+            codes, queries, books, "vec_id", "embedding",
+            k=5, rescore=20, max_broadcast_queries=bound,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rows = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in df.collect()
+        }
+        return rows, plan
+
+    big, plan_big = run(bound=65536)      # broadcast path
+    assert "BroadcastNestedLoopJoin" in plan_big
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        small, plan_small = run(bound=3)  # 10 queries > 3 → join path
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert small == big
+    assert "CartesianProduct" in plan_small  # blocked nested-loop pairs
+    assert "BatchEvalPython" not in plan_small
+
+
+def test_ivf_pq_large_query_batch_matches(spark, sf_dir, tmp_path):
+    """Same gate on the composed IVF-PQ index: the non-broadcast probe
+    join (shuffle on cell_id) returns the broadcast path's results."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    PQ.ivf_pq_build_index(
+        emb, path, "vec_id", "embedding", num_cells=4, m=8, ksub=64
+    )
+    queries = emb.limit(8)
+
+    def run(bound):
+        df = PQ.ivf_pq_query_index(
+            spark, path, queries, "vec_id", "embedding",
+            k=5, nprobe=4, rescore=50, max_broadcast_queries=bound,
+        )
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in df.collect()
+        }
+
+    assert run(bound=2) == run(bound=65536)
