@@ -45,11 +45,217 @@ FEATURE_SCHEMA = T.StructType(
 
 def decode_stub(payload: bytes) -> object:
     """Placeholder for the real media decode (PIL / libav / etc. are not in
-    this container).  Raise loudly so nobody mistakes the stub for a codec."""
+    this container).  Raise loudly so nobody mistakes the stub for a codec.
+    For images, :func:`decode_image` is the real path: PIL when present,
+    dependency-free PPM/PGM/BMP parsers otherwise."""
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         "environment; wire PIL/av here in production"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real image decode: PIL when installed, else numpy parsers for the
+# uncompressed container formats (PPM/PGM 'P6'/'P5', 24-bit BI_RGB BMP).
+# JPEG/PNG without PIL raise the honest NotImplementedError — the
+# features/resize operators surface that as a decode_error column value
+# instead of failing the job (bad bytes are data, not bugs, at corpus
+# scale).
+
+
+def _decode_ppm(data: bytes):
+    """Binary PPM (P6) / PGM (P5), maxval ≤ 255 → (H, W, 3) uint8."""
+    import numpy as np
+
+    fields: list[bytes] = []
+    i = 2  # past magic
+    while len(fields) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment to end-of-line
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        fields.append(data[i:j])
+        i = j
+    w, h, maxval = (int(f) for f in fields)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported without PIL")
+    i += 1  # single whitespace after maxval
+    ch = 3 if data[:2] == b"P6" else 1
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=i)
+    img = px.reshape(h, w, ch)
+    return np.repeat(img, 3, axis=2) if ch == 1 else img
+
+
+def _decode_bmp(data: bytes):
+    """Uncompressed 24-bit BI_RGB BMP (bottom-up rows, 4-byte padding)
+    → (H, W, 3) uint8 RGB."""
+    import numpy as np
+
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported without PIL (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[..., ::-1]  # BGR → RGB
+    return img[::-1] if flip else img
+
+
+def decode_image(payload: bytes):
+    """Decode image bytes to an (H, W, 3) uint8 RGB numpy array.
+
+    PIL handles everything when installed; without it the uncompressed
+    formats decode natively and compressed ones raise
+    ``NotImplementedError`` (callers map that into a decode_error
+    value, they don't crash the job).
+    """
+    try:
+        from PIL import Image  # optional dependency
+    except ImportError:
+        Image = None
+    if Image is not None:
+        import io
+
+        import numpy as np
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    data = bytes(payload)
+    if data[:2] in (b"P6", b"P5"):
+        return _decode_ppm(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    raise NotImplementedError(
+        "decoding this image format requires PIL (not installed); "
+        "PPM/PGM/BMP decode natively"
+    )
+
+
+def _encode_ppm(img) -> bytes:
+    """(H, W, 3) uint8 → binary PPM bytes (the codec-free interchange
+    format for resized payloads)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_rgb", T.ArrayType(T.DoubleType())),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def image_features(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decoded-image features over the payload column: dimensions +
+    per-channel means, Arrow-batched.  Undecodable rows keep their id
+    with NULL features and the error text in ``decode_error`` — at
+    corpus scale bad bytes are data to quarantine, not exceptions."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_rgb": [], "decode_error": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    img = decode_image(payload)
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["mean_rgb"].append(
+                        [float(x) for x in img.mean(axis=(0, 1))]
+                    )
+                    out["decode_error"].append(None)
+                except Exception as e:  # undecodable payload → quarantine
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_rgb"].append(None)
+                    out["decode_error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return binary_df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        batches, IMAGE_FEATURE_SCHEMA
+    )
+
+
+def resize_image(
+    binary_df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL resize for decodable payloads: nearest-neighbor via numpy
+    index maps (PIL-free), re-encoded as binary PPM with metadata dims
+    updated.  Undecodable rows pass through unchanged with
+    ``decode_error`` set — same quarantine contract as
+    :func:`image_features`.  `resize_stub` remains the codec-less
+    deterministic stand-in for formats this cannot decode."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, binary_df.schema[id_col].dataType),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads, metas, errs = [], [], []
+            for payload, m in zip(pdf["payload"], pdf["media_meta"]):
+                try:
+                    img = decode_image(payload)
+                    ys = (np.arange(height) * img.shape[0]) // height
+                    xs = (np.arange(width) * img.shape[1]) // width
+                    resized = img[ys][:, xs]
+                    payloads.append(_encode_ppm(np.ascontiguousarray(resized)))
+                    metas.append(
+                        {
+                            "media_type": m["media_type"],
+                            "codec": "ppm",
+                            "width": width,
+                            "height": height,
+                            "duration_ms": m["duration_ms"],
+                        }
+                    )
+                    errs.append(None)
+                except Exception as e:
+                    payloads.append(bytes(payload))
+                    metas.append(dict(m))
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": payloads,
+                    "media_meta": metas,
+                    "decode_error": errs,
+                }
+            )
+
+    return binary_df.select(
+        F.col(id_col), F.col("payload"), F.col("media_meta")
+    ).mapInPandas(batches, out_schema)
 
 
 def attach_binary_payload(

@@ -1,0 +1,133 @@
+"""Real image decode (operators/multimodal.py): PPM/PGM/BMP parse
+without PIL, feature extraction and nearest-neighbor resize end-to-end
+through Spark, undecodable payloads quarantined not crashed, and a
+PIL-guarded PNG path where the dependency exists."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from paradump_spark.operators.multimodal import (
+    IMAGE_FEATURE_SCHEMA,
+    _encode_ppm,
+    decode_image,
+    image_features,
+    resize_image,
+)
+
+# 2x2 RGB test pixels (row-major, top-down)
+PIXELS = np.array(
+    [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+)
+
+
+def ppm_bytes(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n# comment line\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def bmp_bytes(img: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB BMP: bottom-up rows, 4-byte row padding."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in img[::-1]:  # bottom-up
+        line = row[:, ::-1].tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    return header + body
+
+
+def test_ppm_decode_exact():
+    assert np.array_equal(decode_image(ppm_bytes(PIXELS)), PIXELS)
+
+
+def test_pgm_decode_replicates_gray_to_rgb():
+    gray = np.array([[0, 128], [255, 7]], dtype=np.uint8)
+    data = b"P5\n2 2\n255\n" + gray.tobytes()
+    img = decode_image(data)
+    assert img.shape == (2, 2, 3)
+    assert np.array_equal(img[..., 0], gray)
+    assert np.array_equal(img[..., 1], gray)
+
+
+def test_bmp_decode_exact():
+    # width 3 forces row padding (9 bytes -> stride 12)
+    img = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)
+    assert np.array_equal(decode_image(bmp_bytes(img)), img)
+
+
+def test_undecodable_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nnot really")
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                payload,
+                ("image", None, None, None, None),
+            )
+            for i, payload in rows
+        ],
+        "doc_id long, payload binary, media_meta struct<media_type:string,"
+        "codec:string,width:int,height:int,duration_ms:bigint>",
+    )
+
+
+def test_image_features_spark(spark):
+    df = _media_df(
+        spark,
+        [(1, ppm_bytes(PIXELS)), (2, bmp_bytes(PIXELS)), (3, b"JUNKJUNK")],
+    )
+    got = {r["doc_id"]: r for r in image_features(df).collect()}
+    for i in (1, 2):
+        assert (got[i]["width"], got[i]["height"]) == (2, 2)
+        assert got[i]["decode_error"] is None
+        want = PIXELS.mean(axis=(0, 1))
+        assert np.allclose(got[i]["mean_rgb"], want)
+    assert got[3]["width"] is None
+    assert "NotImplementedError" in got[3]["decode_error"]
+    assert image_features(df).schema == IMAGE_FEATURE_SCHEMA
+
+
+def test_resize_image_spark(spark):
+    big = np.repeat(np.repeat(PIXELS, 2, axis=0), 2, axis=1)  # 4x4
+    df = _media_df(spark, [(1, ppm_bytes(big)), (2, b"JUNK")])
+    out = {r["doc_id"]: r for r in resize_image(df, 2, 2).collect()}
+    # nearest-neighbor 4x4 -> 2x2 picks pixels (0,0),(0,2),(2,0),(2,2)
+    assert np.array_equal(decode_image(bytes(out[1]["payload"])), PIXELS)
+    assert out[1]["media_meta"]["width"] == 2
+    assert out[1]["media_meta"]["codec"] == "ppm"
+    assert out[1]["decode_error"] is None
+    # quarantined row passes through unchanged
+    assert bytes(out[2]["payload"]) == b"JUNK"
+    assert out[2]["decode_error"] is not None
+
+
+def test_encode_decode_roundtrip():
+    img = np.random.default_rng(7).integers(0, 256, (5, 3, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(_encode_ppm(img)), img)
+
+
+def test_png_via_pillow(spark):
+    """Runs only where Pillow exists (not this sandbox): the SAME
+    operators must handle compressed formats through the PIL path."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.fromarray(PIXELS).save(buf, format="PNG")
+    df = _media_df(spark, [(1, buf.getvalue())])
+    r = image_features(df).collect()[0]
+    assert (r["width"], r["height"]) == (2, 2)
+    assert r["decode_error"] is None
+    assert np.allclose(r["mean_rgb"], PIXELS.mean(axis=(0, 1)))
