@@ -69,9 +69,13 @@ def pg_escape(col: Column) -> Column:
 
 def mssql_escape(col: Column) -> Column:
     """MSSQL N'...' body: ``'`` doubled; control chars spliced out of the
-    literal as ``'+CHAR(n)+'`` (ref :2332-2445)."""
+    literal as ``'+CHAR(n)+N'`` (ref :2332-2445 CHAR-splices and switches
+    to N'' segments for non-ASCII).  Every resumed segment keeps the N
+    prefix — a bare ``'…'`` continuation would be a varchar literal and
+    non-ASCII text after a control char would round-trip through the
+    server codepage instead of staying nvarchar."""
     out = F.replace(col, F.lit("'"), F.lit("''"))
-    ctrl = [(chr(i), f"'+CHAR({i})+'") for i in range(1, 32)]
+    ctrl = [(chr(i), f"'+CHAR({i})+N'") for i in range(1, 32)]
     return _chain_replace(out, ctrl)
 
 
