@@ -1419,6 +1419,55 @@ def _q_url_features_docs(spark, sf_dir):
     )
 
 
+def _q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (operators/urls.py:
+    canonical_url/url_dedup): crawl-style URL variants synthesized from
+    the documents table — mixed-case scheme/host, ``www.`` prefix,
+    default ``:443`` port, trailing slash, fragments, tracking params,
+    unsorted query params — must collapse to one canonical form per
+    (source, bucket) group, keeper = lowest doc_id.  The oracle derives
+    every canonical string ARITHMETICALLY from the source columns (no
+    URL parsing), an independent check of the JVM parse_url chain."""
+    from paradump_spark.operators.urls import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 50).cast("long")
+    v = F.expr("(doc_id div 50) % 4")
+    base = F.concat(
+        F.col("source"), F.lit(".example.com/item/"), g.cast("string")
+    )
+    urls = docs.select(
+        "doc_id",
+        F.when(
+            v == 0,
+            F.concat(F.lit("HTTPS://"), F.upper(F.col("source")),
+                     F.lit(".EXAMPLE.com/item/"), g.cast("string")),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.com:443/item/"), g.cast("string"),
+                     F.lit("/")),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("https://www."), base,
+                     F.lit("?utm_source=news&fbclid=xyz#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), base,
+                     F.lit("?b=2&a=1&utm_campaign=z")),
+        )
+        .alias("url"),
+    )
+    return url_dedup(urls, "url", "doc_id").select(
+        "doc_id",
+        "canonical_url",
+        "keep",
+        F.col("n_dupes").cast("long").alias("n_dupes"),
+    )
+
+
 def _q_source_quality_report(spark, sf_dir):
     """Per-source quality dashboard
     (operators/text_analysis.py:source_quality_report): volumes + mean
@@ -1581,16 +1630,18 @@ _DRIVER_QUERY_NAMES = [
     "segment_nation_intersect",
     "order_price_rankstats",
     "first_last_order_value",
-    "value_histogram",
     # ------- round-5 rotation: the 3 queries no CORRECTNESS_r* file has
     # ever evaluated (added late in round 4; strict_verify-green), so
     # r03 ∪ r04 ∪ r05 covers the entire declared surface with hard
-    # driver evidence.  orders_by_year / part_like_filter /
-    # customers_without_orders rotate out (r04-green simple SQL
-    # variants; still oracle-checked via extra_queries() + pytest). ----
+    # driver evidence, plus the NEW url_canonical_dedup (round-5
+    # operator) taking value_histogram's slot.  orders_by_year /
+    # part_like_filter / customers_without_orders / value_histogram
+    # rotate out (r04-green simple SQL variants; still oracle-checked
+    # via extra_queries() + pytest). ----
     "source_quality_report",
     "stable_id_audit",
     "text_normalize",
+    "url_canonical_dedup",
 ]
 
 
@@ -1672,6 +1723,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan_docs": _q_shard_plan_docs,
         "line_dedup": _q_line_dedup,
         "url_features_docs": _q_url_features_docs,
+        "url_canonical_dedup": _q_url_canonical_dedup,
         "lm_buckets": _q_lm_buckets,
         "price_drift_psi": _q_price_drift_psi,
         "source_quality_report": _q_source_quality_report,
@@ -2231,6 +2283,24 @@ SELECT doc_id,
        (1 + doc_id % 3)::INTEGER AS url_path_depth,
        (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)::INTEGER AS url_n_params
 FROM documents""",
+        "url_canonical_dedup": """
+WITH u AS (
+  SELECT doc_id, source,
+         doc_id % 50 AS g,
+         (doc_id // 50) % 4 AS v
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/item/' || CAST(g AS VARCHAR)
+           || CASE WHEN v = 3 THEN '?a=1&b=2' ELSE '' END AS canonical_url
+  FROM u
+), grp AS (
+  SELECT canonical_url, MIN(doc_id) AS keeper, COUNT(*) AS n_dupes
+  FROM c GROUP BY canonical_url
+)
+SELECT c.doc_id, c.canonical_url, c.doc_id = grp.keeper AS keep,
+       grp.n_dupes::BIGINT AS n_dupes
+FROM c JOIN grp USING (canonical_url)""",
         "minhash_lsh_candidates": _MINHASH_CAND_SQL,
         "ngram_jaccard": (
             "WITH "

@@ -68,6 +68,91 @@ def url_features(
     )
 
 
+#: query parameters that never change resource identity (tracking tags)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)(=.*)?$"
+
+#: default ports per scheme — canonical form drops them
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup (the first dedup pass of every
+    crawl pipeline — two fetches of the same resource must collide
+    BEFORE any text comparison):
+
+    * scheme and host lower-cased; leading ``www.`` stripped;
+    * default port dropped (``:80`` http, ``:443`` https), non-default
+      ports kept — they address different resources;
+    * fragment dropped (never sent to the server);
+    * tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``,
+      ``msclkid``, ``ref``); remaining query params sorted;
+    * trailing ``/`` stripped from non-root paths; empty path → ``/``.
+
+    Pure JVM (``parse_url`` + array expressions): a narrow projection
+    that fuses into the scan — canonicalizing a 100 TB crawl is
+    map-only, and the dedup afterwards is one hash shuffle on the
+    canonical string (`url_dedup`).
+    """
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", ""
+    )
+    port = F.regexp_extract(
+        F.parse_url(url, F.lit("AUTHORITY")), r":(\d+)$", 1
+    )
+    default_port = F.coalesce(
+        *[
+            F.when(scheme == s, F.lit(p))
+            for s, p in _DEFAULT_PORTS.items()
+        ],
+        F.lit(""),
+    )
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    raw_path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    trimmed = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+    q = F.parse_url(url, F.lit("QUERY"))
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(q, F.lit("")), "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query_part = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), host, port_part, path, query_part
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """URL-level exact dedup: append the canonical URL, a ``keep`` flag
+    (True on the lowest-id row of each canonical group — deterministic
+    keeper), and the group's ``n_dupes``.
+
+    One hash shuffle on the canonical string; the keeper choice is a
+    combinable ``min`` aggregate, no window.
+    """
+    keyed = df.withColumn(out_col, canonical_url(F.col(url_col)))
+    groups = keyed.groupBy(out_col).agg(
+        F.min(F.col(id_col)).alias("__keeper"),
+        F.count(F.lit(1)).alias("n_dupes"),
+    )
+    return (
+        keyed.join(groups, out_col)
+        .withColumn("keep", F.col(id_col) == F.col("__keeper"))
+        .drop("__keeper")
+    )
+
+
 def filter_blocked_domains(
     df: DataFrame,
     url_col: str,

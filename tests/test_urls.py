@@ -56,3 +56,63 @@ def test_blocklist_plan_is_broadcast_no_shuffle(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# canonical_url / url_dedup (round 5)
+
+CANON_VECTORS = [
+    # (raw, canonical)
+    ("HTTPS://WWW.Example.COM/Path/", "https://example.com/Path"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),  # kept
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+    (
+        "https://example.com/a?utm_source=x&q=1&fbclid=y&gclid=z",
+        "https://example.com/a?q=1",
+    ),
+    ("https://example.com/a?utm_source=x", "https://example.com/a"),
+    ("https://example.com/a#section", "https://example.com/a"),
+    ("ftp://host.net:21/f/", "ftp://host.net/f"),
+]
+
+
+def test_canonical_url_vectors(spark):
+    from paradump_spark.operators.urls import canonical_url
+
+    df = spark.createDataFrame([(r,) for r, _ in CANON_VECTORS], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [c for _, c in CANON_VECTORS]
+
+
+def test_url_dedup_keeper_and_counts(spark):
+    from paradump_spark.operators.urls import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a"),
+            (2, "HTTPS://www.example.com/a/"),   # same canonical as 1
+            (3, "https://example.com/a?utm_source=x"),  # same again
+            (4, "https://example.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r for r in url_dedup(df, "url", "doc_id").collect()}
+    assert [got[i]["keep"] for i in (1, 2, 3, 4)] == [True, False, False, True]
+    assert [got[i]["n_dupes"] for i in (1, 2, 3, 4)] == [3, 3, 3, 1]
+    assert got[2]["canonical_url"] == "https://example.com/a"
+
+
+def test_canonical_url_is_pure_jvm(spark):
+    from paradump_spark.operators.urls import canonical_url
+
+    df = spark.createDataFrame([("https://a.b/c",)], "url string")
+    plan = (
+        df.select(canonical_url(F.col("url")).alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
