@@ -1468,6 +1468,20 @@ def _q_url_canonical_dedup(spark, sf_dir):
     )
 
 
+def _q_sequence_chunks(spark, sf_dir):
+    """Fixed-window training-sequence chunking
+    (operators/packing.py:chunk_documents): 64-token windows, stride 48
+    (16-token overlap) over the documents corpus; the tail chunk keeps
+    the remainder.  The oracle replays the same slicing with DuckDB
+    list operations — independent of Spark's sequence/slice semantics.
+    Chunk text itself is hashed implicitly via the value compare."""
+    from paradump_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window=64, stride=48
+    )
+
+
 def _q_source_quality_report(spark, sf_dir):
     """Per-source quality dashboard
     (operators/text_analysis.py:source_quality_report): volumes + mean
@@ -1629,19 +1643,20 @@ _DRIVER_QUERY_NAMES = [
     "part_color_stats",
     "segment_nation_intersect",
     "order_price_rankstats",
-    "first_last_order_value",
     # ------- round-5 rotation: the 3 queries no CORRECTNESS_r* file has
     # ever evaluated (added late in round 4; strict_verify-green), so
     # r03 ∪ r04 ∪ r05 covers the entire declared surface with hard
-    # driver evidence, plus the NEW url_canonical_dedup (round-5
-    # operator) taking value_histogram's slot.  orders_by_year /
-    # part_like_filter / customers_without_orders / value_histogram
-    # rotate out (r04-green simple SQL variants; still oracle-checked
-    # via extra_queries() + pytest). ----
+    # driver evidence, plus the NEW round-5 operators
+    # (url_canonical_dedup, sequence_chunks) taking the slots of
+    # value_histogram / first_last_order_value.  orders_by_year /
+    # part_like_filter / customers_without_orders / value_histogram /
+    # first_last_order_value rotate out (r04-green simple SQL
+    # variants; still oracle-checked via extra_queries() + pytest). ----
     "source_quality_report",
     "stable_id_audit",
     "text_normalize",
     "url_canonical_dedup",
+    "sequence_chunks",
 ]
 
 
@@ -1724,6 +1739,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "url_features_docs": _q_url_features_docs,
         "url_canonical_dedup": _q_url_canonical_dedup,
+        "sequence_chunks": _q_sequence_chunks,
         "lm_buckets": _q_lm_buckets,
         "price_drift_psi": _q_price_drift_psi,
         "source_quality_report": _q_source_quality_report,
@@ -2301,6 +2317,24 @@ WITH u AS (
 SELECT c.doc_id, c.canonical_url, c.doc_id = grp.keeper AS keep,
        grp.n_dupes::BIGINT AS n_dupes
 FROM c JOIN grp USING (canonical_url)""",
+        "sequence_chunks": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + (n - 1) // 48)) AS chunk_idx
+  FROM n
+)
+SELECT doc_id,
+       chunk_idx::INTEGER AS chunk_idx,
+       len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64])::INTEGER AS n_chunk_tokens,
+       array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS chunk_text
+FROM c""",
         "minhash_lsh_candidates": _MINHASH_CAND_SQL,
         "ngram_jaccard": (
             "WITH "

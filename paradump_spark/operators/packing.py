@@ -145,3 +145,63 @@ def packing_stats(packed: DataFrame, tokens_col: str, max_tokens: int) -> DataFr
             F.when(F.col("bin_tokens") > max_tokens, 1).otherwise(0)
         ).alias("oversize_bins"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document's whitespace-token stream into fixed-size
+    training chunks: chunk ``i`` covers tokens ``[i·stride, i·stride +
+    window)``; ``stride < window`` gives overlapping context windows
+    (the standard long-document prep BEFORE `pack_documents` bins the
+    chunks).  The final chunk keeps the tail even when shorter than
+    ``window``; zero-token documents yield no chunks (empty docs are
+    upstream-filter material, not training data).
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Pure JVM — tokenize once, ``sequence`` the start offsets,
+    ``posexplode`` + ``slice``; map-only (the 1→N fan-out happens
+    inside the scan stage, no shuffle), so chunking a 100 TB corpus is
+    embarrassingly parallel and the output streams straight into the
+    packer's partition-local bins.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    stride = window if stride is None else stride
+    if not 1 <= stride <= window:
+        raise ValueError(f"stride must be in [1, window], got {stride}")
+    from paradump_spark.functions import text as TX
+
+    toks = df.select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    # number of chunks: 1 + floor((n - 1) / stride) when every start
+    # must begin before the stream ends (starts at 0, stride, 2·stride …
+    # < n); the last may be a short tail
+    n_chunks = F.when(
+        F.col("__n") > 0,
+        (F.lit(1) + F.floor((F.col("__n") - 1) / F.lit(stride))).cast("int"),
+    ).otherwise(F.lit(0))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — zero-token
+    # docs must be dropped before the explode, not fed to sequence()
+    exploded = toks.withColumn("__nc", n_chunks).where(F.col("__nc") > 0).select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.posexplode(F.sequence(F.lit(1), F.col("__nc"))).alias(
+            "chunk_idx", "__one"
+        ),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, window
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
