@@ -979,6 +979,23 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_ngram_containment(spark, sf_dir):
+    """One-sided n-gram containment (operators/dedup.py:
+    ngram_containment_pairs): |A∩B|/|A| and |A∩B|/|B| for the LSH
+    candidate pairs — the subset-detection signal (quoted/aggregated/
+    superseded documents) that symmetric Jaccard misses.  Oracle:
+    DuckDB list_intersect over the same shingle sets."""
+    base = _near_dup_docs(spark, sf_dir)
+    cand = DD.minhash_lsh_candidates(base, "doc_id", "text", 3, 12, 4)
+    return DD.ngram_containment_pairs(base, "doc_id", "text", cand, 3).select(
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Transitive near-dup clustering: connected components of the
     verified-Jaccard candidate graph (iterative min-label propagation;
@@ -1642,21 +1659,22 @@ _DRIVER_QUERY_NAMES = [
     "orders_by_weekday",
     "part_color_stats",
     "segment_nation_intersect",
-    "order_price_rankstats",
     # ------- round-5 rotation: the 3 queries no CORRECTNESS_r* file has
     # ever evaluated (added late in round 4; strict_verify-green), so
     # r03 ∪ r04 ∪ r05 covers the entire declared surface with hard
     # driver evidence, plus the NEW round-5 operators
-    # (url_canonical_dedup, sequence_chunks) taking the slots of
-    # value_histogram / first_last_order_value.  orders_by_year /
-    # part_like_filter / customers_without_orders / value_histogram /
-    # first_last_order_value rotate out (r04-green simple SQL
-    # variants; still oracle-checked via extra_queries() + pytest). ----
+    # (url_canonical_dedup, sequence_chunks, ngram_containment) taking
+    # the slots of value_histogram / first_last_order_value /
+    # order_price_rankstats.  Those plus orders_by_year /
+    # part_like_filter / customers_without_orders rotate out (all
+    # r04-green simple SQL variants; still oracle-checked via
+    # extra_queries() + pytest). ----
     "source_quality_report",
     "stable_id_audit",
     "text_normalize",
     "url_canonical_dedup",
     "sequence_chunks",
+    "ngram_containment",
 ]
 
 
@@ -1748,6 +1766,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample_lang": _q_group_sample_lang,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_containment": _q_ngram_containment,
         "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "text_quality": _q_text_quality,
@@ -2357,6 +2376,35 @@ SELECT c.id_a, c.id_b,
                   THEN len(list_intersect(x.shd, y.shd))::DOUBLE
                        / len(list_distinct(list_concat(x.shd, y.shd)))
                   ELSE 0.0 END, 6) AS jaccard
+FROM cand c JOIN sets x ON c.id_a = x.doc_id JOIN sets y ON c.id_b = y.doc_id"""
+        ),
+        "ngram_containment": (
+            "WITH "
+            + _MINHASH_BASE_CTE
+            + ","
+            + _shingle_cte("base")
+            + ",\n"
+            + _minhash_sig_sql()
+            + ",\n"
+            + _minhash_bands_sql()
+            + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM s)
+SELECT c.id_a, c.id_b,
+       round(CASE WHEN len(list_distinct(list_concat(x.shd, y.shd))) > 0
+                  THEN len(list_intersect(x.shd, y.shd))::DOUBLE
+                       / len(list_distinct(list_concat(x.shd, y.shd)))
+                  ELSE 0.0 END, 6) AS jaccard,
+       round(CASE WHEN len(x.shd) > 0
+                  THEN len(list_intersect(x.shd, y.shd))::DOUBLE / len(x.shd)
+                  ELSE 0.0 END, 6) AS containment_a,
+       round(CASE WHEN len(y.shd) > 0
+                  THEN len(list_intersect(x.shd, y.shd))::DOUBLE / len(y.shd)
+                  ELSE 0.0 END, 6) AS containment_b
 FROM cand c JOIN sets x ON c.id_a = x.doc_id JOIN sets y ON c.id_b = y.doc_id"""
         ),
         "dedup_clusters": (

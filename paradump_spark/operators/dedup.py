@@ -386,6 +386,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: DataFrame,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact one-sided n-gram containment for candidate pairs:
+    ``containment_a = |A∩B| / |A|`` and the symmetric ``containment_b``
+    alongside the Jaccard.
+
+    Containment is the subset-detection signal Jaccard misses: a
+    paragraph quoted inside a 100× longer document has Jaccard ≈ 0.01
+    but containment_a ≈ 1.0 — exactly the "document A lives inside B"
+    near-dup class (quotations, aggregation pages, version supersets).
+    Broder's resemblance-vs-containment distinction; the dedup policy
+    keyed on it usually drops the CONTAINED side.
+
+    Same plan as :func:`ngram_jaccard_pairs` — candidate-pair joins
+    against the shingle-set table, never all pairs.
+    """
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(TX.word_shingles(text_col, shingle_size)).alias("sh"),
+    )
+    j = (
+        candidates.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    na = F.size(F.col("sh_a"))
+    nb = F.size(F.col("sh_b"))
+    frac = lambda num, den: (  # noqa: E731
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        frac(inter, union).alias("jaccard"),
+        frac(inter, na).alias("containment_a"),
+        frac(inter, nb).alias("containment_b"),
+    )
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -385,3 +385,25 @@ def test_exact_jaccard_pairs_rejects_bad_threshold(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with _pytest.raises(ValueError):
         exact_jaccard_pairs(docs, "doc_id", "text", 0.0)
+
+
+def test_ngram_containment_detects_subset_doc(spark):
+    """A short doc quoted verbatim inside a much longer one: Jaccard is
+    tiny but containment of the short side ≈ 1.0 (Broder's
+    resemblance-vs-containment distinction)."""
+    from paradump_spark.operators.dedup import ngram_containment_pairs
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    long_doc = quote + " " + " ".join(f"f{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = ngram_containment_pairs(df, "doc_id", "text", cand, 3).collect()[0]
+    assert r["containment_a"] == 1.0  # every shingle of the quote is in B
+    assert r["containment_b"] < 0.1
+    assert r["jaccard"] < 0.1
+    # symmetric direction
+    cand2 = spark.createDataFrame([(2, 1)], "id_a long, id_b long")
+    r2 = ngram_containment_pairs(df, "doc_id", "text", cand2, 3).collect()[0]
+    assert r2["containment_b"] == 1.0
