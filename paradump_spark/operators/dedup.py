@@ -303,6 +303,58 @@ def minhash_signatures(
     )
 
 
+def lsh_candidate_probability(similarity: float, bands: int, rows: int) -> float:
+    """The LSH S-curve: P(pair becomes a candidate | Jaccard = s) =
+    ``1 - (1 - s^rows)^bands``."""
+    return 1.0 - (1.0 - similarity**rows) ** bands
+
+
+def tune_lsh(
+    threshold: float,
+    num_hashes: int,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+    steps: int = 1000,
+) -> tuple[int, int]:
+    """Pick ``(bands, rows)`` with ``bands × rows ≤ num_hashes``
+    minimizing the weighted S-curve error around ``threshold``:
+    false-positive mass ``∫₀ᵗ P(s) ds`` (sub-threshold pairs that
+    become candidates → wasted exact-verify work) plus false-negative
+    mass ``∫ₜ¹ (1 − P(s)) ds`` (true near-dups the bucketing misses →
+    lost recall).  The datasketch/MMDS parameter-search recipe —
+    driver-side arithmetic over ≤ num_hashes configurations, no data
+    touched.
+
+    At 100 TB the trade is real money: fp_weight ≫ fn_weight shrinks
+    the candidate-pair join; fn_weight ≫ fp_weight protects recall at
+    the cost of more exact-Jaccard verification.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    best, best_err = None, None
+    for rows in range(1, num_hashes + 1):
+        bands = num_hashes // rows
+        if bands < 1:
+            break
+        fp = fn = 0.0
+        # trapezoid-free midpoint sums — smooth integrand, steps=1000
+        # puts the quadrature error far below the config granularity
+        for i in range(steps):
+            s = threshold * (i + 0.5) / steps
+            fp += lsh_candidate_probability(s, bands, rows)
+        fp *= threshold / steps
+        for i in range(steps):
+            s = threshold + (1.0 - threshold) * (i + 0.5) / steps
+            fn += 1.0 - lsh_candidate_probability(s, bands, rows)
+        fn *= (1.0 - threshold) / steps
+        err = fp_weight * fp + fn_weight * fn
+        if best_err is None or err < best_err:
+            best, best_err = (bands, rows), err
+    return best
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,

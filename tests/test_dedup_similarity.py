@@ -407,3 +407,57 @@ def test_ngram_containment_detects_subset_doc(spark):
     cand2 = spark.createDataFrame([(2, 1)], "id_a long, id_b long")
     r2 = ngram_containment_pairs(df, "doc_id", "text", cand2, 3).collect()[0]
     assert r2["containment_b"] == 1.0
+
+
+def test_tune_lsh_properties():
+    """Parameter search: (a) budget respected; (b) beats every feasible
+    alternative on an independently-computed objective; (c) threshold
+    monotonicity — higher thresholds need more rows per band; (d) the
+    S-curve midpoint sits near the threshold for the chosen config."""
+    from paradump_spark.operators.dedup import (
+        lsh_candidate_probability,
+        tune_lsh,
+    )
+
+    def objective(t, b, r, wfp=0.5, wfn=0.5, steps=2000):
+        # independent quadrature (different step count / accumulation)
+        fp = sum(
+            lsh_candidate_probability(t * (i + 0.5) / steps, b, r)
+            for i in range(steps)
+        ) * (t / steps)
+        fn = sum(
+            1 - lsh_candidate_probability(t + (1 - t) * (i + 0.5) / steps, b, r)
+            for i in range(steps)
+        ) * ((1 - t) / steps)
+        return wfp * fp + wfn * fn
+
+    for t, n in [(0.5, 128), (0.8, 128), (0.9, 64), (0.8, 48)]:
+        b, r = tune_lsh(t, n)
+        assert b * r <= n and b >= 1 and r >= 1
+        best = objective(t, b, r)
+        for rr in range(1, n + 1):
+            bb = n // rr
+            if bb < 1:
+                break
+            assert best <= objective(t, bb, rr) + 1e-9, (t, n, bb, rr)
+    # (c) monotonicity in threshold
+    rows_at = [tune_lsh(t, 128)[1] for t in (0.3, 0.6, 0.9)]
+    assert rows_at == sorted(rows_at)
+    # (d) inflection ~ (1/b)^(1/r) should land near the threshold
+    b, r = tune_lsh(0.8, 128)
+    assert abs((1 / b) ** (1 / r) - 0.8) < 0.15
+    # weights steer the trade: recall-heavy tuning lowers rows per band
+    b_fn, r_fn = tune_lsh(0.8, 128, fp_weight=0.05, fn_weight=0.95)
+    b_fp, r_fp = tune_lsh(0.8, 128, fp_weight=0.95, fn_weight=0.05)
+    assert r_fn <= r_fp
+
+
+def test_tune_lsh_validation():
+    import pytest as _pytest
+
+    from paradump_spark.operators.dedup import tune_lsh
+
+    with _pytest.raises(ValueError):
+        tune_lsh(0.0, 128)
+    with _pytest.raises(ValueError):
+        tune_lsh(0.5, 0)
