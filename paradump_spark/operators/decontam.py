@@ -212,6 +212,7 @@ def contamination_bloom(
     n: int = 3,
     n_bits: int = 1 << 24,
     n_hashes: int = 5,
+    bloom=None,
 ) -> DataFrame:
     """:func:`contamination` semantics — EXACT same result — via a
     Bloom prefilter: map-only membership test over the broadcast bitmap
@@ -222,13 +223,20 @@ def contamination_bloom(
     Sizing: ``n_bits ≈ 10 × distinct benchmark shingles`` gives ~1% FP
     (only cost: FP shingles reach the verify join and are discarded
     there).  The bitmap is built distributed (:func:`build_bench_bloom`)
-    and broadcast once per job.
+    and broadcast once per job; pass a prebuilt ``bloom`` (the array
+    that function returns) to amortize the build across many calls —
+    the streaming path scrubs every micro-batch against one bitmap.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    bloom = build_bench_bloom(bench, text_col, n, n_bits, n_hashes)
+    if bloom is None:
+        bloom = build_bench_bloom(bench, text_col, n, n_bits, n_hashes)
+    elif len(bloom) * 8 != n_bits:
+        raise ValueError(
+            f"prebuilt bloom holds {len(bloom) * 8} bits, n_bits={n_bits}"
+        )
     spark = docs.sparkSession
     bloom_bc = spark.sparkContext.broadcast(bloom)
     mask = np.uint64(n_bits - 1)

@@ -16,6 +16,7 @@ filters fuse into the scan, Python never touches a row).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from paradump_spark.operators.pii import pii_counts, redact
 from paradump_spark.operators.quality_rules import (
@@ -194,6 +195,91 @@ def drift_monitor_stream(
 
     writer = (
         stream.writeStream.foreachBatch(_judge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def decontam_stream(
+    docs: DataFrame,
+    bench: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_hits: int = 0,
+    n_bits: int = 0,
+    trigger_available_now: bool = True,
+):
+    """Continuous benchmark decontamination: every arriving shard is
+    scrubbed against a FIXED benchmark before it lands in the corpus —
+    the ingest-time twin of `operators.decontam.decontaminate` (batch
+    re-scrubs are a full corpus pass; gating at ingest is one shard).
+
+    The benchmark is pipeline CONFIG, like the drift monitor's blessed
+    histogram: its distinct shingle set is computed ONCE at stream
+    start and persisted (and with ``n_bits > 0`` the Bloom bitmap is
+    built once and rebroadcast per batch) — micro-batches never re-pay
+    the benchmark-side work.  ``n_bits = 0`` uses the exact
+    broadcast-set join; a power-of-two ``n_bits`` switches the probe to
+    the Bloom prefilter + exact-verify path (same result, bounded
+    broadcast — the beyond-broadcast benchmark scale path).
+
+    foreachBatch append semantics: a replayed batch re-derives the same
+    clean rows (the flag set is a pure function of batch + fixed
+    benchmark), so at-least-once duplicates are re-emitted rows, not
+    corrupted state.
+    """
+    from paradump_spark.functions import text as TX
+    from paradump_spark.operators.decontam import (
+        build_bench_bloom,
+        contamination,
+        contamination_bloom,
+    )
+
+    bench_sh = (
+        bench.select(
+            F.explode(
+                F.array_distinct(TX.word_shingles(text_col, n))
+            ).alias("__sh")
+        )
+        .distinct()
+        .persist()
+    )
+    bench_sh.count()  # materialize once, before the first batch
+    bloom = (
+        build_bench_bloom(bench, text_col, n, n_bits) if n_bits else None
+    )
+
+    def _scrub(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if bloom is not None:
+            hits = contamination_bloom(
+                batch_df, bench_sh_as_docs(), id_col, text_col, n,
+                n_bits=n_bits, bloom=bloom,
+            )
+        else:
+            hits = contamination(batch_df, bench_sh_as_docs(), id_col,
+                                 text_col, n)
+        flagged = hits.where(F.col("n_hits") > max_hits).select(id_col)
+        clean = batch_df.join(F.broadcast(flagged), id_col, "left_anti")
+        clean.write.mode("append").parquet(out_path)
+
+    def bench_sh_as_docs():
+        # contamination() re-shingles its bench argument; feed it the
+        # persisted DISTINCT shingles as one-shingle "documents" so the
+        # per-batch cost is the cached frame, not a benchmark re-scan
+        # (a shingle re-shingled at the same n is itself: word_shingles
+        # of an n-token text is the whole-text shingle).
+        return bench_sh.select(F.col("__sh").alias(text_col))
+
+    writer = (
+        docs.writeStream.foreachBatch(_scrub)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
