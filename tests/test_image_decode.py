@@ -131,3 +131,80 @@ def test_png_via_pillow(spark):
     assert (r["width"], r["height"]) == (2, 2)
     assert r["decode_error"] is None
     assert np.allclose(r["mean_rgb"], PIXELS.mean(axis=(0, 1)))
+
+
+# ---------------------------------------------------------------------------
+# WAV/PCM audio decode (round 5)
+
+
+def wav_bytes(samples, sample_rate=8000, bits=16, audio_format=1):
+    """Minimal RIFF/WAVE: samples is (n_frames, n_channels) float in
+    [-1, 1]."""
+    arr = np.asarray(samples, dtype=np.float64)
+    n_ch = arr.shape[1]
+    if audio_format == 1 and bits == 16:
+        raw = (arr * 32767).astype("<i2").tobytes()
+    elif audio_format == 1 and bits == 8:
+        raw = ((arr * 127) + 128).astype(np.uint8).tobytes()
+    elif audio_format == 3 and bits == 32:
+        raw = arr.astype("<f4").tobytes()
+    else:
+        raise ValueError
+    block = n_ch * bits // 8
+    fmt = (
+        audio_format.to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(raw).to_bytes(4, "little") + raw
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_decode_roundtrip():
+    from paradump_spark.operators.multimodal import decode_audio
+
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    stereo = np.stack([np.sin(2 * np.pi * 440 * t), 0.5 * np.cos(2 * np.pi * 220 * t)], axis=1)
+    x, sr = decode_audio(wav_bytes(stereo, 8000, bits=16))
+    assert sr == 8000 and x.shape == (8000, 2)
+    # encode truncation (1 LSB) + the 32767-encode/32768-decode scale
+    assert np.allclose(x, stereo, atol=2.5 / 32768)
+    xf, _ = decode_audio(wav_bytes(stereo, 8000, bits=32, audio_format=3))
+    assert np.allclose(xf, stereo, atol=1e-6)
+    x8, _ = decode_audio(wav_bytes(stereo, 8000, bits=8))
+    assert np.allclose(x8, stereo, atol=0.02)
+
+
+def test_wav_rejects_non_wav():
+    from paradump_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3-ish bytes")
+
+
+def test_audio_features_spark(spark):
+    from paradump_spark.operators.multimodal import (
+        AUDIO_FEATURE_SCHEMA,
+        audio_features,
+    )
+
+    t = np.linspace(0, 0.5, 4000, endpoint=False)
+    mono = np.sin(2 * np.pi * 440 * t).reshape(-1, 1)
+    df = spark.createDataFrame(
+        [(1, wav_bytes(mono, 8000)), (2, b"not audio at all")],
+        "doc_id long, payload binary",
+    )
+    out = audio_features(df)
+    assert out.schema == AUDIO_FEATURE_SCHEMA
+    got = {r["doc_id"]: r for r in out.collect()}
+    r1 = got[1]
+    assert (r1["sample_rate"], r1["n_channels"], r1["duration_ms"]) == (8000, 1, 500)
+    assert abs(r1["rms"] - 1 / np.sqrt(2)) < 1e-3  # sine RMS
+    assert abs(r1["peak"] - 1.0) < 1e-3
+    assert r1["decode_error"] is None
+    assert got[2]["sample_rate"] is None
+    assert "NotImplementedError" in got[2]["decode_error"]
