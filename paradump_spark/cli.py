@@ -132,6 +132,27 @@ def build_parser() -> argparse.ArgumentParser:
                     help="embedding column for --method semantic")
     dd.add_argument("--num-clusters", type=int, default=1024,
                     help="k-means blocking clusters for --method semantic")
+    dd.add_argument("--auto-bands", action="store_true",
+                    help="minhash mode: tune the LSH banding to the "
+                         "threshold (S-curve fit) instead of the fixed "
+                         "default — fewer junk candidate pairs, same "
+                         "exact-verified result")
+
+    ch = sub.add_parser(
+        "chunk",
+        help="split documents into fixed-window token chunks "
+             "(training-sequence prep; overlapping windows via --stride)",
+    )
+    ch.add_argument("--directory", required=True, help="corpus catalog directory")
+    ch.add_argument("--table", default="documents")
+    ch.add_argument("--id-col", default="doc_id")
+    ch.add_argument("--text-col", default="text")
+    ch.add_argument("--output", required=True, help="parquet output")
+    ch.add_argument("--window", type=int, default=2048,
+                    help="tokens per chunk")
+    ch.add_argument("--stride", type=int, default=None,
+                    help="start-to-start distance; < window overlaps, "
+                         "default = window (no overlap)")
 
     pp = sub.add_parser(
         "pipeline",
@@ -315,6 +336,11 @@ def validate(args: argparse.Namespace) -> None:
                 "(never the shingle set), so the no-broadcast knob does "
                 "not apply to it"
             )
+    if args.command == "chunk":
+        if args.window < 1:
+            raise SystemExit("--window must be >= 1")
+        if args.stride is not None and not 1 <= args.stride <= args.window:
+            raise SystemExit("--stride must be in [1, --window]")
     if args.command == "scrub":
         if args.no_redact and args.no_filter:
             raise SystemExit("--no-redact with --no-filter leaves nothing to do")
@@ -755,6 +781,7 @@ def main(argv: list[str] | None = None) -> int:
             out = DD.dedup_minhash_cc(
                 corpus, args.id_col, args.text_col,
                 threshold=args.threshold, shingle_size=args.ngram,
+                bands=None if args.auto_bands else 4,
             )
         elif args.method == "semantic":
             from paradump_spark.operators.semdedup import semantic_dedup
@@ -777,6 +804,27 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"dedup {args.table} method={args.method}: "
             f"kept {n_out} of {n_in} (dropped {n_in - n_out})"
+        )
+        return 0
+    if args.command == "chunk":
+        from pyspark.sql import functions as F
+
+        from paradump_spark.operators.packing import chunk_documents
+
+        corpus = ParquetCatalog(spark, args.directory).load(args.table)
+        chunks = chunk_documents(
+            corpus, args.id_col, args.text_col,
+            window=args.window, stride=args.stride,
+        )
+        chunks.write.mode("overwrite").parquet(args.output)
+        stats = spark.read.parquet(args.output).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chunk_tokens").alias("tok"),
+        ).collect()[0]
+        print(
+            f"chunk {args.table} window={args.window} "
+            f"stride={args.stride or args.window}: {stats['n']} chunks, "
+            f"{stats['tok']} tokens"
         )
         return 0
     if args.command == "classify":

@@ -673,12 +673,22 @@ def dedup_minhash_cc(
     threshold: float = 0.8,
     shingle_size: int = 3,
     num_hashes: int = 12,
-    bands: int = 4,
+    bands: int | None = 4,
 ) -> DataFrame:
     """Transitive-closure MinHash dedup: keep one row per near-duplicate
     *cluster* (the smallest id), where clusters are connected components
     of the verified-Jaccard candidate graph.  Closes the A~B~C chain the
-    greedy :func:`dedup_minhash` leaves open."""
+    greedy :func:`dedup_minhash` leaves open.
+
+    ``bands=None`` auto-tunes the banding to the threshold
+    (:func:`tune_lsh`): the S-curve inflection lands near ``threshold``
+    instead of wherever the fixed default puts it — fewer sub-threshold
+    candidate pairs reach the exact-verify join, no recall loss above
+    the threshold (the verify join keeps the result exact either way;
+    tuning only moves the candidate-generation cost)."""
+    if bands is None:
+        bands, rows = tune_lsh(threshold, num_hashes)
+        num_hashes = bands * rows
     cand = minhash_lsh_candidates(df, id_col, text_col, shingle_size, num_hashes, bands)
     edges = ngram_jaccard_pairs(df, id_col, text_col, cand, shingle_size).where(
         F.col("jaccard") >= threshold

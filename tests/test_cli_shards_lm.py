@@ -102,3 +102,58 @@ def test_score_lm_model_persistence(spark, sf_dir, tmp_path):
     b = {(r["doc_id"], r["bits_per_token"])
          for r in spark.read.parquet(out2).collect()}
     assert a == b
+
+
+def test_chunk_command(spark, sf_dir, tmp_path, capsys):
+    from paradump_spark.cli import main
+
+    out = str(tmp_path / "chunks")
+    rc = main(
+        [
+            "chunk",
+            "--directory", sf_dir,
+            "--output", out,
+            "--window", "64",
+            "--stride", "48",
+        ]
+    )
+    assert rc == 0
+    assert "chunks" in capsys.readouterr().out
+    back = spark.read.parquet(out)
+    assert back.columns == ["doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text"]
+    assert back.count() > 0
+    assert back.agg({"n_chunk_tokens": "max"}).collect()[0][0] <= 64
+
+
+def test_chunk_validation(tmp_path):
+    import pytest as _pytest
+
+    from paradump_spark.cli import main
+
+    base = ["chunk", "--directory", "/nonexistent", "--output", str(tmp_path / "x")]
+    with _pytest.raises(SystemExit):
+        main(base + ["--window", "0"])
+    with _pytest.raises(SystemExit):
+        main(base + ["--window", "8", "--stride", "9"])
+
+
+def test_dedup_auto_bands(spark, sf_dir, tmp_path, capsys):
+    """--auto-bands must produce the same exact-verified keep-set class
+    (a valid dedup) and run end-to-end."""
+    from paradump_spark.cli import main
+
+    out = str(tmp_path / "dd_auto")
+    rc = main(
+        [
+            "dedup",
+            "--directory", sf_dir,
+            "--output", out,
+            "--method", "minhash",
+            "--threshold", "0.8",
+            "--auto-bands",
+        ]
+    )
+    assert rc == 0
+    n = spark.read.parquet(out).count()
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert 0 < n <= src
