@@ -3,9 +3,11 @@
 ``diff``          — parasync's full-outer diff + stats (J1/A2).
 ``checksum``      — chunk checksums, two-phase incremental diff.
 ``profile``       — one-pass column profiles + mergeable HLL sketches.
-``dedup``         — exact / MinHash-LSH / SimHash / n-gram-Jaccard /
+``dedup``         — exact / MinHash-LSH (auto-tunable banding) /
+                    SimHash / n-gram Jaccard + containment /
                     embedding near-dup / connected-components /
-                    exact-substring-span / line-boilerplate dedup.
+                    exact-substring-span / line-boilerplate dedup /
+                    split-leakage audit.
 ``semdedup``      — SemDeDup semantic dedup (k-means blocking).
 ``fuzzyjoin``     — blocked fuzzy join / entity resolution.
 ``similarity``    — brute-force and IVF top-k embedding search.
@@ -18,15 +20,16 @@
 ``classifier``    — hashed-feature linear quality classifier.
 ``lm``            — bigram-LM perplexity scoring + CCNet buckets.
 ``bpe``           — BPE vocabulary learning + subword tokenization.
-``urls``          — URL features + domain blocklist.
+``urls``          — URL features, domain blocklist, canonical-URL dedup.
 ``drift``         — PSI distribution-drift detection.
 ``ids``           — stable content-hash IDs + collision audit.
 ``sampling``      — deterministic splits, mixtures, group top-k.
-``packing``       — FFD document packing for training sequences.
+``packing``       — FFD document packing + fixed-window sequence chunking.
 ``asof``          — as-of (point-in-time) join.
 ``rangejoin``     — bucketized range join.
 ``sessionize``    — gap sessionization.
 ``funnel``        — funnels, cohort retention, event transitions.
 ``props``         — JSON property extraction / field profiling.
-``multimodal``    — binary-payload plumbing with Arrow-batched extract.
+``multimodal``    — binary payloads: real image (PPM/BMP/PIL) and
+                    audio (WAV/PCM) decode, features, resize, quarantine.
 """

@@ -398,3 +398,77 @@ def test_lm_score_partitioning_invariant(spark, texts):
         for r in self_perplexity(df.repartition(7)).collect()
     }
     assert a == b
+
+
+@_slow
+@given(
+    urls=st.lists(
+        st.builds(
+            lambda scheme, www, host, port, path, frag, params: (
+                scheme
+                + "://"
+                + ("www." if www else "")
+                + host
+                + (f":{port}" if port else "")
+                + "/"
+                + path
+                + ("?" + "&".join(params) if params else "")
+                + ("#x" if frag else "")
+            ),
+            st.sampled_from(["http", "https", "HTTP", "Https"]),
+            st.booleans(),
+            st.sampled_from(["a.example.com", "EXAMPLE.com", "b.co"]),
+            st.sampled_from([None, "80", "443", "8080"]),
+            st.text(alphabet="ab/c", max_size=6),
+            st.booleans(),
+            st.lists(
+                st.sampled_from(["a=1", "b=2", "utm_source=x", "gclid=9"]),
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_canonical_url_idempotent(spark, urls):
+    """canonical(canonical(u)) == canonical(u) over arbitrary URL shapes
+    — the fixed-point property any normalizer must satisfy."""
+    from paradump_spark.operators.urls import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        F.col("c1"), canonical_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c1"] == r["c2"], r
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \t\n", min_size=0, max_size=120),
+        min_size=1,
+        max_size=20,
+    ),
+    window=st.integers(min_value=1, max_value=9),
+)
+def test_chunking_conserves_token_stream(spark, texts, window):
+    """stride == window: re-joining each doc's chunks in order must
+    reproduce its token stream exactly, for arbitrary whitespace mess."""
+    from paradump_spark.operators.packing import chunk_documents
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", window=window)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+        assert 1 <= r["n_chunk_tokens"] <= window
+    for i, t in rows:
+        toks = t.split()
+        if not toks:
+            assert i not in got
+            continue
+        rebuilt = " ".join(txt for _, txt in sorted(got[i]))
+        assert rebuilt == " ".join(toks), (i, t)
