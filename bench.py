@@ -293,6 +293,31 @@ def main() -> None:
 
     times["decontam_bloom"] = bench(bloom_step)
 
+    # round-5 additions: canonical-URL dedup (map-only canon + one
+    # shuffle) and fixed-window sequence chunking (shuffle-free fan-out)
+    def url_dedup_step():
+        from paradump_spark.operators.urls import url_dedup
+
+        urls = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.lit(".example.com/item/"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit("?b=2&a=1&utm_source=x"),
+            ).alias("url"),
+        )
+        url_dedup(urls, "url", "doc_id").count()
+
+    times["url_dedup"] = bench(url_dedup_step)
+
+    def chunk_step():
+        from paradump_spark.operators.packing import chunk_documents
+
+        chunk_documents(docs, "doc_id", "text", window=64, stride=48).count()
+
+    times["sequence_chunks"] = bench(chunk_step)
+
     # MinHash-LSH quality ledger (not timed as a headline query): recall
     # and precision of the banded candidates vs exact-Jaccard truth at
     # J >= 0.8, so the dedup story is quantitatively defensible like the
