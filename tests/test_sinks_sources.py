@@ -468,3 +468,23 @@ def test_orc_dump_round_trip(spark, sf_dir, tmp_path):
     a = table_checksum(src).collect()[0]
     b = table_checksum(back).collect()[0]
     assert (a["n_rows"], str(a["hash_sum"])) == (b["n_rows"], str(b["hash_sum"]))
+
+
+def test_jsonl_zst_round_trip_diff_zero(spark, sf_dir, tmp_path):
+    """Full JSONL-zstd loop: write_jsonl(compression='zstd') →
+    read_jsonl_zst → diff_classified == 0 DML (the reference's
+    dump-readback-diff consistency contract on the K3 zstd path)."""
+    from paradump_spark.sinks.files import write_jsonl
+    from paradump_spark.sources.files import read_jsonl_zst, read_text_zst
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "jz")
+    write_jsonl(docs, out, compression="zstd", compression_level=3)
+    import glob as g
+
+    assert g.glob(out + "/*.zst"), "finalize pass must emit .zst parts"
+    back = read_jsonl_zst(spark, out, docs.schema)
+    assert back.count() == docs.count()
+    assert diff_classified(docs, back, ["doc_id"]).count() == 0
+    # the raw line reader sees one line per row
+    assert read_text_zst(spark, out).count() == docs.count()
