@@ -138,6 +138,24 @@ def build_parser() -> argparse.ArgumentParser:
                          "default — fewer junk candidate pairs, same "
                          "exact-verified result")
 
+    rp = sub.add_parser(
+        "report",
+        help="corpus datasheet: volumes, token percentiles, quality "
+             "keep-rate, PII totals, dup rate, per-column breakdowns "
+             "— one JSON data card",
+    )
+    rp.add_argument("--directory", required=True, help="corpus catalog directory")
+    rp.add_argument("--table", default="documents")
+    rp.add_argument("--id-col", default="doc_id")
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--by", action="append", default=[],
+                    help="breakdown column (repeatable, e.g. --by source "
+                         "--by lang)")
+    rp.add_argument("--output", default=None,
+                    help="write the JSON here (default: stdout)")
+    rp.add_argument("--no-dup-rate", action="store_true",
+                    help="skip the exact-duplicate-rate shuffle")
+
     ch = sub.add_parser(
         "chunk",
         help="split documents into fixed-window token chunks "
@@ -805,6 +823,27 @@ def main(argv: list[str] | None = None) -> int:
             f"dedup {args.table} method={args.method}: "
             f"kept {n_out} of {n_in} (dropped {n_in - n_out})"
         )
+        return 0
+    if args.command == "report":
+        import json as _json
+
+        from paradump_spark.operators.report import corpus_report
+
+        corpus = ParquetCatalog(spark, args.directory).load(args.table)
+        card = corpus_report(
+            corpus,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            breakdown_cols=tuple(args.by),
+            include_dup_rate=not args.no_dup_rate,
+        )
+        text = _json.dumps(card, indent=2, sort_keys=True)
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(text + "\n")
+            print(f"report written to {args.output}")
+        else:
+            print(text)
         return 0
     if args.command == "chunk":
         from pyspark.sql import functions as F
