@@ -195,6 +195,12 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--threshold", type=float, default=0.8)
     pp.add_argument("--span-tokens", type=int, default=20)
     pp.add_argument("--max-hits", type=int, default=0)
+    pp.add_argument("--chunk-window", type=int, default=None,
+                    help="add a sequence-chunking stage (tokens per chunk)")
+    pp.add_argument("--chunk-stride", type=int, default=None,
+                    help="chunk stride (default = window)")
+    pp.add_argument("--pack-tokens", type=int, default=None,
+                    help="add an FFD packing stage with this token budget")
 
     cl = sub.add_parser(
         "classify",
@@ -359,6 +365,18 @@ def validate(args: argparse.Namespace) -> None:
             raise SystemExit("--window must be >= 1")
         if args.stride is not None and not 1 <= args.stride <= args.window:
             raise SystemExit("--stride must be in [1, --window]")
+    if args.command == "pipeline":
+        if args.chunk_window is not None and args.chunk_window < 1:
+            raise SystemExit("--chunk-window must be >= 1")
+        if args.chunk_stride is not None and (
+            args.chunk_window is None
+            or not 1 <= args.chunk_stride <= args.chunk_window
+        ):
+            raise SystemExit(
+                "--chunk-stride needs --chunk-window and must be in [1, window]"
+            )
+        if args.pack_tokens is not None and args.pack_tokens < 1:
+            raise SystemExit("--pack-tokens must be >= 1")
     if args.command == "scrub":
         if args.no_redact and args.no_filter:
             raise SystemExit("--no-redact with --no-filter leaves nothing to do")
@@ -786,6 +804,40 @@ def main(argv: list[str] | None = None) -> int:
             _write_stage(
                 cur.join(F.broadcast(flagged), args.id_col, "left_anti"),
                 "decontam",
+            )
+        if args.chunk_window:
+            from paradump_spark.operators.packing import chunk_documents
+
+            _write_stage(
+                chunk_documents(
+                    cur, args.id_col, args.text_col,
+                    window=args.chunk_window, stride=args.chunk_stride,
+                ),
+                "chunk",
+            )
+        if args.pack_tokens:
+            from paradump_spark.functions.text import token_count
+            from paradump_spark.operators.packing import pack_documents
+
+            if "n_chunk_tokens" in cur.columns:  # after a chunk stage
+                # chunk rows need a UNIQUE pack key (doc_id repeats):
+                # doc_id ∘ chunk_idx, chunk_idx < 2^20 by construction
+                counted = cur.withColumn(
+                    "chunk_uid",
+                    F.col(args.id_col) * F.lit(1 << 20) + F.col("chunk_idx"),
+                )
+                counted, tok_col = counted, "n_chunk_tokens"
+                pack_id = "chunk_uid"
+            else:
+                tok_col = "__n_tokens"
+                counted = cur.withColumn(
+                    tok_col,
+                    token_count(F.col(args.text_col)).cast("long"),
+                )
+                pack_id = args.id_col
+            _write_stage(
+                pack_documents(counted, pack_id, tok_col, args.pack_tokens),
+                "pack",
             )
         print(f"pipeline done: final stage holds {n_prev} docs")
         return 0

@@ -355,3 +355,60 @@ def test_cli_dump_manifest_and_verify(spark, sf_dir, tmp_path, capsys):
     rc = cli_main(["verify-dump", "--directory", out, "--manifest", manifest])
     msg = capsys.readouterr().out
     assert rc == 1 and "region: MISMATCH" in msg and "nation: OK" in msg
+
+
+def test_cli_pipeline_chunk_and_pack_stages(spark, sf_dir, tmp_path, capsys):
+    """pipeline with chunk + pack stages: staged outputs appear in order
+    and the pack stage bins the CHUNK rows (unique chunk key)."""
+    import glob
+    import os
+
+    from paradump_spark.cli import main
+
+    root = str(tmp_path / "pl")
+    rc = main(
+        [
+            "pipeline",
+            "--directory", sf_dir,
+            "--output-root", root,
+            "--skip-scrub",
+            "--dedup-method", "none",
+            "--chunk-window", "32",
+            "--chunk-stride", "24",
+            "--pack-tokens", "128",
+        ]
+    )
+    assert rc == 0
+    stages = sorted(os.path.basename(p) for p in glob.glob(root + "/*"))
+    assert stages == ["01_chunk", "02_pack"]
+    chunks = spark.read.parquet(root + "/01_chunk")
+    packed = spark.read.parquet(root + "/02_pack")
+    assert packed.count() == chunks.count()  # every chunk got a bin
+    from pyspark.sql import functions as F
+
+    # no bin exceeds the budget (oversize singletons impossible: 32<128)
+    over = (
+        packed.groupBy("bin_id")
+        .agg(F.sum("n_chunk_tokens").alias("t"))
+        .where(F.col("t") > 128)
+        .count()
+    )
+    assert over == 0
+    assert "chunk_uid" in packed.columns
+
+
+def test_cli_pipeline_stage_flag_validation(tmp_path):
+    import pytest as _pytest
+
+    from paradump_spark.cli import main
+
+    base = [
+        "pipeline", "--directory", "/nonexistent",
+        "--output-root", str(tmp_path / "x"),
+    ]
+    with _pytest.raises(SystemExit):
+        main(base + ["--chunk-window", "0"])
+    with _pytest.raises(SystemExit):
+        main(base + ["--chunk-stride", "4"])  # stride without window
+    with _pytest.raises(SystemExit):
+        main(base + ["--pack-tokens", "0"])
