@@ -1485,6 +1485,16 @@ def _q_url_canonical_dedup(spark, sf_dir):
     )
 
 
+def _q_key_skew_orders(spark, sf_dir):
+    """Key-skew diagnosis (plans/skew.py:skew_report): the 20 hottest
+    o_custkey values with share and hot/average imbalance — the number
+    that picks between plain shuffle, AQE skew split, and salting.
+    Oracle recomputes counts/share/imbalance independently in SQL."""
+    from paradump_spark.plans.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "orders"), ["o_custkey"], top_k=20)
+
+
 def _q_sequence_chunks(spark, sf_dir):
     """Fixed-window training-sequence chunking
     (operators/packing.py:chunk_documents): 64-token windows, stride 48
@@ -1758,6 +1768,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features_docs": _q_url_features_docs,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "sequence_chunks": _q_sequence_chunks,
+        "key_skew_orders": _q_key_skew_orders,
         "lm_buckets": _q_lm_buckets,
         "price_drift_psi": _q_price_drift_psi,
         "source_quality_report": _q_source_quality_report,
@@ -2336,6 +2347,19 @@ WITH u AS (
 SELECT c.doc_id, c.canonical_url, c.doc_id = grp.keeper AS keep,
        grp.n_dupes::BIGINT AS n_dupes
 FROM c JOIN grp USING (canonical_url)""",
+        "key_skew_orders": """
+WITH counts AS (
+  SELECT o_custkey, COUNT(*) AS n_rows FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM counts
+)
+SELECT o_custkey,
+       n_rows::BIGINT AS n_rows,
+       round(n_rows / tot.total, 6) AS share,
+       round(n_rows * tot.n_keys / tot.total, 3) AS imbalance
+FROM counts, tot
+ORDER BY n_rows DESC, o_custkey ASC
+LIMIT 20""",
         "sequence_chunks": """
 WITH t AS (
   SELECT doc_id,

@@ -90,3 +90,43 @@ def salted_join(
     )
     out = b.join(s, on=on + ["__salt"], how=how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Key-skew diagnosis BEFORE choosing a mitigation: the ``top_k``
+    hottest key values with their row counts, each key's share of the
+    table, and the hot/average imbalance factor — the number that says
+    whether a plain shuffle is fine (≈ 1), AQE's skew-join split will
+    cope (≲ 10), or :func:`salted_agg` / :func:`salted_join` is needed.
+
+    Output: (key columns…, n_rows, share, imbalance) ordered hottest
+    first.  ``imbalance`` = key's count ÷ mean rows-per-distinct-key; a
+    key with imbalance 500 funnels 500 tasks' worth of its shuffle
+    partition through one reducer.
+
+    One partially-aggregated groupBy (the same shuffle the real job
+    would pay) + a single-row global aggregate; ``top_k`` rows reach
+    the driver only if collected.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("__n_keys") / F.col("__total"), 3
+            ).alias("imbalance"),
+        )
+        .orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
+        .limit(top_k)
+    )

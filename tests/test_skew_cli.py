@@ -106,3 +106,27 @@ def test_cli_profile_runs_and_validates(spark, sf_dir, capsys):
 
     with pytest.raises(SystemExit):
         main(["profile", "--directory", sf_dir, "--table", "nation", "--table", "nation"])
+
+
+def test_skew_report_identifies_hot_key(spark):
+    from paradump_spark.plans.skew import skew_report
+
+    rows = [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    rep = skew_report(df, ["k"], top_k=3).collect()
+    assert rep[0]["k"] == 1 and rep[0]["n_rows"] == 900
+    assert rep[0]["share"] == round(900 / 1000, 6)
+    # 101 distinct keys, mean ~9.9 rows/key -> imbalance ~90.9
+    assert abs(rep[0]["imbalance"] - round(900 * 101 / 1000, 3)) < 1e-9
+    assert all(r["n_rows"] == 1 for r in rep[1:])
+
+
+def test_skew_report_uniform_keys_near_one(spark, sf_dir):
+    from paradump_spark.plans.skew import skew_report
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = skew_report(orders, ["o_orderpriority"], top_k=10).collect()
+    assert 0 < len(rep) <= 10
+    # priorities are near-uniform: hot/average stays close to 1
+    assert all(0.5 < r["imbalance"] < 2.0 for r in rep)
+    assert abs(sum(r["share"] for r in rep) - 1.0) < 1e-3
