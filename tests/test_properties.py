@@ -472,3 +472,29 @@ def test_chunking_conserves_token_stream(spark, texts, window):
             continue
         rebuilt = " ".join(txt for _, txt in sorted(got[i]))
         assert rebuilt == " ".join(toks), (i, t)
+
+
+@_slow
+@given(
+    days=st.lists(
+        st.integers(min_value=0, max_value=20000),  # 1970..2024-ish
+        min_size=1,
+        max_size=200,
+    ),
+    n=st.integers(min_value=2, max_value=8),
+)
+def test_chunks_partition_any_date_keyset(spark, days, n):
+    """Chunk planning over DATE primary keys: the planned intervals must
+    cover every row exactly once, like the int/composite cases — the
+    reference's timestamp-PK tables (client_info.insert_ts class) hit
+    this path."""
+    import datetime
+
+    rows = [(datetime.date(1970, 1, 1) + datetime.timedelta(days=d),)
+            for d in days]
+    df = spark.createDataFrame(rows, "k date")
+    chunks = plan_chunks(df, ["k"], n, sample_rows=64)
+    covered = sum(
+        df.where(chunk_filter(c, ["k"], df.schema)).count() for c in chunks
+    )
+    assert covered == df.count()
