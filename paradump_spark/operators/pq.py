@@ -504,6 +504,56 @@ def ivf_pq_build_index(
     return books
 
 
+def ivf_pq_append_index(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    code_col: str = "pq_code",
+) -> None:
+    """Incrementally add vectors to a materialized IVF-PQ index:
+    centroids AND codebooks are frozen (faiss's add-after-train
+    contract), so existing codes stay valid; new vectors assign to
+    their nearest existing cell, encode with the stored codebooks
+    (residual or flat per the index-meta marker), and append into the
+    same ``cell_id=`` partition layout — one map-shaped pass over the
+    NEW data only, never a rebuild.  Exactness at full probe/rescore is
+    unaffected (the final stage re-scores true cosine on raw vectors).
+    """
+    from paradump_spark.operators import similarity as SIM
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    books = load_codebooks(spark, f"{path}/pq_codebooks")
+    try:
+        residual = bool(
+            spark.read.parquet(f"{path}/index_meta").collect()[0]["residual"]
+        )
+    except Exception:  # pre-residual index layout: flat codes
+        residual = False
+    assigned = SIM.ivf_assign(new_corpus, cents, id_col, vec_col)
+    if residual:
+        cn = F.broadcast(
+            cents.select(
+                "cell_id", V.normalized(F.col("centroid")).alias("__cn")
+            )
+        )
+        with_resid = assigned.join(cn, "cell_id").withColumn(
+            "__resid",
+            F.zip_with(
+                V.normalized(F.col(vec_col)), F.col("__cn"), lambda a, b: a - b
+            ),
+        )
+        encoded = pq_encode(
+            with_resid, "__resid", books, code_col=code_col, normalize=False
+        ).drop("__resid", "__cn")
+    else:
+        encoded = pq_encode(assigned, vec_col, books, code_col=code_col)
+    encoded.repartition(F.col("cell_id")).write.mode("append").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/corpus")
+
+
 def ivf_pq_query_index(
     spark,
     path: str,

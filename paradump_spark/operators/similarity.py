@@ -278,6 +278,36 @@ def ivf_build_index(
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_append_index(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Incrementally add vectors to a materialized IVF index — the
+    ANN analogue of the dedup signature store: corpora grow, and
+    rebuilding a 100 TB index nightly is the failure mode this avoids.
+
+    Centroids are FROZEN (the index layout and every existing cell
+    assignment stay valid — faiss's add-after-train contract): new
+    vectors assign to their nearest existing cell (broadcast argmax,
+    map-only) and append into the same ``cell_id=`` partition layout.
+    Queries see old and new vectors identically; exactness at full
+    probe is unaffected because the final scoring is true cosine.
+    Re-train (rebuild) only when drift makes cells unbalanced —
+    `plans.skew.skew_report` over cell_id is the check.
+
+    Caller contract: new ids must be new (dedup upstream, as with
+    `sinks.shards.append_to_shards`).
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = ivf_assign(new_corpus, cents, id_col, vec_col)
+    assigned.repartition(F.col("cell_id")).write.mode("append").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/corpus")
+
+
 def ivf_query_index(
     spark,
     path: str,

@@ -117,3 +117,75 @@ def test_kmeans_refine_empty_cell_keeps_previous_centroid(spark):
     got = {r["cell_id"]: r["centroid"] for r in out.collect()}
     assert set(got) == {0, 1, 2}
     assert got[2] == [-1.0, -1.0]
+
+
+def test_ivf_append_exact_at_full_probe(spark, sf_dir, tmp_path):
+    """Build on half the corpus, append the other half: at nprobe=all
+    the appended index answers EXACTLY like brute force over the union
+    (scoring is true cosine; cell quality only affects narrow probes).
+    Appended rows must live in the cell their vector maps to."""
+    from pyspark.sql import functions as F
+
+    from paradump_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_append_index,
+        ivf_assign,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_grow")
+    ivf_build_index(a, path, "vec_id", "embedding", num_cells=8)
+    ivf_append_index(spark, path, b, "vec_id", "embedding")
+
+    back = spark.read.parquet(f"{path}/corpus")
+    assert back.count() == emb.count()
+    # membership: every appended row sits in its argmax cell
+    cents = spark.read.parquet(f"{path}/centroids")
+    want = ivf_assign(b, cents, "vec_id", "embedding").select(
+        "vec_id", F.col("cell_id").alias("want_cell")
+    )
+    mism = (
+        back.join(want, "vec_id")
+        .where(F.col("cell_id") != F.col("want_cell"))
+        .count()
+    )
+    assert mism == 0
+
+    q = emb.where(F.col("vec_id") < 15)
+    got = ivf_query_index(spark, path, q, "vec_id", "embedding", k=5, nprobe=8)
+    exact = brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_pq_append_exact_at_full_probe(spark, sf_dir, tmp_path):
+    """Same grow contract for the composed IVF-PQ index (frozen
+    codebooks encode the appended half; residual mode honored)."""
+    from pyspark.sql import functions as F
+
+    from paradump_spark.operators import pq as PQ
+    from paradump_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    for residual in (False, True):
+        path = str(tmp_path / f"ivfpq_grow_{residual}")
+        PQ.ivf_pq_build_index(
+            a, path, "vec_id", "embedding",
+            num_cells=4, m=8, ksub=64, residual=residual,
+        )
+        PQ.ivf_pq_append_index(spark, path, b, "vec_id", "embedding")
+        assert spark.read.parquet(f"{path}/corpus").count() == n
+        q = emb.where(F.col("vec_id") < 10)
+        got = PQ.ivf_pq_query_index(
+            spark, path, q, "vec_id", "embedding", k=5, nprobe=4, rescore=n
+        )
+        exact = brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, exact.collect())
+        ), residual
