@@ -1354,6 +1354,31 @@ def _q_classifier_scores(spark, sf_dir):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_classifier_calibration(spark, sf_dir):
+    """Calibration curve for the classifier serving path
+    (operators/classifier.py:calibration_report): per-score-decile
+    empirical positive rate against a deterministic synthetic label
+    (doc_id % 3 == 0) — the threshold-picking artifact.  Exact-decimal
+    mean keeps the bucket means partitioning-independent."""
+    from paradump_spark.operators.classifier import (
+        calibration_report,
+        score_linear,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") * 2654435761) % 1025 - 512).cast("double") / 1024.0).alias(
+            "weight"
+        ),
+    )
+    scored = score_linear(docs, weights, "doc_id", "text", n_buckets=4096)
+    labeled = scored.withColumn(
+        "label", (F.col("doc_id") % 3 == 0).cast("int")
+    )
+    return calibration_report(labeled, "label", n_buckets=10)
+
+
 def _q_semantic_dedup_flags(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540) keep/drop flags with the label column
     as the cluster blocking unit: a vector is a semantic dup iff a
@@ -1808,6 +1833,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_pairs": _q_fuzzy_part_pairs,
         "semantic_dedup_flags": _q_semantic_dedup_flags,
         "classifier_scores": _q_classifier_scores,
+        "classifier_calibration": _q_classifier_calibration,
         "events_props_stats": _q_events_props_stats,
         # approximate by design -> rows-only checks
         "ivf_topk": _q_ivf_topk,
@@ -2709,6 +2735,29 @@ s AS (SELECT doc_id, avg(((bucket * 2654435761) % 1025 - 512) / 1024.0) AS m
       FROM b GROUP BY doc_id)
 SELECT d.doc_id, round(1.0 / (1.0 + exp(-coalesce(s.m, 0.0))), 6) AS score
 FROM documents d LEFT JOIN s USING (doc_id)""",
+        "classifier_calibration": r"""
+WITH t AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> x <> '') AS toks
+       FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+b AS (SELECT doc_id,
+        ('0x' || substr(md5('feat|' || tok), 1, 15))::BIGINT % 4096 AS bucket
+      FROM e),
+s AS (SELECT doc_id, avg(((bucket * 2654435761) % 1025 - 512) / 1024.0) AS m
+      FROM b GROUP BY doc_id),
+sc AS (SELECT d.doc_id,
+              1.0 / (1.0 + exp(-coalesce(s.m, 0.0))) AS score,
+              CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END AS label
+       FROM documents d LEFT JOIN s USING (doc_id)),
+bk AS (SELECT LEAST(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+              round(score, 6)::DECIMAL(18,6) AS r_score, label
+       FROM sc)
+SELECT bucket,
+       count(*)::BIGINT AS n_docs,
+       round((sum(r_score) / count(*))::DOUBLE, 6) AS mean_score,
+       round(sum(label) / count(*)::DOUBLE, 6) AS positive_rate
+FROM bk GROUP BY bucket ORDER BY bucket""",
         "events_props_stats": """
 WITH k AS (SELECT event_type,
                   try_cast(json_extract_string(props, '$.k') AS INT) AS kv

@@ -187,3 +187,47 @@ def train_linear_classifier(
         [(int(i), float(w[i])) for i in nz], "bucket long, weight double"
     )
     return weights, b
+
+
+def calibration_report(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str = "score",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-score-bucket empirical positive rate — the calibration curve
+    that turns a classifier score into a keep-threshold decision (pick
+    the bucket where precision crosses the pipeline's bar; a
+    well-calibrated scorer shows positive_rate ≈ mean_score per
+    bucket).
+
+    Output: (bucket, n_docs, mean_score, positive_rate), bucket =
+    ``floor(score·n)`` clamped into [0, n).  One partial-agg groupBy;
+    the mean accumulates per-row 6-dp scores as exact decimals so the
+    number is partitioning-independent (engine-reproducible — the
+    `operators.lm` convention).
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * n_buckets).cast("long"),
+        F.lit(n_buckets - 1).cast("long"),
+    )
+    return (
+        scored.withColumn("bucket", b)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                (
+                    F.sum(F.round(F.col(score_col), 6).cast("decimal(18,6)"))
+                    / F.count(F.lit(1))
+                ).cast("double"),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.sum(F.col(label_col).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("positive_rate"),
+        )
+        .orderBy("bucket")
+    )

@@ -107,3 +107,21 @@ def test_train_learns_token_signal(spark, sf_dir):
         ).agg(F.avg("ok")).first()[0]
     )
     assert acc > 0.95, acc
+
+
+def test_calibration_report_exact_values(spark):
+    from paradump_spark.operators.classifier import calibration_report
+
+    rows = [
+        (1, 0.05, 1), (2, 0.07, 0),          # bucket 0: rate 0.5
+        (3, 0.95, 1), (4, 0.99, 1),          # bucket 9: rate 1.0
+        (5, 1.00, 0),                        # score 1.0 clamps into 9
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    got = {r["bucket"]: r for r in calibration_report(df, "label").collect()}
+    assert set(got) == {0, 9}
+    assert got[0]["n_docs"] == 2 and got[0]["positive_rate"] == 0.5
+    assert got[9]["n_docs"] == 3
+    assert got[9]["positive_rate"] == round(2 / 3, 6)
+    assert got[0]["mean_score"] == 0.06
+    assert got[9]["mean_score"] == round((0.95 + 0.99 + 1.0) / 3, 6)
