@@ -324,6 +324,54 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--bins", type=int, default=10)
     dr.add_argument("--threshold", type=float, default=0.25,
                     help="exit 1 when any column's PSI exceeds this")
+
+    ib = sub.add_parser(
+        "index-build",
+        help="materialize an ANN index over an embedding column "
+             "(IVF cell-partitioned; --pq adds product-quantized codes)",
+    )
+    ib.add_argument("--directory", required=True, help="corpus catalog directory")
+    ib.add_argument("--table", default="embeddings")
+    ib.add_argument("--id-col", default="vec_id")
+    ib.add_argument("--vec-col", default="embedding")
+    ib.add_argument("--output", required=True, help="index directory")
+    ib.add_argument("--num-cells", type=int, default=16)
+    ib.add_argument("--refine-iters", type=int, default=2)
+    ib.add_argument("--pq", action="store_true",
+                    help="store PQ codes (IVF-PQ) instead of raw-only IVF")
+    ib.add_argument("--m", type=int, default=8, help="PQ subspaces")
+    ib.add_argument("--ksub", type=int, default=256, help="PQ codewords/subspace")
+    ib.add_argument("--residual", action="store_true",
+                    help="PQ codes quantize the cell residual (faiss IVFPQ)")
+
+    ia = sub.add_parser(
+        "index-append",
+        help="add new vectors to an existing index without rebuilding "
+             "(frozen centroids/codebooks; IVF vs IVF-PQ auto-detected)",
+    )
+    ia.add_argument("--directory", required=True, help="catalog of NEW vectors")
+    ia.add_argument("--table", default="embeddings")
+    ia.add_argument("--id-col", default="vec_id")
+    ia.add_argument("--vec-col", default="embedding")
+    ia.add_argument("--index", required=True, help="existing index directory")
+
+    iq = sub.add_parser(
+        "index-query",
+        help="top-k cosine search against a materialized index "
+             "(partition-pruned probes)",
+    )
+    iq.add_argument("--index", required=True, help="index directory")
+    iq.add_argument("--directory", required=True, help="query catalog directory")
+    iq.add_argument("--table", default="embeddings")
+    iq.add_argument("--id-col", default="vec_id")
+    iq.add_argument("--vec-col", default="embedding")
+    iq.add_argument("--output", required=True, help="parquet output for results")
+    iq.add_argument("--k", type=int, default=10)
+    iq.add_argument("--nprobe", type=int, default=4)
+    iq.add_argument("--rescore", type=int, default=100,
+                    help="IVF-PQ only: exact-rescore candidate count")
+    iq.add_argument("--limit-queries", type=int, default=None,
+                    help="probe only the first N query rows")
     return p
 
 
@@ -365,6 +413,16 @@ def validate(args: argparse.Namespace) -> None:
             raise SystemExit("--window must be >= 1")
         if args.stride is not None and not 1 <= args.stride <= args.window:
             raise SystemExit("--stride must be in [1, --window]")
+    if args.command == "index-build":
+        if args.num_cells < 1:
+            raise SystemExit("--num-cells must be >= 1")
+        if args.pq and (args.m < 1 or args.ksub < 2):
+            raise SystemExit("--m must be >= 1 and --ksub >= 2")
+        if args.residual and not args.pq:
+            raise SystemExit("--residual requires --pq")
+    if args.command == "index-query":
+        if args.k < 1 or args.nprobe < 1 or args.rescore < 1:
+            raise SystemExit("--k/--nprobe/--rescore must be >= 1")
     if args.command == "pipeline":
         if args.chunk_window is not None and args.chunk_window < 1:
             raise SystemExit("--chunk-window must be >= 1")
@@ -875,6 +933,71 @@ def main(argv: list[str] | None = None) -> int:
             f"dedup {args.table} method={args.method}: "
             f"kept {n_out} of {n_in} (dropped {n_in - n_out})"
         )
+        return 0
+    if args.command == "index-build":
+        corpus = ParquetCatalog(spark, args.directory).load(args.table)
+        if args.pq:
+            from paradump_spark.operators.pq import ivf_pq_build_index
+
+            ivf_pq_build_index(
+                corpus, args.output, args.id_col, args.vec_col,
+                num_cells=args.num_cells, m=args.m, ksub=args.ksub,
+                refine_iters=args.refine_iters, residual=args.residual,
+            )
+        else:
+            from paradump_spark.operators.similarity import ivf_build_index
+
+            ivf_build_index(
+                corpus, args.output, args.id_col, args.vec_col,
+                num_cells=args.num_cells, refine_iters=args.refine_iters,
+            )
+        n = spark.read.parquet(f"{args.output}/corpus").count()
+        kind = "ivfpq" if args.pq else "ivf"
+        print(f"index-build {kind}: {n} vectors in {args.num_cells} cells")
+        return 0
+    if args.command == "index-append":
+        import os as _os
+
+        new_vecs = ParquetCatalog(spark, args.directory).load(args.table)
+        is_pq = _os.path.isdir(_os.path.join(args.index, "pq_codebooks"))
+        if is_pq:
+            from paradump_spark.operators.pq import ivf_pq_append_index
+
+            ivf_pq_append_index(
+                spark, args.index, new_vecs, args.id_col, args.vec_col
+            )
+        else:
+            from paradump_spark.operators.similarity import ivf_append_index
+
+            ivf_append_index(
+                spark, args.index, new_vecs, args.id_col, args.vec_col
+            )
+        n = spark.read.parquet(f"{args.index}/corpus").count()
+        print(f"index-append {'ivfpq' if is_pq else 'ivf'}: index now holds {n} vectors")
+        return 0
+    if args.command == "index-query":
+        import os as _os
+
+        queries = ParquetCatalog(spark, args.directory).load(args.table)
+        if args.limit_queries:
+            queries = queries.limit(args.limit_queries)
+        if _os.path.isdir(_os.path.join(args.index, "pq_codebooks")):
+            from paradump_spark.operators.pq import ivf_pq_query_index
+
+            res = ivf_pq_query_index(
+                spark, args.index, queries, args.id_col, args.vec_col,
+                k=args.k, nprobe=args.nprobe, rescore=args.rescore,
+            )
+        else:
+            from paradump_spark.operators.similarity import ivf_query_index
+
+            res = ivf_query_index(
+                spark, args.index, queries, args.id_col, args.vec_col,
+                k=args.k, nprobe=args.nprobe,
+            )
+        res.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"index-query: {n} result rows written to {args.output}")
         return 0
     if args.command == "report":
         import json as _json
