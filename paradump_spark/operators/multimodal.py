@@ -543,3 +543,103 @@ def audio_features(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return binary_df.select(F.col(id_col), F.col("payload")).mapInPandas(
         batches, AUDIO_FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Real frame sampling for a codec-free motion container: a "PPM stream"
+# is concatenated binary P6 frames (the uncompressed-video analogue of
+# the PPM/BMP image and WAV audio choices — real parsing, no codec
+# dependency).  Real video containers (mp4/webm) still need libav and
+# flow into decode_error, same quarantine contract.
+
+
+def split_ppm_stream(payload: bytes) -> list:
+    """Split a concatenated-P6 stream into per-frame byte slices
+    (header parse gives each frame's exact pixel length)."""
+    data = bytes(payload)
+    frames, i = [], 0
+    while i < len(data):
+        if data[i : i + 2] != b"P6":
+            raise ValueError(f"not a P6 frame at offset {i}")
+        j, fields = i + 2, []
+        while len(fields) < 3:
+            while data[j : j + 1].isspace():
+                j += 1
+            if data[j : j + 1] == b"#":
+                while j < len(data) and data[j] != 0x0A:
+                    j += 1
+                continue
+            k = j
+            while k < len(data) and not data[k : k + 1].isspace():
+                k += 1
+            fields.append(data[j:k])
+            j = k
+        w, h, _maxval = (int(f) for f in fields)
+        j += 1  # single whitespace after maxval
+        end = j + w * h * 3
+        frames.append(data[i:end])
+        i = end
+    return frames
+
+
+def sample_frames_real(
+    binary_df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL frame sampling over PPM-stream payloads: parse the frame
+    boundaries, pick ``n_frames`` evenly spaced REAL frames (each a
+    standalone decodable PPM), carry the frame's index within the
+    stream.  Streams with fewer frames than requested yield what they
+    have; undecodable payloads quarantine via ``decode_error``.
+    `sample_frames` remains the deterministic-fake twin for payloads
+    no parser here understands.
+    """
+    if n_frames <= 0:
+        raise ValueError(f"n_frames must be positive, got {n_frames}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, binary_df.schema[id_col].dataType),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("stream_pos", T.IntegerType()),
+            T.StructField("frame_payload", T.BinaryType()),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, poss, payloads, errs = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    frames = split_ppm_stream(payload)
+                    total = len(frames)
+                    take = min(n_frames, total)
+                    for k in range(take):
+                        pos = (k * total) // take
+                        ids.append(doc_id)
+                        idxs.append(k)
+                        poss.append(pos)
+                        payloads.append(frames[pos])
+                        errs.append(None)
+                except Exception as e:
+                    ids.append(doc_id)
+                    idxs.append(None)
+                    poss.append(None)
+                    payloads.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids),
+                    "frame_idx": pd.Series(idxs, dtype="Int32"),
+                    "stream_pos": pd.Series(poss, dtype="Int32"),
+                    "frame_payload": payloads,
+                    "decode_error": errs,
+                }
+            )
+
+    return binary_df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        batches, out_schema
+    )

@@ -208,3 +208,46 @@ def test_audio_features_spark(spark):
     assert r1["decode_error"] is None
     assert got[2]["sample_rate"] is None
     assert "NotImplementedError" in got[2]["decode_error"]
+
+
+# ---------------------------------------------------------------------------
+# PPM-stream frame sampling (round 5)
+
+
+def test_ppm_stream_frame_sampling(spark):
+    from paradump_spark.operators.multimodal import (
+        decode_image,
+        sample_frames_real,
+        split_ppm_stream,
+    )
+
+    frames = [
+        np.full((2, 2, 3), v, dtype=np.uint8) for v in (0, 50, 100, 150, 200, 250)
+    ]
+    stream = b"".join(ppm_bytes(f) for f in frames)
+    assert len(split_ppm_stream(stream)) == 6
+    df = spark.createDataFrame(
+        [(1, stream), (2, b"not a stream")], "doc_id long, payload binary"
+    )
+    rows = sample_frames_real(df, n_frames=3).collect()
+    ok = sorted(
+        (r["frame_idx"], r["stream_pos"]) for r in rows if r["doc_id"] == 1
+    )
+    assert ok == [(0, 0), (1, 2), (2, 4)]  # evenly spaced over 6 frames
+    for r in rows:
+        if r["doc_id"] == 1:
+            img = decode_image(bytes(r["frame_payload"]))
+            want = frames[r["stream_pos"]]
+            assert np.array_equal(img, want)
+            assert r["decode_error"] is None
+    bad = [r for r in rows if r["doc_id"] == 2]
+    assert len(bad) == 1 and bad[0]["decode_error"] is not None
+
+
+def test_ppm_stream_short_stream_yields_what_it_has(spark):
+    from paradump_spark.operators.multimodal import sample_frames_real
+
+    stream = ppm_bytes(PIXELS) + ppm_bytes(PIXELS)
+    df = spark.createDataFrame([(1, stream)], "doc_id long, payload binary")
+    rows = sample_frames_real(df, n_frames=5).collect()
+    assert len(rows) == 2  # only 2 frames exist
