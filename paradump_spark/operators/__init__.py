@@ -30,6 +30,7 @@
 ``sessionize``    — gap sessionization.
 ``funnel``        — funnels, cohort retention, event transitions.
 ``props``         — JSON property extraction / field profiling.
+``report``        — corpus datasheet / data-card JSON.
 ``multimodal``    — binary payloads: real image (PPM/BMP/PIL) and
                     audio (WAV/PCM) decode, features, resize, quarantine.
 """
