@@ -62,3 +62,33 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path, corpus_and_bench, n_bits):
     assert not {
         r["doc_id"] for r in bench.select("doc_id").collect()
     } & got
+
+
+def test_chunking_runs_on_stream_unchanged(spark, sf_dir, tmp_path):
+    """chunk_documents is a stateless projection+generator, so the SAME
+    operator code runs on a readStream source; output equals batch."""
+    from paradump_spark.operators.packing import chunk_documents
+
+    src = _stream_dir(spark, sf_dir, tmp_path)
+    stream = _read_doc_stream(spark, src)
+    out = str(tmp_path / "chunks_stream")
+    q = (
+        chunk_documents(stream, "doc_id", "text", window=64, stride=48)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in chunk_documents(docs, "doc_id", "text", 64, 48).collect()
+    }
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
