@@ -121,3 +121,26 @@ def global_ntile(
             F.expr(f"({rn} - 1) div {q + 1} + 1"),
         ).otherwise(F.expr(f"{r} + ({rn} - {head} - 1) div {q} + 1"))
     return ranked.withColumn(out_col, bucket.cast("long")).drop(rn)
+
+
+def global_percent_rank(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    out_col: str = "pct_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``PERCENT_RANK() OVER (ORDER BY ...)`` without the
+    single-partition window: ``(rank − 1) / (total − 1)`` from the
+    distributed row number.  NOTE the SQL subtlety — PERCENT_RANK uses
+    RANK (ties share a value), so the caller's ``order_cols`` here are
+    the TIE-BROKEN total order and this function reproduces the window
+    result exactly only when the ordering has no duplicates (give it a
+    unique tiebreak; with ties, SQL's rank semantics need the tie-free
+    prefix of ``order_cols`` — use `global_row_number` + a self-join on
+    the tie columns for that case)."""
+    rn = "__gpr_rn"
+    ranked, total = _ranked(df, order_cols, rn, num_partitions)
+    denom = max(total - 1, 1)
+    return ranked.withColumn(
+        out_col, ((F.col(rn) - 1) / F.lit(denom)).cast("double")
+    ).drop(rn)

@@ -85,3 +85,30 @@ def test_no_single_partition_window_in_plan(spark, sf_dir):
         if "Window" in line:
             below = "\n".join(lines[i + 1 : i + 4])
             assert "Exchange SinglePartition" not in below, plan
+
+
+def test_percent_rank_matches_window(spark, sf_dir):
+    from paradump_spark.plans.ranking import global_percent_rank
+
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    order = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    got = {
+        r["o_orderkey"]: r["pct_rank"]
+        for r in global_percent_rank(o, order).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["o_orderkey"]: r["p"]
+        for r in o.withColumn("p", F.percent_rank().over(w)).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_percent_rank_single_row(spark):
+    from paradump_spark.plans.ranking import global_percent_rank
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    r = global_percent_rank(df, [F.col("v").asc(), F.col("id").asc()]).collect()
+    assert r[0]["pct_rank"] == 0.0
