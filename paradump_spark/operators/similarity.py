@@ -478,3 +478,17 @@ def ann_recall(
         F.count(F.lit(1)).alias("n_queries"),
         F.round(F.avg("recall"), 6).alias("mean_recall"),
     )
+
+
+def ivf_index_stats(spark, path: str, top_k: int = 64):
+    """Per-cell fill report for a materialized IVF / IVF-PQ index —
+    `plans.skew.skew_report` over the stored cell layout.  This is the
+    "rebuild yet?" check the append path points at: after many
+    :func:`ivf_append_index` rounds drift shows up here as a hot cell
+    whose imbalance climbs (probes that touch it scan ever more rows);
+    re-train when the hottest cell's imbalance outgrows the recall/
+    latency budget."""
+    from paradump_spark.plans.skew import skew_report
+
+    corpus = spark.read.parquet(f"{path}/corpus")
+    return skew_report(corpus, ["cell_id"], top_k=top_k)

@@ -189,3 +189,20 @@ def test_ivf_pq_append_exact_at_full_probe(spark, sf_dir, tmp_path):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, exact.collect())
         ), residual
+
+
+def test_ivf_index_stats_reports_cells(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from paradump_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_stats,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_stats")
+    ivf_build_index(emb, path, "vec_id", "embedding", num_cells=8)
+    rep = ivf_index_stats(spark, path).collect()
+    assert 0 < len(rep) <= 8
+    assert sum(r["n_rows"] for r in rep) == emb.count()
+    assert abs(sum(r["share"] for r in rep) - 1.0) < 1e-3
