@@ -355,6 +355,14 @@ def build_parser() -> argparse.ArgumentParser:
     ia.add_argument("--vec-col", default="embedding")
     ia.add_argument("--index", required=True, help="existing index directory")
 
+    ist = sub.add_parser(
+        "index-stats",
+        help="per-cell fill report of a materialized index (hot-cell "
+             "imbalance = the rebuild trigger after many appends)",
+    )
+    ist.add_argument("--index", required=True, help="index directory")
+    ist.add_argument("--top-k", type=int, default=64)
+
     iq = sub.add_parser(
         "index-query",
         help="top-k cosine search against a materialized index "
@@ -974,6 +982,15 @@ def main(argv: list[str] | None = None) -> int:
             )
         n = spark.read.parquet(f"{args.index}/corpus").count()
         print(f"index-append {'ivfpq' if is_pq else 'ivf'}: index now holds {n} vectors")
+        return 0
+    if args.command == "index-stats":
+        from paradump_spark.operators.similarity import ivf_index_stats
+
+        for r in ivf_index_stats(spark, args.index, top_k=args.top_k).collect():
+            print(
+                f"cell {r['cell_id']}: {r['n_rows']} rows "
+                f"share={r['share']} imbalance={r['imbalance']}"
+            )
         return 0
     if args.command == "index-query":
         import os as _os

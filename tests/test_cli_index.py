@@ -103,3 +103,15 @@ def test_index_cli_validation(tmp_path):
                 "--output", str(tmp_path / "o"), "--k", "0",
             ]
         )
+
+
+def test_index_stats_cli(spark, sf_dir, tmp_path, capsys):
+    idx = str(tmp_path / "idx_for_stats")
+    assert main(
+        ["index-build", "--directory", sf_dir, "--output", idx,
+         "--num-cells", "4"]
+    ) == 0
+    capsys.readouterr()
+    assert main(["index-stats", "--index", idx]) == 0
+    out = capsys.readouterr().out
+    assert out.count("cell ") <= 4 and "imbalance=" in out
