@@ -535,6 +535,35 @@ def _q_customer_spend_quartiles(spark, sf_dir):
     )
 
 
+def _q_order_date_ranks(spark, sf_dir):
+    """RANK / DENSE_RANK / PERCENT_RANK over o_orderdate (thousands of
+    ties per day) computed DISTRIBUTED — `plans/ranking.py` round-6
+    rank-with-ties: range-partitioned row_number offsets, tie-group
+    ``min(rn)`` (= SQL RANK), dense via row-numbering the distinct
+    groups, all joined back NULL-safely.  No single-partition window
+    anywhere in the plan."""
+    from paradump_spark.plans.ranking import (
+        global_dense_rank,
+        global_percent_rank,
+        global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    order = [F.col("o_orderdate").asc()]
+    r = global_rank(o, order, ["o_orderdate"], out_col="date_rank")
+    r = global_dense_rank(r, order, ["o_orderdate"], out_col="date_dense_rank")
+    r = global_percent_rank(
+        r, order, out_col="date_pct_rank", tie_cols=["o_orderdate"]
+    )
+    return r.select(
+        "o_orderkey",
+        "o_orderdate",
+        "date_rank",
+        "date_dense_rank",
+        F.round("date_pct_rank", 6).alias("date_pct_rank"),
+    )
+
+
 def _q_nation_customer_names(spark, sf_dir):
     """Deterministic ordered string_agg: BUILDING-segment customer names
     per nation, sorted then joined (order-insensitive engines agree)."""
@@ -1690,8 +1719,6 @@ _DRIVER_QUERY_NAMES = [
     "nation_customer_names",
     "corr_qty_price",
     "order_age_buckets",
-    "union_segments",
-    "orders_by_weekday",
     "part_color_stats",
     "segment_nation_intersect",
     # ------- round-5 rotation: the 3 queries no CORRECTNESS_r* file has
@@ -1710,6 +1737,15 @@ _DRIVER_QUERY_NAMES = [
     "url_canonical_dedup",
     "sequence_chunks",
     "ngram_containment",
+    # ------- round-6 rotation (VERDICT r05 directive 1): the last 2
+    # declared queries without driver evidence (classifier_calibration,
+    # key_skew_orders — strict_verify-green at sf0.01) take the slots of
+    # orders_by_weekday / union_segments (both multiply driver-proven
+    # r04/r05; still oracle-checked via extra_queries() + pytest).
+    # With these in, every declared query has a green CORRECTNESS row
+    # somewhere in r03 ∪ r04 ∪ r05 ∪ r06. ----
+    "classifier_calibration",
+    "key_skew_orders",
 ]
 
 
@@ -1756,6 +1792,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_stats": _q_cube_order_stats,
         "open_order_customers": _q_open_order_customers,
         "customer_spend_quartiles": _q_customer_spend_quartiles,
+        "order_date_ranks": _q_order_date_ranks,
         "nation_customer_names": _q_nation_customer_names,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "corr_qty_price": _q_corr_qty_price,
@@ -1958,6 +1995,12 @@ WITH s AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DO
 SELECT o_custkey, spend,
        CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS quartile
 FROM s""",
+        "order_date_ranks": """
+SELECT o_orderkey, o_orderdate,
+       CAST(rank() OVER (ORDER BY o_orderdate) AS BIGINT) AS date_rank,
+       CAST(dense_rank() OVER (ORDER BY o_orderdate) AS BIGINT) AS date_dense_rank,
+       round(percent_rank() OVER (ORDER BY o_orderdate), 6) AS date_pct_rank
+FROM orders""",
         "nation_customer_names": """
 SELECT n_name, count(*) AS n_customers,
        string_agg(c_name, '|' ORDER BY c_name) AS names

@@ -53,10 +53,28 @@ def _scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
-def bench(fn):
-    t0 = time.time()
-    fn()
-    return round(time.time() - t0, 3)
+# Per-query samples in bench()-call order.  Every bench() result is
+# immediately assigned into the insertion-ordered `times` dict, so
+# zip(times, _ALL_RUNS) reconstructs the name -> samples mapping for the
+# output JSON without touching the ~30 call sites.
+_ALL_RUNS: list[list[float]] = []
+
+#: median-of-N per query (VERDICT r05 directive 2): a single host-steal
+#: window inflating one run no longer pollutes the recorded number.
+#: Run 1 doubles as steady-state warmup for runs 2..N; the median
+#: discards at most one spiked sample per query.
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def bench(fn, n: int | None = None):
+    n = n or N_RUNS
+    samples = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        samples.append(round(time.time() - t0, 3))
+    _ALL_RUNS.append(samples)
+    return sorted(samples)[len(samples) // 2]
 
 
 def main() -> None:
@@ -375,6 +393,8 @@ def main() -> None:
             approx = {}
 
             def probe(np=nprobe, sink=approx):
+                if "df" in sink:  # drop the previous run's cache
+                    sink["df"].unpersist()
                 sink["df"] = SIM.ivf_query_index(
                     spark, os.path.join(ivf_dir, "ix"), q, "vec_id",
                     "embedding", k=10, nprobe=np,
@@ -398,6 +418,8 @@ def main() -> None:
         pq_state = {}
 
         def pq_encode_step():
+            if "codes" in pq_state:  # drop the previous run's cache
+                pq_state["codes"].unpersist()
             books = PQ.train_pq(emb, "vec_id", "embedding", m=8, ksub=256)
             codes = PQ.pq_encode(emb, "embedding", books).cache()
             codes.count()
@@ -408,6 +430,8 @@ def main() -> None:
         pq_out = {}
 
         def pq_search():
+            if "df" in pq_out:  # drop the previous run's cache
+                pq_out["df"].unpersist()
             pq_out["df"] = PQ.pq_adc_topk(
                 pq_state["codes"], q, pq_state["books"],
                 "vec_id", "embedding", k=10, rescore=100,
@@ -471,6 +495,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "timing": f"median_of_{N_RUNS}",
+                "runs": dict(zip(times.keys(), _ALL_RUNS)),
                 "subtotal_r03_comparable": round(
                     sum(times[k] for k in r03_keys if k in times), 3
                 ),

@@ -887,10 +887,16 @@ def main(argv: list[str] | None = None) -> int:
 
             if "n_chunk_tokens" in cur.columns:  # after a chunk stage
                 # chunk rows need a UNIQUE pack key (doc_id repeats):
-                # doc_id ∘ chunk_idx, chunk_idx < 2^20 by construction
+                # 'doc_id#chunk_idx' string — collision-free for any
+                # doc_id/chunk_idx range (an arithmetic doc_id*2^20 key
+                # would silently collide past 2^20 chunks; ADVICE r05)
                 counted = cur.withColumn(
                     "chunk_uid",
-                    F.col(args.id_col) * F.lit(1 << 20) + F.col("chunk_idx"),
+                    F.concat_ws(
+                        "#",
+                        F.col(args.id_col).cast("string"),
+                        F.col("chunk_idx").cast("string"),
+                    ),
                 )
                 counted, tok_col = counted, "n_chunk_tokens"
                 pack_id = "chunk_uid"

@@ -324,8 +324,16 @@ def pq_adc_topk(
     """
     qid = query_id_col or id_col
     ksub = books.ksub
-    broadcast_q = queries.count() <= max_broadcast_queries
-    luts = query_luts(queries, qid, vec_col, books)
+    # single materialization of the projected query frame: the broadcast
+    # gate's count, the LUTs, and the exact re-score all derive from it —
+    # a nondeterministic query source (limit/sample without ordering)
+    # cannot diverge between the three uses, and the gate no longer
+    # triggers a full recomputation of the source (ADVICE r05)
+    qsrc = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col)
+    ).localCheckpoint(eager=True)
+    broadcast_q = qsrc.count() <= max_broadcast_queries
+    luts = query_luts(qsrc, "query_id", vec_col, books)
     if broadcast_q:
         # materialize the (small) LUT frame so the broadcast holds plain
         # rows and the search plan stays pure JVM — the Arrow stage runs
@@ -366,8 +374,8 @@ def pq_adc_topk(
         .drop("__r", "__adc", code_col)
     )
     # exact re-score of rescore×queries rows only
-    q = queries.select(
-        F.col(qid).alias("query_id"), V.normalized(F.col(vec_col)).alias("__qn")
+    q = qsrc.select(
+        "query_id", V.normalized(F.col(vec_col)).alias("__qn")
     )
     if broadcast_q:
         q = F.broadcast(q)
@@ -583,7 +591,12 @@ def ivf_pq_query_index(
     books = load_codebooks(spark, f"{path}/pq_codebooks")
     cents = spark.read.parquet(f"{path}/centroids")
     ksub = books.ksub
-    broadcast_q = queries.count() <= max_broadcast_queries
+    # one materialization feeds count gate, cell probes, LUTs, and the
+    # exact re-score — see pq_adc_topk (ADVICE r05)
+    qsrc = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col)
+    ).localCheckpoint(eager=True)
+    broadcast_q = qsrc.count() <= max_broadcast_queries
     try:
         residual = bool(
             spark.read.parquet(f"{path}/index_meta").collect()[0]["residual"]
@@ -591,7 +604,7 @@ def ivf_pq_query_index(
     except Exception:  # pre-residual index layout: flat codes
         residual = False
 
-    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    q = qsrc.select("query_id", F.col(vec_col).alias("__qv"))
     # centroids broadcast (≤ num_cells rows); the QUERY side streams —
     # broadcasting it too would cap Q at the broadcast limit for no gain
     qcells = (
@@ -612,7 +625,7 @@ def ivf_pq_query_index(
         .where(F.col("__pr") <= nprobe)
         .select("query_id", "cell_id", F.col("__ccos").alias("__coff"))
     )
-    luts = query_luts(queries, qid, vec_col, books)
+    luts = query_luts(qsrc, "query_id", vec_col, books)
     if broadcast_q:
         # see pq_adc_topk: broadcast plain rows, keep the probe plan JVM
         luts = luts.localCheckpoint(eager=True)
@@ -663,8 +676,8 @@ def ivf_pq_query_index(
         .where(F.col("__r") <= rescore)
         .drop("__r", "__adc", "__lut", code_col)
     )
-    qn = queries.select(
-        F.col(qid).alias("query_id"), V.normalized(F.col(vec_col)).alias("__qn")
+    qn = qsrc.select(
+        "query_id", V.normalized(F.col(vec_col)).alias("__qn")
     )
     if broadcast_q:
         qn = F.broadcast(qn)

@@ -19,9 +19,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _purl(url: Column, part: str) -> Column:
+    """``try_parse_url`` — NULL on malformed input instead of the
+    INVALID_URL error ``parse_url`` raises under Spark 4 ANSI mode.
+    Real crawl data guarantees malformed URLs; one bad row must never
+    abort a 100 TB job."""
+    return F.try_parse_url(url, F.lit(part))
+
+
 def url_host(url: Column) -> Column:
     """HOST part, lower-cased (authority without port/user)."""
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.lower(_purl(url, "HOST"))
 
 
 def registered_domain(url: Column) -> Column:
@@ -39,7 +47,7 @@ def registered_domain(url: Column) -> Column:
 
 def path_depth(url: Column) -> Column:
     """Number of non-empty ``/`` segments in the PATH part."""
-    path = F.parse_url(url, F.lit("PATH"))
+    path = _purl(url, "PATH")
     return F.size(
         F.filter(F.split(F.coalesce(path, F.lit("")), "/"), lambda s: s != "")
     ).cast("int")
@@ -48,7 +56,7 @@ def path_depth(url: Column) -> Column:
 def query_param_count(url: Column) -> Column:
     """Number of ``&``-separated parameters in the QUERY part (0 when
     absent)."""
-    q = F.parse_url(url, F.lit("QUERY"))
+    q = _purl(url, "QUERY")
     return F.when(
         q.isNull() | (q == ""), F.lit(0)
     ).otherwise(F.size(F.split(q, "&"))).cast("int")
@@ -93,12 +101,12 @@ def canonical_url(url: Column) -> Column:
     map-only, and the dedup afterwards is one hash shuffle on the
     canonical string (`url_dedup`).
     """
-    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    scheme = F.lower(_purl(url, "PROTOCOL"))
     host = F.regexp_replace(
-        F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", ""
+        F.lower(_purl(url, "HOST")), r"^www\.", ""
     )
     port = F.regexp_extract(
-        F.parse_url(url, F.lit("AUTHORITY")), r":(\d+)$", 1
+        _purl(url, "AUTHORITY"), r":(\d+)$", 1
     )
     default_port = F.coalesce(
         *[
@@ -110,10 +118,10 @@ def canonical_url(url: Column) -> Column:
     port_part = F.when(
         (port == "") | (port == default_port), F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
-    raw_path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    raw_path = F.coalesce(_purl(url, "PATH"), F.lit(""))
     trimmed = F.regexp_replace(raw_path, r"/+$", "")
     path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
-    q = F.parse_url(url, F.lit("QUERY"))
+    q = _purl(url, "QUERY")
     kept = F.array_sort(
         F.filter(
             F.split(F.coalesce(q, F.lit("")), "&"),
@@ -123,9 +131,15 @@ def canonical_url(url: Column) -> Column:
     query_part = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(
+    canon = F.concat(
         scheme, F.lit("://"), host, port_part, path, query_part
     )
+    # A URL try_parse_url cannot decompose (no scheme/host — relative
+    # refs, garbage bytes) keeps its raw form as its own canonical key:
+    # it still groups with byte-identical duplicates and is never
+    # dropped.  NULL input stays NULL (callers decide; url_dedup keeps
+    # the row via a per-row sentinel key).
+    return F.when(scheme.isNull() | host.isNull(), url).otherwise(canon)
 
 
 def url_dedup(
@@ -140,16 +154,25 @@ def url_dedup(
 
     One hash shuffle on the canonical string; the keeper choice is a
     combinable ``min`` aggregate, no window.
+
+    NULL-url rows are never dropped: they get a per-row sentinel group
+    key (``\\x00null:<id>``), so each survives as its own singleton
+    group (``keep=True``, ``n_dupes=1``) with a NULL ``out_col``.
     """
     keyed = df.withColumn(out_col, canonical_url(F.col(url_col)))
-    groups = keyed.groupBy(out_col).agg(
+    group_key = F.coalesce(
+        F.col(out_col),
+        F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+    )
+    keyed = keyed.withColumn("__ukey", group_key)
+    groups = keyed.groupBy("__ukey").agg(
         F.min(F.col(id_col)).alias("__keeper"),
         F.count(F.lit(1)).alias("n_dupes"),
     )
     return (
-        keyed.join(groups, out_col)
+        keyed.join(groups, "__ukey")
         .withColumn("keep", F.col(id_col) == F.col("__keeper"))
-        .drop("__keeper")
+        .drop("__keeper", "__ukey")
     )
 
 

@@ -123,21 +123,134 @@ def global_ntile(
     return ranked.withColumn(out_col, bucket.cast("long")).drop(rn)
 
 
+def _tie_keyed(
+    df: DataFrame, tie_cols: Sequence[Column | str]
+) -> tuple[DataFrame, list[str]]:
+    """Materialize the tie expressions as named columns so they can be
+    grouped and joined on (a ``.desc()`` sort spec is not a join key)."""
+    names = [f"__tk{i}" for i in range(len(tie_cols))]
+    for n, c in zip(names, tie_cols):
+        df = df.withColumn(n, F.col(c) if isinstance(c, str) else c)
+    return df, names
+
+
+def _rank_groups(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    tie_cols: Sequence[Column | str],
+    num_partitions: int | None,
+) -> tuple[DataFrame, list[str], DataFrame, int]:
+    """Shared core for rank / dense_rank / tie-aware percent_rank:
+    ``(keyed frame, tie-key names, per-tie-group frame with __min_rn,
+    total rows)``.
+
+    ``min(row_number)`` over a tie group equals SQL RANK and is
+    independent of the (nondeterministic) within-group row order, so
+    ``order_cols`` needs NO unique tiebreaker here — the tie groups are
+    range-contiguous after ``repartitionByRange`` and the count of
+    strictly-earlier rows is exact.
+    """
+    keyed, names = _tie_keyed(df, tie_cols)
+    rn = "__grk_rn"
+    ranked, total = _ranked(keyed, order_cols, rn, num_partitions)
+    groups = ranked.groupBy(*names).agg(F.min(rn).alias("__min_rn"))
+    return ranked.drop(rn), names, groups, total
+
+
+def _join_back(
+    ranked: DataFrame,
+    names: list[str],
+    groups: DataFrame,
+    val: Column,
+    out_col: str,
+) -> DataFrame:
+    """Attach a per-tie-group value to every row — NULL-safe on the tie
+    keys (NULL forms its own tie group, as in SQL ordering)."""
+    g = groups.select(
+        *[F.col(n).alias(f"__g{i}") for i, n in enumerate(names)],
+        val.alias(out_col),
+    )
+    cond = None
+    for i, n in enumerate(names):
+        c = ranked[n].eqNullSafe(g[f"__g{i}"])
+        cond = c if cond is None else (cond & c)
+    return ranked.join(g, cond).drop(
+        *names, *[f"__g{i}" for i in range(len(names))]
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    tie_cols: Sequence[Column | str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``RANK() OVER (ORDER BY ...)`` — ties share the rank, the
+    next group skips — without the single-partition window.
+
+    ``order_cols`` is the sort spec (may carry ``.desc()``);
+    ``tie_cols`` are the same expressions as PLAIN columns (they define
+    the tie groups and the join-back keys).  Plan: distributed
+    row_number (`_ranked`) → one groupBy shuffle on the tie keys →
+    equi-join of the group rank back onto the rows (broadcast when the
+    distinct-key side is small; AQE decides)."""
+    ranked, names, groups, _ = _rank_groups(
+        df, order_cols, tie_cols, num_partitions
+    )
+    return _join_back(
+        ranked, names, groups, F.col("__min_rn").cast("long"), out_col
+    )
+
+
+def global_dense_rank(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    tie_cols: Sequence[Column | str],
+    out_col: str = "dense_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``DENSE_RANK() OVER (ORDER BY ...)`` — consecutive group
+    numbers, no gaps.  The distinct tie groups (a far smaller frame) are
+    themselves globally row-numbered by their first appearance
+    (``min_rn`` is strictly increasing across groups, so this IS the
+    dense rank), then joined back."""
+    ranked, names, groups, _ = _rank_groups(
+        df, order_cols, tie_cols, num_partitions
+    )
+    dense = global_row_number(
+        groups, [F.col("__min_rn").asc()], "__dense", num_partitions
+    )
+    return _join_back(ranked, names, dense, F.col("__dense"), out_col)
+
+
 def global_percent_rank(
     df: DataFrame,
     order_cols: Sequence[Column],
     out_col: str = "pct_rank",
     num_partitions: int | None = None,
+    tie_cols: Sequence[Column | str] | None = None,
 ) -> DataFrame:
     """Exact ``PERCENT_RANK() OVER (ORDER BY ...)`` without the
-    single-partition window: ``(rank − 1) / (total − 1)`` from the
-    distributed row number.  NOTE the SQL subtlety — PERCENT_RANK uses
-    RANK (ties share a value), so the caller's ``order_cols`` here are
-    the TIE-BROKEN total order and this function reproduces the window
-    result exactly only when the ordering has no duplicates (give it a
-    unique tiebreak; with ties, SQL's rank semantics need the tie-free
-    prefix of ``order_cols`` — use `global_row_number` + a self-join on
-    the tie columns for that case)."""
+    single-partition window: ``(rank − 1) / (total − 1)``.
+
+    PERCENT_RANK uses RANK semantics (ties share a value).  Pass
+    ``tie_cols`` (the order expressions as plain columns) to get the
+    exact SQL result under duplicate keys; without it, ``order_cols``
+    must be a tie-broken total order (the pre-round-6 contract, kept
+    for the common unique-key case — one shuffle cheaper)."""
+    if tie_cols is not None:
+        ranked, names, groups, total = _rank_groups(
+            df, order_cols, tie_cols, num_partitions
+        )
+        denom = max(total - 1, 1)
+        return _join_back(
+            ranked,
+            names,
+            groups,
+            ((F.col("__min_rn") - 1) / F.lit(denom)).cast("double"),
+            out_col,
+        )
     rn = "__gpr_rn"
     ranked, total = _ranked(df, order_cols, rn, num_partitions)
     denom = max(total - 1, 1)

@@ -112,3 +112,106 @@ def test_percent_rank_single_row(spark):
     df = spark.createDataFrame([(1, 2.0)], "id long, v double")
     r = global_percent_rank(df, [F.col("v").asc(), F.col("id").asc()]).collect()
     assert r[0]["pct_rank"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# rank / dense_rank / tie-aware percent_rank (round 6): parity with the
+# naive window on a frame with heavy duplicate keys.
+
+
+def _dup_frame(spark):
+    # o_orderdate-style heavy ties + a NULL key group
+    rows = [(i, ["a", "b", "b", None, "c", "a", "b"][i % 7]) for i in range(200)]
+    return spark.createDataFrame(rows, "id long, k string")
+
+
+def test_rank_matches_window_under_ties(spark):
+    from paradump_spark.plans.ranking import global_rank
+
+    df = _dup_frame(spark)
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(
+            df, [F.col("k").asc()], [F.col("k")]
+        ).collect()
+    }
+    w = Window.orderBy(F.col("k").asc())
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn("rank", F.rank().over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_dense_rank_matches_window_under_ties(spark):
+    from paradump_spark.plans.ranking import global_dense_rank
+
+    df = _dup_frame(spark)
+    got = {
+        r["id"]: r["dense_rank"]
+        for r in global_dense_rank(
+            df, [F.col("k").desc()], [F.col("k")]
+        ).collect()
+    }
+    w = Window.orderBy(F.col("k").desc())
+    want = {
+        r["id"]: r["dense_rank"]
+        for r in df.withColumn(
+            "dense_rank", F.dense_rank().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_percent_rank_exact_under_ties(spark):
+    from paradump_spark.plans.ranking import global_percent_rank
+
+    df = _dup_frame(spark)
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in global_percent_rank(
+            df, [F.col("k").asc()], tie_cols=[F.col("k")]
+        ).collect()
+    }
+    w = Window.orderBy(F.col("k").asc())
+    want = {
+        r["id"]: r["pr"]
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    assert got == want  # exact float equality: same (rank-1)/(total-1)
+
+
+def test_rank_on_orders_date_ties(spark, sf_dir):
+    """Real-data parity: orders ranked by date (thousands of ties/day)."""
+    from paradump_spark.plans.ranking import global_dense_rank, global_rank
+
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderdate")
+    got = {
+        (r["o_orderkey"]): (r["rank"], r["dense_rank"])
+        for r in global_dense_rank(
+            global_rank(o, [F.col("o_orderdate").asc()], ["o_orderdate"]),
+            [F.col("o_orderdate").asc()],
+            ["o_orderdate"],
+        ).collect()
+    }
+    w = Window.orderBy(F.col("o_orderdate").asc())
+    want = {
+        r["o_orderkey"]: (r["rank"], r["dense_rank"])
+        for r in o.withColumn("rank", F.rank().over(w).cast("long"))
+        .withColumn("dense_rank", F.dense_rank().over(w).cast("long"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_rank_no_single_partition_window_in_plan(spark, sf_dir):
+    from paradump_spark.plans.ranking import global_dense_rank
+
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderdate")
+    plan = (
+        global_dense_rank(o, [F.col("o_orderdate").asc()], ["o_orderdate"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan

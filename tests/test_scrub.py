@@ -395,6 +395,8 @@ def test_cli_pipeline_chunk_and_pack_stages(spark, sf_dir, tmp_path, capsys):
     )
     assert over == 0
     assert "chunk_uid" in packed.columns
+    # pack key is collision-free (string doc_id#chunk_idx; ADVICE r05)
+    assert packed.select("chunk_uid").distinct().count() == packed.count()
 
 
 def test_cli_pipeline_stage_flag_validation(tmp_path):

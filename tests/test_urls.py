@@ -105,6 +105,41 @@ def test_url_dedup_keeper_and_counts(spark):
     assert got[2]["canonical_url"] == "https://example.com/a"
 
 
+def test_canonical_url_malformed_and_null(spark):
+    """ADVICE r05 (high): malformed URLs must not abort the job
+    (Spark 4 ANSI `parse_url` raises INVALID_URL) and NULL/garbage rows
+    must never be dropped by url_dedup."""
+    from paradump_spark.operators.urls import canonical_url, url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a"),
+            (2, "not a url at all %%"),       # malformed → raw kept as key
+            (3, None),                         # NULL url
+            (4, "not a url at all %%"),       # byte-dup of 2 still groups
+            (5, "relative/path/only"),        # no scheme
+        ],
+        "doc_id long, url string",
+    )
+    canon = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert canon[1] == "https://example.com/a"
+    assert canon[2] == "not a url at all %%"   # falls back to raw
+    assert canon[3] is None
+    assert canon[5] == "relative/path/only"
+
+    got = {r["doc_id"]: r for r in url_dedup(df, "url", "doc_id").collect()}
+    assert sorted(got) == [1, 2, 3, 4, 5]      # no row dropped
+    assert got[2]["keep"] and not got[4]["keep"]
+    assert got[2]["n_dupes"] == 2
+    assert got[3]["keep"] and got[3]["n_dupes"] == 1
+    assert got[3]["canonical_url"] is None
+
+
 def test_canonical_url_is_pure_jvm(spark):
     from paradump_spark.operators.urls import canonical_url
 
