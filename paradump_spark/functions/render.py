@@ -89,10 +89,21 @@ def string_literal(col: Column, dialect: str = "mysql") -> Column:
     return F.concat(F.lit(pre), _ESCAPERS[dialect](col), F.lit(post))
 
 
-def binary_literal(col: Column, dialect: str = "mysql") -> Column:
+def binary_literal(
+    col: Column, dialect: str = "mysql", style: str | None = None
+) -> Column:
     """Hex renderings: mysql ``_binary X'..'`` (:3016-3019), postgres
     ``decode('..','hex')`` (:3024-3027), mssql ``convert(varbinary(max),..)``
-    (:3020-3023)."""
+    (:3020-3023).
+
+    ``style="hex"`` renders the bare MySQL ``0xAB12…`` literal instead —
+    the form mysqldump emits with ``--hex-blob`` and the one the
+    reference's committed ``init_account_metadatas`` fixture carries.
+    A zero-length blob becomes ``''`` (bare ``0x`` is a syntax error)."""
+    if style == "hex":
+        return F.when(F.length(col) == 0, F.lit("''")).otherwise(
+            F.concat(F.lit("0x"), F.upper(F.hex(col)))
+        )
     h = F.lower(F.hex(col))
     if dialect == "mysql":
         return F.concat(F.lit("_binary X'"), h, F.lit("'"))
@@ -271,7 +282,7 @@ def timestamp_text(col: Column, dt_prec: int = 0) -> Column:
 
 def sql_literal(
     col: Column, meta: ColumnMeta | None = None, dialect: str = "mysql",
-    spark_type: T.DataType | None = None,
+    spark_type: T.DataType | None = None, binary_style: str | None = None,
 ) -> Column:
     """One cell as SQL literal text for ``dialect``; NULL → ``NULL``.
 
@@ -280,7 +291,7 @@ def sql_literal(
     flag dispatch (src/paradump/paradump.go:2709-3056)."""
     dt = spark_type or (meta.spark_type if meta else T.StringType())
     if isinstance(dt, T.BinaryType):
-        rendered = binary_literal(col, dialect)
+        rendered = binary_literal(col, dialect, style=binary_style)
     elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         prec = meta.dt_prec if meta else 0
         rendered = F.concat(F.lit("'"), timestamp_text(col, prec), F.lit("'"))
@@ -302,12 +313,16 @@ def values_tuple(
     metas: list[ColumnMeta] | None = None,
     dialect: str = "mysql",
     types: list[T.DataType] | None = None,
+    binary_style: str | None = None,
 ) -> Column:
     """``(v1,v2,…)`` — one row's VALUES tuple (ref slot template,
     src/paradump/paradump.go:2709-2725)."""
     metas = metas or [None] * len(cols)
     types = types or [None] * len(cols)
-    cells = [sql_literal(c, m, dialect, t) for c, m, t in zip(cols, metas, types)]
+    cells = [
+        sql_literal(c, m, dialect, t, binary_style=binary_style)
+        for c, m, t in zip(cols, metas, types)
+    ]
     return F.concat(F.lit("("), F.concat_ws(",", *cells), F.lit(")"))
 
 

@@ -42,13 +42,19 @@ SQL_FILE_HEADER = "SET NAMES utf8mb4;\nSET TIME_ZONE='+00:00';"
 
 
 def rendered_tuples(
-    df: DataFrame, meta: TableMeta | None = None, dialect: str = "mysql"
+    df: DataFrame, meta: TableMeta | None = None, dialect: str = "mysql",
+    binary_style: str | None = None,
 ) -> DataFrame:
-    """One string column ``v`` holding each row's ``(...)`` VALUES tuple."""
+    """One string column ``v`` holding each row's ``(...)`` VALUES tuple.
+
+    ``binary_style="hex"`` renders binary cells as bare ``0x…`` literals
+    (mysqldump ``--hex-blob``) instead of the dialect default."""
     cols = [F.col(c) for c in df.columns]
     metas = [meta.column(c) for c in df.columns] if meta else None
     types = [f.dataType for f in df.schema.fields]
-    return df.select(values_tuple(cols, metas, dialect, types).alias("v"))
+    return df.select(
+        values_tuple(cols, metas, dialect, types, binary_style).alias("v")
+    )
 
 
 def write_sql_inserts(

@@ -20,12 +20,14 @@ cp1252 codepoint), F8/F9 (no floats/fractions here, but integer and
 timestamp text), and the tuple framing — on reference-AUTHORED data,
 not data we generated ourselves.
 
-Excluded: `init_account_metadatas.sql.zst` renders varbinary as
-hand-authored ``0x…`` literals (not mysqldump string-escape output, and
-not paradump's ``_binary X'…'`` form either), so tuple-byte parity is
-not the right contract there — `tests/test_render_literals.py` covers
-F2 against the reference's escape table instead.  The four
-`.MISSING_LARGE_BLOBS` tables have no committed dumps at all.
+`init_account_metadatas.sql.zst` renders varbinary as ``0x…`` literals
+(mysqldump ``--hex-blob``); round 6 added ``binary_style="hex"`` to the
+renderer so that fixture byte-diffs too — it is the ENUM-in-PK table
+(FIXTURES.md: `metatype enum(...) PK(2)`), so its string rendering also
+exercises P2's enum-as-string path on reference-authored data, and its
+`metasha256 = sha256(metavalue)` oracle column self-validates the
+parser's 0x decode.  The four `.MISSING_LARGE_BLOBS` tables have no
+committed dumps at all.
 """
 
 import datetime
@@ -141,6 +143,7 @@ _SPARK_TYPES = {
     "n": T.IntegerType(),
     "s": T.StringType(),
     "t": T.TimestampNTZType(),
+    "b": T.BinaryType(),
 }
 
 
@@ -179,6 +182,38 @@ def test_rendered_tuples_match_reference_bytes(spark, table):
     df = spark.createDataFrame(rows, schema)
     ours = [r["v"] for r in rendered_tuples(df, dialect="mysql").collect()]
     assert sorted(ours) == sorted(golden)
+
+
+def test_account_metadatas_hex_blob_golden(spark):
+    """Round 6: the 6th fixture — ENUM-in-PK + varbinary payload rendered
+    as mysqldump ``--hex-blob`` ``0x…`` literals (binary_style="hex")
+    must byte-diff clean against the committed dump."""
+    golden = _split_tuples(_read_dump("account_metadatas"))
+    assert golden
+    rows, schema = _typed_rows(golden, "usbs")
+    df = spark.createDataFrame(rows, schema)
+    ours = [
+        r["v"]
+        for r in rendered_tuples(df, dialect="mysql", binary_style="hex").collect()
+    ]
+    assert sorted(ours) == sorted(golden)
+
+
+def test_account_metadatas_parser_self_check_sha256(spark):
+    """The fixture's own oracle column (FIXTURES.md: metasha256 =
+    sha256(metavalue)) proves the 0x parse decoded the exact bytes."""
+    import hashlib
+
+    golden = _split_tuples(_read_dump("account_metadatas"))
+    checked = 0
+    for t in golden:
+        vals = _parse_tuple(t)
+        blob, sha = vals[2], vals[3]
+        if blob is None or sha is None:
+            continue
+        assert hashlib.sha256(blob).hexdigest() == sha.lower(), t[:80]
+        checked += 1
+    assert checked > 100
 
 
 def test_parser_self_check_hex_column(spark):
