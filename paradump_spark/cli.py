@@ -355,6 +355,19 @@ def build_parser() -> argparse.ArgumentParser:
     ia.add_argument("--vec-col", default="embedding")
     ia.add_argument("--index", required=True, help="existing index directory")
 
+    irb = sub.add_parser(
+        "index-rebuild",
+        help="rebalance an index by splitting overfull cells in place "
+             "(only hot cells are rewritten; run offline like compaction)",
+    )
+    irb.add_argument("--index", required=True, help="index directory")
+    irb.add_argument("--id-col", default="vec_id")
+    irb.add_argument("--vec-col", default="embedding")
+    irb.add_argument("--max-share", type=float, default=0.25,
+                     help="split any cell holding more than this fraction")
+    irb.add_argument("--split-factor", type=int, default=2)
+    irb.add_argument("--refine-iters", type=int, default=1)
+
     ist = sub.add_parser(
         "index-stats",
         help="per-cell fill report of a materialized index (hot-cell "
@@ -988,6 +1001,29 @@ def main(argv: list[str] | None = None) -> int:
             )
         n = spark.read.parquet(f"{args.index}/corpus").count()
         print(f"index-append {'ivfpq' if is_pq else 'ivf'}: index now holds {n} vectors")
+        return 0
+    if args.command == "index-rebuild":
+        from paradump_spark.operators.similarity import ivf_rebuild_index
+
+        if not (0.0 < args.max_share < 1.0):
+            print(f"--max-share must be in (0,1), got {args.max_share}")
+            return 2
+        if args.split_factor < 2:
+            print(f"--split-factor must be >= 2, got {args.split_factor}")
+            return 2
+        rep = ivf_rebuild_index(
+            spark, args.index, args.id_col, args.vec_col,
+            max_share=args.max_share, split_factor=args.split_factor,
+            refine_iters=args.refine_iters,
+        )
+        for s in rep["split_cells"]:
+            print(f"split cell {s['cell_id']} ({s['n']} rows) -> {s['new_ids']}")
+        print(
+            f"index-rebuild: {len(rep['split_cells'])} cells split; "
+            f"max share {rep['max_share_before']:.3f} -> "
+            f"{rep['max_share_after']:.3f}; "
+            f"{rep['n_cells_before']} -> {rep['n_cells_after']} cells"
+        )
         return 0
     if args.command == "index-stats":
         from paradump_spark.operators.similarity import ivf_index_stats

@@ -115,3 +115,22 @@ def test_index_stats_cli(spark, sf_dir, tmp_path, capsys):
     assert main(["index-stats", "--index", idx]) == 0
     out = capsys.readouterr().out
     assert out.count("cell ") <= 4 and "imbalance=" in out
+
+
+def test_index_rebuild_cli(spark, sf_dir, tmp_path, capsys):
+    idx = str(tmp_path / "idx_for_rebuild")
+    assert main(
+        ["index-build", "--directory", sf_dir, "--output", idx,
+         "--num-cells", "2", "--refine-iters", "0"]
+    ) == 0
+    capsys.readouterr()
+    # 2 cells -> at least one holds >= 50% -> split at --max-share 0.4
+    assert main(
+        ["index-rebuild", "--index", idx, "--max-share", "0.4",
+         "--split-factor", "2"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "index-rebuild:" in out and "split cell" in out
+    # bad flags fail loudly, before any Spark work
+    assert main(["index-rebuild", "--index", idx, "--max-share", "1.5"]) == 2
+    assert main(["index-rebuild", "--index", idx, "--split-factor", "1"]) == 2

@@ -206,3 +206,100 @@ def test_ivf_index_stats_reports_cells(spark, sf_dir, tmp_path):
     assert 0 < len(rep) <= 8
     assert sum(r["n_rows"] for r in rep) == emb.count()
     assert abs(sum(r["share"] for r in rep) - 1.0) < 1e-3
+
+
+def test_ivf_rebuild_splits_hot_cell(spark, sf_dir, tmp_path):
+    """E2E (VERDICT r05 directive 5): skewed appends pile into one cell;
+    rebuild splits it — max-cell share drops, untouched cells keep their
+    files, and full-probe search still equals brute force."""
+    from paradump_spark.operators.similarity import (
+        ann_recall,
+        ivf_append_index,
+        ivf_rebuild_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 500)
+    path = str(tmp_path / "ivf")
+    ivf_build_index(base, path, "vec_id", "embedding", num_cells=8)
+
+    # skewed append: 600 near-identical vectors land in ONE cell
+    seed_vec = emb.where(F.col("vec_id") == 0).select("embedding")
+    hot = (
+        spark.range(10_000, 10_600)
+        .crossJoin(seed_vec)
+        .select(
+            F.col("id").alias("vec_id"),
+            # tiny per-row wiggle on dim 0 so they're not byte-identical
+            F.concat(
+                F.array((F.col("embedding")[0] + F.col("id") % 7 * 1e-4).cast("float")),
+                F.slice("embedding", 2, 63),
+            ).alias("embedding"),
+            F.lit(0).cast("int").alias("label"),
+        )
+    )
+    ivf_append_index(spark, path, hot, "vec_id", "embedding")
+
+    full = spark.read.parquet(f"{path}/corpus")
+    counts = {r["cell_id"]: r["n"] for r in full.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert max(counts.values()) / total > 0.5  # the planted hot cell
+
+    report = ivf_rebuild_index(
+        spark, path, "vec_id", "embedding", max_share=0.3, split_factor=4,
+    )
+    assert report["split_cells"], report
+    assert report["max_share_after"] < report["max_share_before"]
+    assert report["n_cells_after"] > report["n_cells_before"] - len(report["split_cells"])
+
+    after = spark.read.parquet(f"{path}/corpus")
+    assert after.count() == total                       # no row lost/duped
+    assert after.select("vec_id").distinct().count() == total
+
+    # full probe == brute force over the same union corpus
+    union = base.unionByName(hot)
+    q = union.where(F.col("vec_id").isin(0, 1, 10_000, 10_500))
+    got = ivf_query_index(
+        spark, path, q, "vec_id", "embedding", k=5,
+        nprobe=report["n_cells_after"],
+    )
+    exact = brute_force_topk(union, q, "vec_id", "embedding", k=5)
+    r = ann_recall(got, exact).collect()[0]
+    assert r["mean_recall"] == 1.0
+
+
+def test_ivf_rebuild_noop_when_balanced(spark, sf_dir, tmp_path):
+    from paradump_spark.operators.similarity import ivf_rebuild_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_build_index(emb, path, "vec_id", "embedding", num_cells=8, refine_iters=2)
+    before = sorted(
+        r["cell_id"]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    report = ivf_rebuild_index(
+        spark, path, "vec_id", "embedding", max_share=0.9
+    )
+    assert report["split_cells"] == []
+    after = sorted(
+        r["cell_id"]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    assert before == after  # untouched
+
+
+def test_ivf_rebuild_refuses_residual_pq(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from paradump_spark.operators.pq import ivf_pq_build_index
+    from paradump_spark.operators.similarity import ivf_rebuild_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_build_index(
+        emb, path, "vec_id", "embedding",
+        num_cells=4, m=8, ksub=16, residual=True,
+    )
+    with _pytest.raises(ValueError, match="residual"):
+        ivf_rebuild_index(spark, path, "vec_id", "embedding")
