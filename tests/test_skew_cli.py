@@ -130,3 +130,94 @@ def test_skew_report_uniform_keys_near_one(spark, sf_dir):
     # priorities are near-uniform: hot/average stays close to 1
     assert all(0.5 < r["imbalance"] < 2.0 for r in rep)
     assert abs(sum(r["share"] for r in rep) - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# auto-salt wiring (round 6): skew_report drives the join strategy
+
+
+def _planted_hot(spark):
+    """key 0: 20k rows; keys 1..200: 25 rows each — imbalance ~160x."""
+    hot = spark.range(20_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(5_000).select(
+        (F.col("id") % 200 + 1).alias("k"), F.col("id").alias("v")
+    )
+    return hot.unionByName(cold)
+
+
+def _dim(spark):
+    return spark.range(201).select(
+        F.col("id").alias("k"), F.concat(F.lit("name_"), F.col("id")).alias("name")
+    )
+
+
+def test_auto_salt_triggers_and_matches_plain_join(spark):
+    from paradump_spark.plans.skew import salted_join_if_skewed
+
+    big, dim = _planted_hot(spark), _dim(spark)
+    decision = {}
+    got = salted_join_if_skewed(big, dim, ["k"], threshold=8.0, decision=decision)
+    assert decision["salted"] and decision["imbalance"] > 50
+    assert decision["hot_key"] == {"k": 0}
+    assert decision["buckets"] >= 8
+    want = big.join(dim, "k")
+    assert got.count() == want.count() == 25_000
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_auto_salt_shrinks_max_shuffle_partition(spark):
+    """The point of salting: the hot key's rows spread over buckets
+    reducers — max rows landing in one hash-partition drops ~buckets x."""
+    from pyspark.sql import functions as F2
+
+    from paradump_spark.plans.skew import salted_join_if_skewed
+
+    big, dim = _planted_hot(spark), _dim(spark)
+    n_part = 32
+
+    def max_part(df, cols):
+        return (
+            df.repartition(n_part, *cols)
+            .groupBy(F2.spark_partition_id().alias("p"))
+            .count()
+            .agg(F2.max("count"))
+            .collect()[0][0]
+        )
+
+    plain_max = max_part(big, ["k"])
+    decision = {}
+    salted_join_if_skewed(big, dim, ["k"], decision=decision)
+    b = decision["buckets"]
+    salted = big.withColumn(
+        "__salt", F2.pmod(F2.hash(*[F2.col(c) for c in big.columns]), F2.lit(b))
+    )
+    salted_max = max_part(salted, ["k", "__salt"])
+    assert plain_max >= 20_000          # hot key funnels one reducer
+    assert salted_max < plain_max / 4   # spread over >= buckets reducers
+
+
+def test_auto_salt_plain_path_when_uniform(spark):
+    from paradump_spark.plans.skew import salted_join_if_skewed
+
+    big = spark.range(10_000).select((F.col("id") % 500).alias("k"), "id")
+    dim = _dim(spark)
+    decision = {}
+    got = salted_join_if_skewed(big, dim, ["k"], decision=decision)
+    assert not decision["salted"] and decision["buckets"] == 0
+    # plain path: no __salt machinery in the plan
+    plan = got._jdf.queryExecution().analyzed().toString()
+    assert "__salt" not in plan
+    assert got.count() == big.where(F.col("k") <= 200).count()
+
+
+def test_auto_salt_sampled_probe(spark):
+    from paradump_spark.plans.skew import salted_join_if_skewed
+
+    big, dim = _planted_hot(spark), _dim(spark)
+    decision = {}
+    got = salted_join_if_skewed(
+        big, dim, ["k"], sample_fraction=0.3, decision=decision
+    )
+    assert decision["salted"]  # 160x imbalance survives a 30% sample
+    assert got.count() == 25_000
