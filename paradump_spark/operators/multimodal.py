@@ -440,19 +440,86 @@ def read_media_dir(
 # NotImplementedError and flow into decode_error.
 
 
+def _soundfile_decode(data: bytes):
+    """Optional-dependency path: libsndfile via ``soundfile`` (FLAC,
+    OGG/Vorbis, AIFF, …).  Returns (float64 (frames, channels) in
+    [-1, 1], rate) or None when the package is absent."""
+    try:
+        import soundfile as sf  # optional dependency
+    except ImportError:
+        return None
+    import io
+
+    x, rate = sf.read(io.BytesIO(data), dtype="float64", always_2d=True)
+    return x, int(rate)
+
+
+def _av_decode_audio(data: bytes):
+    """Optional-dependency path: libav via PyAV (MP3, AAC/MP4, OGG/Opus,
+    …).  Returns (float64 (frames, channels), rate) or None when the
+    package is absent."""
+    try:
+        import av  # optional dependency
+    except ImportError:
+        return None
+    import io
+
+    import numpy as np
+
+    chunks, rate, nch = [], None, None
+    with av.open(io.BytesIO(data)) as container:
+        stream = next(s for s in container.streams if s.type == "audio")
+        rate = int(stream.codec_context.sample_rate)
+        nch = int(stream.codec_context.channels)
+        for frame in container.decode(stream):
+            arr = frame.to_ndarray()
+            if arr.dtype.kind == "i":
+                arr = arr.astype(np.float64) / float(
+                    np.iinfo(arr.dtype).max + 1
+                )
+            elif arr.dtype.kind == "u":
+                arr = (arr.astype(np.float64) - 128.0) / 128.0
+            else:
+                arr = arr.astype(np.float64)
+            if arr.ndim == 1:
+                arr = arr[None, :]
+            chunks.append(arr)
+    if not chunks:
+        raise ValueError("container holds no decodable audio frames")
+    x = np.concatenate(chunks, axis=1)
+    if x.shape[0] == 1 and nch > 1:  # packed/interleaved sample format
+        x = x.reshape(-1, nch).T
+    return x.T, rate
+
+
 def decode_audio(payload: bytes):
-    """Decode WAV (RIFF, PCM 8/16/32-bit int or 32/64-bit float) to
-    ``(samples, sample_rate)`` — samples a float64 (n_frames,
-    n_channels) array scaled to [-1, 1].  Non-WAV/compressed audio
-    raises ``NotImplementedError`` (wire libav/soundfile in production
-    where those deps exist)."""
+    """Decode audio to ``(samples, sample_rate)`` — samples a float64
+    (n_frames, n_channels) array scaled to [-1, 1].
+
+    WAV (RIFF, PCM 8/16/32-bit int or 32/64-bit float) parses
+    dependency-free; other containers route through the GUARDED
+    optional decoders — ``soundfile`` (FLAC/OGG/AIFF) then PyAV
+    (MP3/AAC/MP4/Opus) — the PIL precedent from :func:`decode_image`.
+    With neither installed, non-WAV raises ``NotImplementedError`` and
+    flows into the callers' ``decode_error`` quarantine."""
     import numpy as np
 
     data = bytes(payload)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        decoder_present, last_err = False, None
+        for dec in (_soundfile_decode, _av_decode_audio):
+            try:
+                got = dec(data)
+            except Exception as e:  # decoder installed, container bad for it
+                decoder_present, last_err = True, e
+                continue
+            if got is not None:  # None = package absent
+                return got
+        if decoder_present:
+            raise ValueError(f"undecodable audio container: {last_err}")
         raise NotImplementedError(
-            "decoding this audio format requires audio libraries not "
-            "present in this environment; WAV/PCM decodes natively"
+            "decoding this audio format requires soundfile or PyAV "
+            "(neither installed); WAV/PCM decodes natively"
         )
     pos, fmt, raw = 12, None, None
     while pos + 8 <= len(data):
@@ -582,18 +649,54 @@ def split_ppm_stream(payload: bytes) -> list:
     return frames
 
 
+def _av_sample_video_frames(data: bytes, n_frames: int):
+    """Optional-dependency path: real container (MP4/WebM/MKV/…) frame
+    sampling via PyAV.  Returns ``[(stream_pos, ppm_bytes), …]`` —
+    every sampled frame re-encoded as binary P6 PPM, the repo's
+    codec-free interchange format, so downstream `decode_image` /
+    `image_features` consume container frames and PPM-stream frames
+    identically.  Returns None when PyAV is absent.
+
+    Decodes the whole stream once then picks evenly spaced frames —
+    exact and simple; keyframe ``seek()`` per sample is the production
+    refinement for hour-long inputs (trades exactness of the sample
+    positions for one GOP decode per frame)."""
+    try:
+        import av  # optional dependency
+    except ImportError:
+        return None
+    import io
+
+    frames = []
+    with av.open(io.BytesIO(data)) as container:
+        stream = next(s for s in container.streams if s.type == "video")
+        for frame in container.decode(stream):
+            frames.append(frame.to_ndarray(format="rgb24"))
+    if not frames:
+        raise ValueError("container holds no decodable video frames")
+    total = len(frames)
+    take = min(n_frames, total)
+    out = []
+    for k in range(take):
+        pos = (k * total) // take
+        out.append((pos, _encode_ppm(frames[pos])))
+    return out
+
+
 def sample_frames_real(
     binary_df: DataFrame,
     n_frames: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """REAL frame sampling over PPM-stream payloads: parse the frame
-    boundaries, pick ``n_frames`` evenly spaced REAL frames (each a
-    standalone decodable PPM), carry the frame's index within the
-    stream.  Streams with fewer frames than requested yield what they
-    have; undecodable payloads quarantine via ``decode_error``.
-    `sample_frames` remains the deterministic-fake twin for payloads
-    no parser here understands.
+    """REAL frame sampling: concatenated-P6 PPM streams parse
+    dependency-free; real video containers (MP4/WebM/MKV/…) decode
+    through the GUARDED PyAV path (:func:`_av_sample_video_frames`) —
+    the PIL precedent.  Either way the output frames are standalone
+    decodable P6 PPM payloads with their index within the stream.
+    Streams with fewer frames than requested yield what they have;
+    undecodable payloads (including containers when PyAV is absent)
+    quarantine via ``decode_error``.  `sample_frames` remains the
+    deterministic-fake twin.
     """
     if n_frames <= 0:
         raise ValueError(f"n_frames must be positive, got {n_frames}")
@@ -614,15 +717,28 @@ def sample_frames_real(
             ids, idxs, poss, payloads, errs = [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 try:
-                    frames = split_ppm_stream(payload)
-                    total = len(frames)
-                    take = min(n_frames, total)
-                    for k in range(take):
-                        pos = (k * total) // take
+                    data = bytes(payload)
+                    if data[:2] == b"P6":
+                        frames = split_ppm_stream(data)
+                        total = len(frames)
+                        take = min(n_frames, total)
+                        picked = [
+                            ((k * total) // take, frames[(k * total) // take])
+                            for k in range(take)
+                        ]
+                    else:
+                        picked = _av_sample_video_frames(data, n_frames)
+                        if picked is None:
+                            raise NotImplementedError(
+                                "decoding this video container requires "
+                                "PyAV (not installed); P6 PPM streams "
+                                "parse natively"
+                            )
+                    for k, (pos, fp) in enumerate(picked):
                         ids.append(doc_id)
                         idxs.append(k)
                         poss.append(pos)
-                        payloads.append(frames[pos])
+                        payloads.append(fp)
                         errs.append(None)
                 except Exception as e:
                     ids.append(doc_id)

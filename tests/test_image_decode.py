@@ -251,3 +251,125 @@ def test_ppm_stream_short_stream_yields_what_it_has(spark):
     df = spark.createDataFrame([(1, stream)], "doc_id long, payload binary")
     rows = sample_frames_real(df, n_frames=5).collect()
     assert len(rows) == 2  # only 2 frames exist
+
+
+# ---------------------------------------------------------------------------
+# guarded optional decoders (round 6): soundfile / PyAV container paths.
+# Absent in this container -> the guarded tests skip; the quarantine
+# tests below prove the absent-dependency behavior instead.
+
+_HAS_SF = __import__("importlib").util.find_spec("soundfile") is not None
+_HAS_AV = __import__("importlib").util.find_spec("av") is not None
+
+
+@pytest.mark.skipif(not _HAS_SF, reason="soundfile not installed")
+def test_flac_decode_via_soundfile():
+    import io
+
+    import soundfile as sf
+
+    from paradump_spark.operators.multimodal import decode_audio
+
+    t = np.linspace(0, 0.25, 2000, endpoint=False)
+    mono = (0.4 * np.sin(2 * np.pi * 330 * t)).reshape(-1, 1)
+    buf = io.BytesIO()
+    sf.write(buf, mono, 8000, format="FLAC")
+    x, sr = decode_audio(buf.getvalue())
+    assert sr == 8000 and x.shape == (2000, 1)
+    assert np.allclose(x, mono, atol=1e-3)
+
+
+@pytest.mark.skipif(not _HAS_SF, reason="soundfile not installed")
+def test_ogg_decode_via_soundfile():
+    import io
+
+    import soundfile as sf
+
+    from paradump_spark.operators.multimodal import decode_audio
+
+    t = np.linspace(0, 0.25, 2000, endpoint=False)
+    mono = (0.4 * np.sin(2 * np.pi * 330 * t)).reshape(-1, 1)
+    buf = io.BytesIO()
+    sf.write(buf, mono, 8000, format="OGG", subtype="VORBIS")
+    x, sr = decode_audio(buf.getvalue())
+    assert sr == 8000 and abs(x.shape[0] - 2000) < 200  # lossy codec pads
+
+
+@pytest.mark.skipif(not _HAS_AV, reason="PyAV not installed")
+def test_mp3_decode_via_av():
+    import io
+
+    import av
+
+    from paradump_spark.operators.multimodal import decode_audio
+
+    t = np.linspace(0, 0.5, 4000, endpoint=False)
+    mono16 = (np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp3") as out:
+        stream = out.add_stream("mp3", rate=8000)
+        frame = av.AudioFrame.from_ndarray(
+            mono16.reshape(1, -1), format="s16", layout="mono"
+        )
+        frame.sample_rate = 8000
+        for pkt in stream.encode(frame):
+            out.mux(pkt)
+        for pkt in stream.encode(None):
+            out.mux(pkt)
+    x, sr = decode_audio(buf.getvalue())
+    assert sr == 8000 and x.shape[1] == 1
+    assert abs(x.shape[0] - 4000) < 2000  # mp3 coder padding
+
+
+@pytest.mark.skipif(not _HAS_AV, reason="PyAV not installed")
+def test_mp4_frame_sampling_via_av(spark):
+    import io
+
+    import av
+
+    from paradump_spark.operators.multimodal import (
+        decode_image,
+        sample_frames_real,
+    )
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        stream = out.add_stream("h264", rate=4)
+        stream.width, stream.height, stream.pix_fmt = 64, 48, "yuv420p"
+        for i in range(8):
+            img = np.full((48, 64, 3), i * 30, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for pkt in stream.encode(frame):
+                out.mux(pkt)
+        for pkt in stream.encode(None):
+            out.mux(pkt)
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())], "doc_id long, payload binary"
+    )
+    rows = sample_frames_real(df, n_frames=4).collect()
+    ok = [r for r in rows if r["decode_error"] is None]
+    assert len(ok) == 4
+    img = decode_image(ok[0]["frame_payload"])  # PPM interchange holds
+    assert img.shape == (48, 64, 3)
+
+
+@pytest.mark.skipif(_HAS_SF or _HAS_AV, reason="optional decoders present")
+def test_container_audio_quarantines_without_decoders():
+    from paradump_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError, match="soundfile or PyAV"):
+        decode_audio(b"\x00\x00\x00\x18ftypmp42 fake mp4 bytes")
+
+
+@pytest.mark.skipif(_HAS_AV, reason="PyAV present")
+def test_container_video_quarantines_without_av(spark):
+    from paradump_spark.operators.multimodal import sample_frames_real
+
+    df = spark.createDataFrame(
+        [(7, b"\x00\x00\x00\x18ftypisom fake mp4")],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames_real(df, n_frames=2).collect()
+    assert len(rows) == 1
+    assert "PyAV" in rows[0]["decode_error"]
+    assert rows[0]["frame_payload"] is None
