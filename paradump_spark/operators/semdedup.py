@@ -137,7 +137,7 @@ def semantic_dedup(
     vec_col: str,
     threshold: float = 0.95,
     cluster_col: str | None = None,
-    num_clusters: int = 1024,
+    num_clusters: int | None = 1024,
     max_cluster: int | None = 100_000,
     seed: int = 42,
 ) -> DataFrame:
@@ -145,8 +145,16 @@ def semantic_dedup(
 
     ``cluster_col=None`` clusters with the IVF quantizer first;
     otherwise the caller's column is the blocking unit.
+
+    ``num_clusters=None`` auto-scales ``k = max(8, ceil(N / 64))`` —
+    the module docstring's 100 TB prescription (k ≈ N / target size)
+    as code: cluster size stays ~constant as the corpus grows, so the
+    within-cluster pair join stays linear in N instead of quadratic
+    (a fixed k makes Σ|c|² grow as N²/k).  Costs one count() job.
     """
     if cluster_col is None:
+        if num_clusters is None:
+            num_clusters = max(8, -(-emb.count() // 64))
         # Materialize the assignment once: the flags computation consumes
         # the clustered frame three times (both self-join sides + the
         # anti-join base), and the broadcast-argmax assignment expression
