@@ -1026,13 +1026,23 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
     if args.command == "index-stats":
-        from paradump_spark.operators.similarity import ivf_index_stats
+        from paradump_spark.operators.similarity import (
+            ivf_index_stats,
+            suggest_index_params,
+        )
 
         for r in ivf_index_stats(spark, args.index, top_k=args.top_k).collect():
             print(
                 f"cell {r['cell_id']}: {r['n_rows']} rows "
                 f"share={r['share']} imbalance={r['imbalance']}"
             )
+        n = spark.read.parquet(f"{args.index}/corpus").count()
+        sug = suggest_index_params(n)
+        print(
+            f"suggested for {n} vectors: num_cells={sug['num_cells']} "
+            f"nprobe={sug['nprobe']} rescore={sug['rescore']} "
+            "(size-scaled budget; see SF1_LEDGER.json recall_scaled_sf1)"
+        )
         return 0
     if args.command == "index-query":
         import os as _os

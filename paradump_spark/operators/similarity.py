@@ -624,3 +624,39 @@ def ivf_index_stats(spark, path: str, top_k: int = 64):
 
     corpus = spark.read.parquet(f"{path}/corpus")
     return skew_report(corpus, ["cell_id"], top_k=top_k)
+
+
+def suggest_index_params(n_vectors: int, k: int = 10) -> dict:
+    """Corpus-size-scaled IVF/PQ parameters — the knob half of the
+    build/append/stats/rebuild lifecycle.
+
+    The sf0.1 -> sf1 scaling ledger (SF1_LEDGER.json,
+    ``recall_scaled_sf1``) measured that recall@10 at FIXED parameters
+    degrades with corpus growth purely because the search budget stops
+    covering the denser neighborhood; these rules keep the budget
+    proportional:
+
+    * ``rescore = max(10*k, N // 20)`` — VALIDATED at two scales: N/20
+      reads recall@10 0.953 at N=2k (rescore 100) and 0.99 at N=20k
+      (rescore 1000; 0.92 already at 300).
+    * ``num_cells = clamp(4*sqrt(N), 4, N // 64)`` — the published
+      faiss guideline (4sqrt(N)..16sqrt(N)) floored so every cell keeps
+      >= 64 training vectors; the clamp binds below ~82k vectors.
+    * ``nprobe = max(4, num_cells // 16)`` — ~6% of cells, the
+      conventional starting point; raise toward ``num_cells`` when the
+      measured recall (``ann_recall`` on a held-out query sample)
+      misses the application target.
+
+    Pure driver arithmetic — callers feed ``df.count()`` or the summed
+    ``ivf_index_stats`` fills.  Heuristics, not guarantees: the ledger
+    shows the *direction* is right; always confirm with ``ann_recall``
+    at the new settings.
+    """
+    if n_vectors < 1:
+        raise ValueError("n_vectors must be positive")
+    cells = max(4, min(int(4 * n_vectors ** 0.5), n_vectors // 64 or 4))
+    return {
+        "num_cells": cells,
+        "nprobe": max(4, cells // 16),
+        "rescore": max(10 * k, n_vectors // 20),
+    }

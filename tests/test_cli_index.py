@@ -115,6 +115,7 @@ def test_index_stats_cli(spark, sf_dir, tmp_path, capsys):
     assert main(["index-stats", "--index", idx]) == 0
     out = capsys.readouterr().out
     assert out.count("cell ") <= 4 and "imbalance=" in out
+    assert "suggested for" in out and "rescore=" in out
 
 
 def test_index_rebuild_cli(spark, sf_dir, tmp_path, capsys):

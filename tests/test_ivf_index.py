@@ -303,3 +303,30 @@ def test_ivf_rebuild_refuses_residual_pq(spark, sf_dir, tmp_path):
     )
     with _pytest.raises(ValueError, match="residual"):
         ivf_rebuild_index(spark, path, "vec_id", "embedding")
+
+
+def test_suggest_index_params_rules():
+    import pytest
+
+    from paradump_spark.operators.similarity import suggest_index_params
+
+    # the two measured anchors (SF1_LEDGER.json recall_scaled_sf1):
+    # rescore = N/20 reads recall@10 >= 0.95 at both 2k and 20k vectors
+    assert suggest_index_params(2000)["rescore"] == 100
+    assert suggest_index_params(20000)["rescore"] == 1000
+    # floors: tiny corpora keep usable minimums
+    tiny = suggest_index_params(100, k=10)
+    assert tiny == {"num_cells": 4, "nprobe": 4, "rescore": 100}
+    # faiss 4*sqrt(N) guideline once the >=64-per-cell clamp stops binding
+    big = suggest_index_params(1_000_000)
+    assert big["num_cells"] == 4000 and big["nprobe"] == 250
+    # every knob is monotone non-decreasing in N
+    prev = None
+    for n in (64, 500, 5_000, 50_000, 500_000, 5_000_000):
+        cur = suggest_index_params(n)
+        assert cur["num_cells"] <= n  # never more cells than vectors
+        if prev is not None:
+            assert all(cur[key] >= prev[key] for key in cur)
+        prev = cur
+    with pytest.raises(ValueError):
+        suggest_index_params(0)
