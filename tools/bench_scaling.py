@@ -85,7 +85,17 @@ def main() -> None:
                 "over" if ratio is not None and ratio > LINEAR_BUDGET else "ok"
             ),
         }
+    # carry forward sections other tools append (tools/recall_scaling.py)
+    extra = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                prev = json.load(fh)
+            extra = {k: v for k, v in prev.items() if k == "recall_scaled_sf1"}
+        except Exception:
+            extra = {}
     ledger = {
+        **extra,
         "note": (
             "sf1 = tools/gen_sf.py synthetic 10x of sf0.1 (same schemas/"
             "distribution shapes, not driver bytes); sf0.1 side is the "
