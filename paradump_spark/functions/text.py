@@ -117,15 +117,28 @@ def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
     NB: callbacks must be single-argument lambdas built by a factory —
     PySpark dispatches on lambda arity, so a captured-default second
     parameter would silently become the array-index argument.
+
+    Single ``aggregate`` pass over the base hashes, NOT
+    ``array(*[array_min(transform(bases, perm_k)) ...])``: the ``bases``
+    subtree (an md5 per shingle) is a separate expression occurrence per
+    hash function there, and higher-order functions are interpreted
+    (no codegen subexpression elimination), so the md5 pass ran
+    ``num_hashes`` times — measured 3.5× slower at 50k docs.  Here every
+    element is hashed once and folded into the running per-permutation
+    minima.  Bit-equal output (min over the same value set); an empty
+    shingle array still yields all-NULL, matching ``array_min([])``.
     """
     bases = F.transform(shingles, base_hash31)
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes)
 
-    def perm(k: int):
-        return lambda h: permuted_hash(h, k)
+    def step(acc: Column, h: Column) -> Column:
+        perms = F.array(*[permuted_hash(h, k) for k in range(num_hashes)])
+        return F.zip_with(acc, perms, lambda a, b: F.least(a, b))
 
-    return F.array(
-        *[F.array_min(F.transform(bases, perm(k))) for k in range(num_hashes)]
-    )
+    return F.when(
+        F.size(shingles) == 0,
+        F.array(*[F.lit(None).cast("long")] * num_hashes),
+    ).otherwise(F.aggregate(bases, init, step))
 
 
 def lsh_band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
