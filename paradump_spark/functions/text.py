@@ -71,17 +71,27 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     """
     t = tokens(col)
     k = F.greatest(F.size(t) - F.lit(n) + F.lit(1), F.lit(1))
-    # shingle i = t[i..i+n-1]: fold the n shifted k-length slices together
+    # < n tokens: one whole-doc shingle (k clamps to 1; the fold's slices
+    # would be ragged there, so take the explicit branch)
+    return F.when(
+        F.size(t) < F.lit(n), F.array(F.array_join(t, " "))
+    ).otherwise(ngram_fold(t, n, k))
+
+
+def ngram_fold(t: Column, n: int, k: Column) -> Column:
+    """``k`` space-joined word ``n``-grams of token array ``t`` —
+    gram i = ``t[i..i+n-1]`` — via ``zip_with`` of ``n`` shifted
+    ``k``-length slices.  Callers guarantee ``k <= size(t) - n + 1`` (a
+    longer ``k`` makes the later slices ragged and NULL-pollutes the
+    join).  See :func:`word_shingles` for why this beats the textbook
+    ``transform(sequence, i -> slice(t, i, n))``: that form re-evaluates
+    ``t`` once per gram."""
     out = F.slice(t, 1, k)
     for j in range(1, n):
         out = F.zip_with(
             out, F.slice(t, 1 + j, k), lambda a, b: F.concat_ws(" ", a, b)
         )
-    # < n tokens: one whole-doc shingle (k clamps to 1; the slices above
-    # would be ragged there, so take the explicit branch)
-    return F.when(
-        F.size(t) < F.lit(n), F.array(F.array_join(t, " "))
-    ).otherwise(out)
+    return out
 
 
 # Universal-hash MinHash family over the 31-bit md5 base hash:

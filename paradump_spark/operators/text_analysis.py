@@ -84,15 +84,13 @@ def repetition_ratios(
     t = TX.tokens(text_col)
     cols = [F.col(id_col)]
 
-    def gram_at(n: int):
-        # closure factory, NOT a default arg: HOF callbacks dispatch on
-        # lambda arity, so a second parameter would become the array index
-        return lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))
-
     for n in ns:
+        # shifted-slice fold, not transform(sequence, i -> slice(t,...)):
+        # the latter re-tokenizes the document per gram (see
+        # functions.text.ngram_fold)
         grams = F.when(
             F.size(t) >= n,
-            F.transform(F.sequence(F.lit(0), F.size(t) - n), gram_at(n)),
+            TX.ngram_fold(t, n, F.size(t) - F.lit(n) + F.lit(1)),
         ).otherwise(F.array().cast("array<string>"))
         frac = F.when(
             F.size(grams) > 0,
