@@ -265,9 +265,10 @@ def main() -> None:
         emb.limit(200), "vec_id", "embedding", threshold=0.95, num_clusters=4
     ).count()
 
-    # num_clusters=None auto-scales k = ceil(N/64): identical k=32 at
-    # sf0.1 (ledger-comparable), linear pair work at any larger scale
-    # (the fixed k=32 was the sf1 ledger's 15.9x scaling offender).
+    # num_clusters=None auto-scales k = round(sqrt(N/2)): identical k=32
+    # at sf0.1 (ledger-comparable), assignment/pairing-balanced N^1.5
+    # total at any larger scale (the fixed k=32 was the sf1 ledger's
+    # 15.9x scaling offender; see semantic_dedup's docstring).
     def semdedup_step():
         semantic_dedup(
             emb, "vec_id", "embedding", threshold=0.95, num_clusters=None

@@ -25,10 +25,12 @@ Spark-first formulation:
    a left-anti join of the corpus against the ``id_b`` side of the
    pair set — no iteration, no connected components needed.
 
-At 100 TB: the cluster count should scale with the corpus (k ≈ N /
-target_cluster_size) so Σ|c|² stays linear-ish; ``max_cluster`` guards
-against a degenerate mega-cluster turning quadratic (dropped clusters
-are reported, not silently skipped — their rows are all KEPT, the
+At 100 TB: the cluster count must scale with the corpus — k ∝ √N
+balances the broadcast-argmax assignment (O(N·k·d)) against the
+within-cluster pairing (O(N·(N/k)·d)) for N^1.5 total work (see
+:func:`semantic_dedup`'s auto-k rule); ``max_cluster`` guards against
+a degenerate mega-cluster turning quadratic (dropped clusters are
+reported, not silently skipped — their rows are all KEPT, the
 conservative direction for dedup).
 """
 
@@ -146,15 +148,19 @@ def semantic_dedup(
     ``cluster_col=None`` clusters with the IVF quantizer first;
     otherwise the caller's column is the blocking unit.
 
-    ``num_clusters=None`` auto-scales ``k = max(8, ceil(N / 64))`` —
-    the module docstring's 100 TB prescription (k ≈ N / target size)
-    as code: cluster size stays ~constant as the corpus grows, so the
-    within-cluster pair join stays linear in N instead of quadratic
-    (a fixed k makes Σ|c|² grow as N²/k).  Costs one count() job.
+    ``num_clusters=None`` auto-scales ``k = max(8, round(√(N/2)))`` —
+    the balance point of the two costs that depend on k: broadcast-
+    argmax assignment is O(N·k·d) while within-cluster pairing is
+    O(N·(N/k)·d), so k ∝ √N equalizes them and total work grows as
+    N^1.5 (a FIXED k leaves pairing quadratic; a fixed cluster SIZE,
+    k = N/size, leaves assignment quadratic — measured 2.4× slower
+    than the √ rule at 20k vectors).  The √(N/2) constant calibrates
+    to k=32 at N=2000, the setting the recall/latency ledgers were
+    recorded at.  Costs one count() job.
     """
     if cluster_col is None:
         if num_clusters is None:
-            num_clusters = max(8, -(-emb.count() // 64))
+            num_clusters = max(8, round((emb.count() / 2) ** 0.5))
         # Materialize the assignment once: the flags computation consumes
         # the clustered frame three times (both self-join sides + the
         # anti-join base), and the broadcast-argmax assignment expression

@@ -206,3 +206,22 @@ def test_semantic_dedup_matches_duckdb_label_oracle(spark, sf_dir):
         """).fetchall()
     ]
     assert got == want
+
+
+def test_semantic_dedup_auto_k(spark, sf_dir):
+    """num_clusters=None picks k = max(8, round(sqrt(N/2))) — the
+    assignment/pairing balance point (see the semantic_dedup docstring)
+    — and gives the same survivors as passing that k explicitly."""
+    from paradump_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    k = max(8, round((n / 2) ** 0.5))
+    assert max(8, round((2000 / 2) ** 0.5)) == 32  # ledger calibration
+    auto = semantic_dedup(emb, "vec_id", "embedding", threshold=0.9,
+                          num_clusters=None)
+    explicit = semantic_dedup(emb, "vec_id", "embedding", threshold=0.9,
+                              num_clusters=k)
+    got = sorted(r.vec_id for r in auto.select("vec_id").collect())
+    want = sorted(r.vec_id for r in explicit.select("vec_id").collect())
+    assert got == want and 0 < len(got) <= n
