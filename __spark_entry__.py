@@ -1716,7 +1716,6 @@ _DRIVER_QUERY_NAMES = [
     "pq_topk",
     "chunk_coverage_lineitem",
     "segment_order_stats",
-    "nation_customer_names",
     "corr_qty_price",
     "order_age_buckets",
     "part_color_stats",
@@ -1746,6 +1745,13 @@ _DRIVER_QUERY_NAMES = [
     # somewhere in r03 ∪ r04 ∪ r05 ∪ r06. ----
     "classifier_calibration",
     "key_skew_orders",
+    # ------- round-7 rotation (VERDICT r06 directive 2): order_date_ranks
+    # (rank-with-ties via plans/ranking.py, added round 6, judge-verified
+    # strict_verify PASS but never driver-evaluated) takes the slot of
+    # nation_customer_names (simple SQL join, driver-green r04/r05/r06;
+    # still oracle-checked via extra_queries() + pytest).  With this in,
+    # all declared queries have hard driver evidence in r03..r07. ----
+    "order_date_ranks",
 ]
 
 

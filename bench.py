@@ -541,25 +541,65 @@ def main() -> None:
         "ivf_query_nprobe4", "ivf_query_nprobe8", "pq_encode",
         "pq_adc_topk",
     ]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "timing": f"median_of_{N_RUNS}",
-                "runs": dict(zip(times.keys(), _ALL_RUNS)),
-                "subtotal_r03_comparable": round(
-                    sum(times[k] for k in r03_keys if k in times), 3
-                ),
-                "ann_recall": recalls,
-                "lsh_quality": lsh_quality,
-                "sf1": sf1_ledger,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # VERDICT r06 directive 1: the driver captures a bounded tail of stdout
+    # and parses the LAST line as the headline JSON.  Round 6's single giant
+    # line (per-query `runs` arrays + the embedded sf1 ledger) overflowed
+    # that capture and BENCH_r06.json recorded `parsed: null`.  Emit the
+    # bulky evidence first (earlier line + sidecar file), then the compact
+    # headline object as the final line, and hard-assert it stays small.
+    emit_results(
+        times=times,
+        runs=dict(zip(times.keys(), _ALL_RUNS)),
+        recalls=recalls,
+        lsh_quality=lsh_quality,
+        sf1_ledger=sf1_ledger,
+        r03_keys=r03_keys,
+        sf=sf,
+        n_runs=N_RUNS,
     )
+
+
+def emit_results(times, runs, recalls, lsh_quality, sf1_ledger, r03_keys, sf,
+                 n_runs, out=None):
+    """Print bench evidence with the COMPACT headline as the final line.
+
+    The driver's tail capture is bounded; anything after the headline or
+    a headline over a few kB breaks BENCH_r*.json parsing (round 6 proof).
+    Returns the headline dict (tested by tests/test_bench_emit.py).
+    """
+    import sys
+    out = out or sys.stdout
+    detail = {"detail": "bench_sidecar", "runs": runs, "sf1": sf1_ledger}
+    print(json.dumps(detail), file=out)
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scratch", "bench_detail.json"
+        )
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    headline = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "timing": f"median_of_{n_runs}",
+        "subtotal_r03_comparable": round(
+            sum(times[k] for k in r03_keys if k in times), 3
+        ),
+        "ann_recall": recalls,
+        "lsh_quality": lsh_quality,
+        "sf1_total_ratio": (sf1_ledger or {}).get("total_ratio"),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(headline)
+    assert len(line) < 4096, (
+        f"final bench line must stay driver-parseable (<4kB), got {len(line)}"
+    )
+    print(line, file=out)
+    return headline
 
 
 if __name__ == "__main__":
