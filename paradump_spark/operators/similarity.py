@@ -511,9 +511,15 @@ def ivf_rebuild_index(
     scales with the overfull fraction, not the index size.  Exactness
     at full probe is preserved: scoring is true cosine over the same
     vectors, only their cell labels changed.  Works for plain IVF and
-    flat IVF-PQ indexes (PQ codes encode the raw vector, so they stay
-    valid under relabeling); refuses residual IVF-PQ (those codes
-    encode ``vec − centroid`` and would need re-encoding).
+    flat IVF-PQ indexes as pure relabeling (flat PQ codes encode the
+    raw vector, so they stay valid); for RESIDUAL IVF-PQ indexes the
+    split cells' codes encode ``normalized(vec) − normalized(centroid)``
+    and are RE-ENCODED against their new sub-centroid with the stored
+    frozen codebooks (the raw vectors are already in the partition
+    being read, so this adds no extra scan).  Residuals around a
+    closer centroid cluster tighter around 0, so re-encoding with the
+    old codebooks preserves — typically improves — quantization
+    quality; only the split cells pay the encode cost.
 
     Run OFFLINE like a compaction: concurrent queries between steps 3
     and 4 could see a split cell's rows twice (never miss them).
@@ -521,17 +527,17 @@ def ivf_rebuild_index(
     Returns a report dict (cells split, max share before/after).
     """
     corpus_path = f"{path}/corpus"
+    residual = False
     try:
         meta = spark.read.parquet(f"{path}/index_meta").collect()
-        if meta and bool(meta[0]["residual"]):
-            raise ValueError(
-                "ivf_rebuild_index: residual IVF-PQ codes encode vec-centroid"
-                " and cannot be relabeled; rebuild the index instead"
-            )
-    except ValueError:
-        raise
+        residual = bool(meta and meta[0]["residual"])
     except Exception:  # plain IVF layout: no index_meta
         pass
+    books = None
+    if residual:  # split cells re-encode with the frozen codebooks
+        from paradump_spark.operators.pq import load_codebooks
+
+        books = load_codebooks(spark, f"{path}/pq_codebooks")
     counts = {
         int(r["cell_id"]): int(r["n"])
         for r in spark.read.parquet(corpus_path)
@@ -559,7 +565,11 @@ def ivf_rebuild_index(
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
     cent_schema = spark.read.parquet(f"{path}/centroids").schema
     kept = [r for r in cent_rows if int(r["cell_id"]) not in set(over)]
-    next_id = max(counts) + 1
+    # new ids must clear EVERY existing centroid id, not just non-empty
+    # corpus cells: kmeans_refine keeps empty cells' centroids verbatim,
+    # and reusing such an id would leave two centroids under one cell_id
+    # (duplicate candidates on probes of that cell).
+    next_id = max(max(int(r["cell_id"]) for r in cent_rows), max(counts)) + 1
     new_cent_frames = []
     for c in over:
         cell_df = (
@@ -576,6 +586,33 @@ def ivf_rebuild_index(
             "cell_id", (F.col("cell_id") + F.lit(next_id)).cast("int")
         ).localCheckpoint(eager=True)  # consumed twice: assign + centroid table
         assigned = ivf_assign(cell_df, sub, id_col, vec_col)
+        if residual:
+            # codes encode normalized(vec) − normalized(old centroid);
+            # recompute the residual against the NEW sub-centroid and
+            # re-encode with the frozen codebooks (same JVM zip_with +
+            # encode pass the build/append paths use).
+            from paradump_spark.operators.pq import pq_encode
+
+            cn = F.broadcast(
+                sub.select(
+                    "cell_id", V.normalized(F.col("centroid")).alias("__cn")
+                )
+            )
+            assigned = (
+                assigned.drop("pq_code")
+                .join(cn, "cell_id")
+                .withColumn(
+                    "__resid",
+                    F.zip_with(
+                        V.normalized(F.col(vec_col)),
+                        F.col("__cn"),
+                        lambda a, b: a - b,
+                    ),
+                )
+            )
+            assigned = pq_encode(
+                assigned, "__resid", books, normalize=False
+            ).drop("__resid", "__cn")
         assigned.repartition(F.col("cell_id")).write.mode("append").partitionBy(
             "cell_id"
         ).parquet(corpus_path)

