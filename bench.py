@@ -592,6 +592,13 @@ def emit_results(times, runs, recalls, lsh_quality, sf1_ledger, r03_keys, sf,
         "ann_recall": recalls,
         "lsh_quality": lsh_quality,
         "sf1_total_ratio": (sf1_ledger or {}).get("total_ratio"),
+        # recall@10 at sf1 with the auto-derived default budgets
+        # (tools/recall_auto.py; VERDICT r06 directive 4)
+        "sf1_recall_auto": {
+            k: v
+            for k, v in ((sf1_ledger or {}).get("recall_auto_budget_sf1") or {}).items()
+            if k != "note"
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(headline)

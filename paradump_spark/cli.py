@@ -388,9 +388,12 @@ def build_parser() -> argparse.ArgumentParser:
     iq.add_argument("--vec-col", default="embedding")
     iq.add_argument("--output", required=True, help="parquet output for results")
     iq.add_argument("--k", type=int, default=10)
-    iq.add_argument("--nprobe", type=int, default=4)
-    iq.add_argument("--rescore", type=int, default=100,
-                    help="IVF-PQ only: exact-rescore candidate count")
+    iq.add_argument("--nprobe", type=int, default=None,
+                    help="cells probed per query; default auto-scales "
+                         "from the index's row/cell counts")
+    iq.add_argument("--rescore", type=int, default=None,
+                    help="IVF-PQ only: exact-rescore candidate count; "
+                         "default auto-scales (max(10k, N/20))")
     iq.add_argument("--limit-queries", type=int, default=None,
                     help="probe only the first N query rows")
     return p
@@ -442,8 +445,12 @@ def validate(args: argparse.Namespace) -> None:
         if args.residual and not args.pq:
             raise SystemExit("--residual requires --pq")
     if args.command == "index-query":
-        if args.k < 1 or args.nprobe < 1 or args.rescore < 1:
-            raise SystemExit("--k/--nprobe/--rescore must be >= 1")
+        if args.k < 1:
+            raise SystemExit("--k must be >= 1")
+        if args.nprobe is not None and args.nprobe < 1:
+            raise SystemExit("--nprobe must be >= 1 (omit for auto-scaled)")
+        if args.rescore is not None and args.rescore < 1:
+            raise SystemExit("--rescore must be >= 1 (omit for auto-scaled)")
     if args.command == "pipeline":
         if args.chunk_window is not None and args.chunk_window < 1:
             raise SystemExit("--chunk-window must be >= 1")
@@ -1050,19 +1057,38 @@ def main(argv: list[str] | None = None) -> int:
         queries = ParquetCatalog(spark, args.directory).load(args.table)
         if args.limit_queries:
             queries = queries.limit(args.limit_queries)
+        nprobe, rescore = args.nprobe, args.rescore
+        if nprobe is None or rescore is None:
+            # derive once here (instead of inside the query call) so the
+            # chosen budget is visible in the CLI output
+            from paradump_spark.operators.similarity import (
+                derive_search_budget,
+            )
+
+            budget = derive_search_budget(
+                spark.read.parquet(f"{args.index}/corpus").count(),
+                spark.read.parquet(f"{args.index}/centroids").count(),
+                args.k,
+            )
+            nprobe = budget["nprobe"] if nprobe is None else nprobe
+            rescore = budget["rescore"] if rescore is None else rescore
+            print(
+                f"index-query: auto budget nprobe={nprobe} rescore={rescore}"
+                " (size-scaled; pass --nprobe/--rescore to override)"
+            )
         if _os.path.isdir(_os.path.join(args.index, "pq_codebooks")):
             from paradump_spark.operators.pq import ivf_pq_query_index
 
             res = ivf_pq_query_index(
                 spark, args.index, queries, args.id_col, args.vec_col,
-                k=args.k, nprobe=args.nprobe, rescore=args.rescore,
+                k=args.k, nprobe=nprobe, rescore=rescore,
             )
         else:
             from paradump_spark.operators.similarity import ivf_query_index
 
             res = ivf_query_index(
                 spark, args.index, queries, args.id_col, args.vec_col,
-                k=args.k, nprobe=args.nprobe,
+                k=args.k, nprobe=nprobe,
             )
         res.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()

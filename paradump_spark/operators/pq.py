@@ -300,7 +300,7 @@ def pq_adc_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
-    rescore: int = 50,
+    rescore: int | None = None,
     code_col: str = "pq_code",
     query_id_col: str | None = None,
     max_broadcast_queries: int = 65536,
@@ -309,6 +309,12 @@ def pq_adc_topk(
     lookup table (pure codegen expression over the corpus side), keep
     ``rescore`` candidates per query, re-score those few exactly on the
     raw vectors, return the top ``k``.
+
+    ``rescore=None`` (the default) scales the exact-rescore budget with
+    the corpus — ``max(10k, N/20)``, the two-scale-validated rule in
+    `similarity.suggest_index_params` (fixed budgets silently lose
+    recall as the corpus grows: 0.953→0.749 measured at 10×; VERDICT
+    r06 directive 4).
 
     Query-side scale: LUTs are computed distributed (:func:`query_luts`
     — never a driver collect).  Up to ``max_broadcast_queries`` they
@@ -333,6 +339,8 @@ def pq_adc_topk(
         F.col(qid).alias("query_id"), F.col(vec_col)
     ).localCheckpoint(eager=True)
     broadcast_q = qsrc.count() <= max_broadcast_queries
+    if rescore is None:
+        rescore = max(10 * k, codes.count() // 20)
     luts = query_luts(qsrc, "query_id", vec_col, books)
     if broadcast_q:
         # materialize the (small) LUT frame so the broadcast holds plain
@@ -569,8 +577,8 @@ def ivf_pq_query_index(
     id_col: str,
     vec_col: str,
     k: int = 10,
-    nprobe: int = 4,
-    rescore: int = 100,
+    nprobe: int | None = None,
+    rescore: int | None = None,
     query_id_col: str | None = None,
     code_col: str = "pq_code",
     max_broadcast_queries: int = 65536,
@@ -580,6 +588,13 @@ def ivf_pq_query_index(
     against each query's LUT) → exact re-score of ``rescore`` candidates
     on the stored raw vectors.  Output shape composes with
     `similarity.ann_recall`.
+
+    ``nprobe=None`` / ``rescore=None`` (the defaults) derive the search
+    budget from the index's CURRENT row/cell counts
+    (`similarity.derive_search_budget`), so an index grown by appends
+    keeps its recall instead of silently searching at build-time
+    budgets (VERDICT r06 directive 4; the sf1 ledger measured the fixed
+    budgets' recall@10 at 0.615, the scaled ones at 0.92–0.99).
 
     Query-side scale: LUTs are computed distributed (:func:`query_luts`)
     and the (probes ⋈ luts) side broadcasts only up to
@@ -591,6 +606,14 @@ def ivf_pq_query_index(
     books = load_codebooks(spark, f"{path}/pq_codebooks")
     cents = spark.read.parquet(f"{path}/centroids")
     ksub = books.ksub
+    if nprobe is None or rescore is None:
+        from paradump_spark.operators.similarity import derive_search_budget
+
+        budget = derive_search_budget(
+            spark.read.parquet(f"{path}/corpus").count(), cents.count(), k
+        )
+        nprobe = budget["nprobe"] if nprobe is None else nprobe
+        rescore = budget["rescore"] if rescore is None else rescore
     # one materialization feeds count gate, cell probes, LUTs, and the
     # exact re-score — see pq_adc_topk (ADVICE r05)
     qsrc = queries.select(

@@ -315,15 +315,24 @@ def ivf_query_index(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     query_id_col: str | None = None,
 ) -> DataFrame:
     """Search a materialized IVF index: pick each query's ``nprobe``
     nearest cells (vs the tiny centroid table), then scan ONLY those
     partitions of the stored corpus.
+
+    ``nprobe=None`` (the default) derives the probe budget from the
+    index's CURRENT row/cell counts via :func:`derive_search_budget`,
+    so an index grown by appends keeps its recall instead of silently
+    searching at build-time budgets (VERDICT r06 directive 4).
     """
     qid = query_id_col or id_col
     cents = spark.read.parquet(f"{path}/centroids")
+    if nprobe is None:
+        nprobe = derive_search_budget(
+            spark.read.parquet(f"{path}/corpus").count(), cents.count(), k
+        )["nprobe"]
     q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
     qcells = (
         F.broadcast(q)
@@ -697,3 +706,34 @@ def suggest_index_params(n_vectors: int, k: int = 10) -> dict:
         "nprobe": max(4, cells // 16),
         "rescore": max(10 * k, n_vectors // 20),
     }
+
+
+def derive_search_budget(n_rows: int, n_cells: int, k: int = 10) -> dict:
+    """Auto-scale the SEARCH budget for an EXISTING index of ``n_rows``
+    vectors in ``n_cells`` cells (VERDICT r06 directive 4: the query
+    paths must not silently keep fixed nprobe/rescore as the corpus
+    grows — the sf0.1→sf1 ledger measured recall@10 dropping
+    0.953→0.749 at fixed budgets, recovered to 0.92–0.99 by scaling).
+
+    * ``rescore = max(10k, N/20)`` — the two-scale-validated rule from
+      :func:`suggest_index_params`.
+    * ``nprobe``: when the index is substantially UNDER-celled for its
+      current size (``n_cells ≤ suggested/4`` — e.g. grown 10× by
+      appends since build), each cell is so fat that partial probes cap
+      recall on cell-boundary neighbors (ledger: nprobe=8/16 read 0.615
+      at sf1); probe ALL cells — the exact work stays capped by
+      ``rescore`` and ADC over fat cells is the flat-PQ scan the
+      rescore rule was validated on (0.99 at N/20).  A right-sized
+      index (cells ≈ 4√N) keeps the conventional ``cells/16`` probe.
+
+    Pure driver arithmetic; callers feed the index's stored row and
+    centroid counts.
+    """
+    if n_cells < 1:
+        raise ValueError("n_cells must be positive")
+    params = suggest_index_params(max(1, n_rows), k)
+    if n_cells * 4 <= params["num_cells"]:
+        nprobe = n_cells
+    else:
+        nprobe = min(n_cells, max(4, n_cells // 16))
+    return {"nprobe": nprobe, "rescore": params["rescore"]}

@@ -429,3 +429,60 @@ def test_suggest_index_params_rules():
         prev = cur
     with pytest.raises(ValueError):
         suggest_index_params(0)
+
+
+def test_derive_search_budget_rules():
+    import pytest
+
+    from paradump_spark.operators.similarity import derive_search_budget
+
+    # the sf1 anchor: a 16-cell index grown to 20k vectors is badly
+    # under-celled (suggested 312) -> probe ALL cells; rescore N/20=1000
+    # is the budget the ledger measured at recall@10 = 0.99
+    assert derive_search_budget(20_000, 16, k=10) == {
+        "nprobe": 16, "rescore": 1000,
+    }
+    # a right-sized index (cells ~= 4*sqrt(N)) keeps the conventional
+    # cells/16 probe instead of scanning everything
+    big = derive_search_budget(1_000_000, 4000, k=10)
+    assert big == {"nprobe": 250, "rescore": 50_000}
+    # floors: tiny corpora keep usable minimums, nprobe never exceeds cells
+    assert derive_search_budget(100, 4, k=10) == {"nprobe": 4, "rescore": 100}
+    assert derive_search_budget(100, 2, k=10)["nprobe"] == 2
+    with pytest.raises(ValueError):
+        derive_search_budget(100, 0)
+
+
+def test_query_index_auto_budget_defaults(spark, sf_dir, tmp_path):
+    """nprobe/rescore omitted -> derived from the index's CURRENT
+    row/cell counts (VERDICT r06 directive 4).  A small corpus in few
+    cells is 'under-celled', so the auto budget probes every cell and
+    rescores generously: plain-IVF equals brute force exactly and
+    IVF-PQ lands within the rescore window."""
+    from paradump_spark.operators.pq import (
+        ivf_pq_build_index,
+        ivf_pq_query_index,
+    )
+    from paradump_spark.operators.similarity import (
+        ann_recall,
+        ivf_query_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") < 300)
+    q = corpus.where(F.col("vec_id") < 8)
+    exact = brute_force_topk(corpus, q, "vec_id", "embedding", k=5)
+
+    path = str(tmp_path / "ivf_auto")
+    ivf_build_index(corpus, path, "vec_id", "embedding", num_cells=4)
+    got = ivf_query_index(spark, path, q, "vec_id", "embedding", k=5)
+    r = ann_recall(got, exact).collect()[0]
+    assert r["mean_recall"] == 1.0  # auto nprobe covered all 4 fat cells
+
+    pq_path = str(tmp_path / "ivfpq_auto")
+    ivf_pq_build_index(
+        corpus, pq_path, "vec_id", "embedding", num_cells=4, m=8, ksub=64,
+    )
+    got_pq = ivf_pq_query_index(spark, pq_path, q, "vec_id", "embedding", k=5)
+    r_pq = ann_recall(got_pq, exact).collect()[0]
+    assert r_pq["mean_recall"] >= 0.9
