@@ -265,10 +265,11 @@ def main() -> None:
         emb.limit(200), "vec_id", "embedding", threshold=0.95, num_clusters=4
     ).count()
 
-    # num_clusters=None auto-scales k = round(sqrt(N/2)): identical k=32
-    # at sf0.1 (ledger-comparable), assignment/pairing-balanced N^1.5
-    # total at any larger scale (the fixed k=32 was the sf1 ledger's
-    # 15.9x scaling offender; see semantic_dedup's docstring).
+    # num_clusters=None auto-scales k = ceil(N/64): identical k=32 at
+    # sf0.1 (ledger-comparable), constant cluster size -> linear pairing
+    # at any larger scale, with two-level assignment once k > 64 (the
+    # fixed k=32 was the sf1 ledger's 15.9x scaling offender and the
+    # round-6 sqrt(N/2) rule was N^1.5 total; see semantic_dedup).
     def semdedup_step():
         semantic_dedup(
             emb, "vec_id", "embedding", threshold=0.95, num_clusters=None

@@ -15,6 +15,10 @@ Beyond-reference surface.  Two physical strategies:
 
 from __future__ import annotations
 
+# module-top so the pandas_udf type hints ("pd.Series" strings under
+# PEP 563) resolve from this module's globals at decoration time
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -211,15 +215,50 @@ def _kmeans_refine_sampled(
 
 
 def ivf_assign(
-    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    method: str = "auto",
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid cell.
 
-    Broadcast join against the (tiny) centroid table + per-row argmax —
-    no corpus shuffle.  Output: corpus columns + cell_id.  Writing the
-    result partitioned by cell_id turns later probes into partition-pruned
-    scans.
+    Map-only either way (no corpus shuffle); output: corpus columns +
+    cell_id.  Writing the result partitioned by cell_id turns later
+    probes into partition-pruned scans.  Ties break to the LOWEST
+    cell_id on both paths.
+
+    ``method``:
+
+    * ``"arrow"`` — vectorized numpy argmax in an Arrow-batched
+      pandas_udf: the (tiny) centroid matrix ships in the UDF closure
+      and each batch is one ``(B×d) @ (d×k)`` float64 matmul.  Spark
+      evaluates higher-order functions WITHOUT codegen (CodegenFallback:
+      nested aggregate/zip_with run interpreted, per element, boxed),
+      so this measures ~15× the expression path at sf1 (6.5 s → 0.45 s
+      for 20k×18×64).  Summation order differs from the JVM fold, so a
+      near-exact tie between two cells can land differently — harmless
+      for an IVF/clustering label, but bit-auditing oracles should pin
+      ``method="jvm"``.
+    * ``"jvm"`` — pure-expression argmax: no Python stage in the plan
+      (streaming twins and no-Python plan audits need this).
+    * ``"auto"`` — ``arrow`` when the per-row work is big enough to
+      amortize the Arrow hop (cells × dims ≥ 512) and numpy imports,
+      else ``jvm``.
     """
+    if method == "auto":
+        try:
+            import numpy  # noqa: F401
+
+            k_d = (
+                centroids.count()
+                * len(centroids.select("centroid").first()["centroid"])
+            )
+            method = "arrow" if k_d >= 512 else "jvm"
+        except Exception:
+            method = "jvm"
+    if method == "arrow":
+        return _ivf_assign_arrow(corpus, centroids, vec_col)
     cents = F.broadcast(
         centroids.groupBy().agg(
             F.collect_list(F.struct("cell_id", "centroid")).alias("__cells")
@@ -238,6 +277,39 @@ def ivf_assign(
     return with_cells.withColumn("cell_id", (-best["neg_cell"]).cast("int")).drop(
         "__cells"
     )
+
+
+def _ivf_assign_arrow(
+    corpus: DataFrame, centroids: DataFrame, vec_col: str
+) -> DataFrame:
+    """Arrow-vectorized nearest-centroid labeling (see :func:`ivf_assign`).
+
+    The centroid table is collected once (it is bounded by num_cells —
+    the same rows every call site already broadcasts) and normalized on
+    the driver; workers do one matmul + argmax per Arrow batch.  numpy
+    ``argmax`` returns the FIRST maximum and the rows are sorted by
+    cell_id, so ties break to the lowest cell_id like the JVM path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(centroids.collect(), key=lambda r: int(r["cell_id"]))
+    ids = np.array([int(r["cell_id"]) for r in rows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.where(cn == 0.0, 1.0, cn)
+
+    @pandas_udf("int")
+    def _nearest(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        X = np.array(vs.tolist(), dtype=np.float64)
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / np.where(n == 0.0, 1.0, n)
+        return pd.Series(ids[np.argmax(Xn @ Cn.T, axis=1)].astype(np.int32))
+
+    return corpus.withColumn("cell_id", _nearest(F.col(vec_col)))
 
 
 def ivf_build_index(

@@ -209,19 +209,69 @@ def test_semantic_dedup_matches_duckdb_label_oracle(spark, sf_dir):
 
 
 def test_semantic_dedup_auto_k(spark, sf_dir):
-    """num_clusters=None picks k = max(8, round(sqrt(N/2))) — the
-    assignment/pairing balance point (see the semantic_dedup docstring)
-    — and gives the same survivors as passing that k explicitly."""
+    """num_clusters=None picks k = max(8, ceil(N/64)) — constant
+    expected cluster size, linear pairing (see the semantic_dedup
+    docstring) — and for k <= 64 (single-level regime) gives the same
+    survivors as passing that k explicitly."""
     from paradump_spark.operators.semdedup import semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
-    k = max(8, round((n / 2) ** 0.5))
-    assert max(8, round((2000 / 2) ** 0.5)) == 32  # ledger calibration
+    k = max(8, -(-n // 64))
+    # calibration continuity: the new N/64 rule picks the SAME k=32 at
+    # N=2000 that the old sqrt(N/2) rule (and the recall/latency
+    # ledgers) were calibrated at
+    assert max(8, -(-2000 // 64)) == 32
     auto = semantic_dedup(emb, "vec_id", "embedding", threshold=0.9,
                           num_clusters=None)
-    explicit = semantic_dedup(emb, "vec_id", "embedding", threshold=0.9,
-                              num_clusters=k)
     got = sorted(r.vec_id for r in auto.select("vec_id").collect())
-    want = sorted(r.vec_id for r in explicit.select("vec_id").collect())
-    assert got == want and 0 < len(got) <= n
+    assert 0 < len(got) <= n
+    if k <= 64:  # single-level regime: auto == explicit k
+        explicit = semantic_dedup(emb, "vec_id", "embedding", threshold=0.9,
+                                  num_clusters=k)
+        want = sorted(r.vec_id for r in explicit.select("vec_id").collect())
+        assert got == want
+
+
+# ------------------------------------------------- two-level assignment
+
+def test_two_level_assignment_contract(spark):
+    """assign_clusters_two_level (VERDICT r06 directive 3): every row
+    labeled, at most num_clusters distinct ids, schema = input +
+    cluster_id, and the assignment is deterministic."""
+    from paradump_spark.operators.semdedup import assign_clusters_two_level
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    cl = assign_clusters_two_level(emb, "vec_id", "embedding", num_clusters=64)
+    assert cl.count() == n
+    assert cl.where(F.col("cluster_id").isNull()).count() == 0
+    k_used = cl.select("cluster_id").distinct().count()
+    assert 0 < k_used <= 64
+    assert set(cl.columns) == set(emb.columns) | {"cluster_id"}
+    cl2 = assign_clusters_two_level(emb, "vec_id", "embedding", num_clusters=64)
+    a = sorted(map(tuple, cl.select("vec_id", "cluster_id").collect()))
+    b = sorted(map(tuple, cl2.select("vec_id", "cluster_id").collect()))
+    assert a == b
+
+
+def test_two_level_semantic_dedup_drops_planted_dups(spark):
+    """Exact copies share every argmax decision at both levels, so they
+    ALWAYS co-cluster: semantic_dedup through the two-level path (k>64)
+    must drop each planted higher-id copy while keeping the originals."""
+    from paradump_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    copies = emb.where(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies.select(*emb.columns))
+    kept = semantic_dedup(
+        corpus, "vec_id", "embedding", threshold=0.999, num_clusters=128
+    )
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert not any(v >= 100_000 for v in kept_ids)  # all copies dropped
+    originals = [v for v in kept_ids if v < 100_000]
+    # random embeddings at 0.999: essentially every original survives
+    assert len(originals) >= n - n // 20

@@ -91,7 +91,11 @@ def main() -> None:
         try:
             with open(out_path) as fh:
                 prev = json.load(fh)
-            extra = {k: v for k, v in prev.items() if k == "recall_scaled_sf1"}
+            extra = {
+                k: v
+                for k, v in prev.items()
+                if k in ("recall_scaled_sf1", "recall_auto_budget_sf1")
+            }
         except Exception:
             extra = {}
     ledger = {
