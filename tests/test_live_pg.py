@@ -317,3 +317,189 @@ def test_pg_exported_snapshot_shared_across_connections(pg):
     finally:
         exporter.close()
         reader.close()
+
+
+# ---------------------------------------------------------------------------
+# Full dump → copy → perturb → sync-converge cycle (VERDICT r06 directive 5;
+# reference test/run_test.sh:402-613 + test/run_test_sync.sh:361-602 analog).
+# No PG JDBC jar ships in this environment, so the Spark-JDBC read path is
+# unreachable; the cycle runs the engine's OWN primitives against the live
+# server instead: single_tx_export (S6 dump), sinks.dml.copy_table (K5),
+# live perturbation, diff_classified → sinks.dml.apply_diff (K6) with PG
+# dialect templates, and a final no-op sync proving 0 DML remains.
+
+
+def _render_literal(v):
+    """SQL literal for the psql DML shim (no psycopg2 in this env)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def _bind(sql, params):
+    parts = sql.split("?")
+    assert len(parts) == len(params) + 1, (sql, params)
+    out = [parts[0]]
+    for lit, nxt in zip(map(_render_literal, params), parts[1:]):
+        out.append(lit)
+        out.append(nxt)
+    return "".join(out)
+
+
+class _PsqlWriteCursor:
+    def __init__(self, stmts):
+        self._stmts = stmts
+
+    def execute(self, sql, params=None):
+        self._stmts.append(_bind(sql, tuple(params)) if params else sql)
+
+    def executemany(self, sql, rows):
+        for p in rows:
+            self._stmts.append(_bind(sql, tuple(p)))
+
+    def close(self):
+        pass
+
+
+class _PsqlWriteConn:
+    """DBAPI-enough write connection over psql: statements accumulate and
+    commit() ships them in ONE psql call — one implicit transaction, the
+    same all-or-nothing contract a real driver's commit gives."""
+
+    def __init__(self, conn):
+        self._conn, self._stmts = conn, []
+
+    def cursor(self):
+        return _PsqlWriteCursor(self._stmts)
+
+    def commit(self):
+        if self._stmts:
+            _psql(self._conn, ";\n".join(self._stmts))
+            self._stmts = []
+
+    def rollback(self):
+        self._stmts = []
+
+    def close(self):
+        pass
+
+
+class _PsqlReadCursor:
+    """Read-side DBAPI shim (same shape test_single_tx_export proves):
+    statements accumulate so BEGIN + SELECT share one psql transaction."""
+
+    def __init__(self, conn):
+        self._conn, self._stmts = conn, []
+        self.rows, self.description = [], None
+
+    def execute(self, sql):
+        self._stmts.append(sql)
+        if sql.lstrip().upper().startswith("SELECT"):
+            out = _psql(self._conn, ";\n".join(self._stmts))
+            parsed = list(csv.reader(io.StringIO(out)))
+            self.description = [(c,) for c in parsed[0]]
+            self.rows = [
+                tuple(None if v == NULL else v for v in r) for r in parsed[1:]
+            ]
+
+    def fetchmany(self, n):
+        got, self.rows = self.rows[:n], self.rows[n:]
+        return got
+
+    def close(self):
+        pass
+
+
+class _PsqlReadConn:
+    def __init__(self, conn):
+        self._conn = conn
+
+    def cursor(self):
+        return _PsqlReadCursor(self._conn)
+
+    def rollback(self):
+        pass
+
+    def close(self):
+        pass
+
+
+def test_full_cycle_dump_copy_sync_converges(spark, pg, tmp_path):
+    import functools
+    import sys
+
+    from pyspark import cloudpickle
+
+    from paradump_spark.operators.diff import diff_classified
+    from paradump_spark.sinks.dml import DmlTemplates, apply_diff, copy_table
+
+    # the psql shims live in this (non-importable-on-executor) test
+    # module; ship them by value inside the foreachPartition closures
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    cols = ["o_orderkey", "o_line", "o_status", "o_price", "o_ts"]
+    pk = ["o_orderkey", "o_line"]
+    read_factory = functools.partial(_PsqlReadConn, pg)
+    write_factory = functools.partial(_PsqlWriteConn, pg)
+    begin = "BEGIN ISOLATION LEVEL REPEATABLE READ"
+
+    def dump(table, name):
+        out = str(tmp_path / f"{name}.parquet")
+        single_tx_export(
+            read_factory, f"public.{table}", out, columns=cols,
+            begin_sql=begin, batch_rows=128,
+        )
+        return spark.read.parquet(out)
+
+    _psql(pg, "DROP TABLE IF EXISTS orders_copy;"
+              "CREATE TABLE orders_copy (LIKE orders_live INCLUDING ALL)")
+
+    # 1. dump the source through the engine's single-tx export
+    src = dump("orders_live", "src")
+    n = src.count()
+    assert n == 500
+
+    # 2. K5 copy into the second live table (batched INSERT, PG quoting)
+    copy_table(
+        src, write_factory, "orders_copy", columns=cols,
+        batch_size=100, dialect="postgres", placeholder="?", quote='"',
+    )
+    assert int(_runner(pg)("SELECT count(*) FROM orders_copy")[0][0]) == n
+    same = diff_classified(src, dump("orders_copy", "copy0"), pk, keep_noops=False)
+    assert same.count() == 0  # copy is row-identical to the dump
+
+    # 3. perturb the destination: one lost row, one drifted row, one rogue
+    _psql(pg, """
+        DELETE FROM orders_copy WHERE o_orderkey = 7 AND o_line = 1;
+        UPDATE orders_copy SET o_status = 'Z', o_price = NULL
+          WHERE o_orderkey = 8 AND o_line = 2;
+        INSERT INTO orders_copy (o_orderkey, o_line, o_status)
+          VALUES (9999, 0, 'R');
+    """)
+
+    # 4. sync: classify the drift and apply it back through K6
+    drift = diff_classified(src, dump("orders_copy", "drifted"), pk, keep_noops=False)
+    by_kind = {r["dmltype"]: r["cnt"] for r in
+               drift.groupBy("dmltype").agg(F_count().alias("cnt")).collect()}
+    assert by_kind == {"I": 1, "U": 1, "D": 1}
+    tmpl = DmlTemplates("orders_copy", cols, pk, placeholder="?", quote='"')
+    apply_diff(drift, write_factory, tmpl)
+
+    # 5. converged: the next sync pass classifies ZERO DML
+    noop = diff_classified(src, dump("orders_copy", "converged"), pk, keep_noops=False)
+    assert noop.count() == 0
+    # and the live rows themselves match the source values
+    got = _runner(pg)(
+        "SELECT o_status, o_price FROM orders_copy WHERE o_orderkey = 8 AND o_line = 2"
+    )
+    assert got[0][0] != "Z" and got[0][1] is not None
+    assert _runner(pg)("SELECT 1 FROM orders_copy WHERE o_orderkey = 9999") == []
+    _psql(pg, "DROP TABLE orders_copy")
+
+
+def F_count():
+    from pyspark.sql import functions as F
+
+    return F.count(F.lit(1))
