@@ -81,9 +81,14 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 def ngram_fold(t: Column, n: int, k: Column) -> Column:
     """``k`` space-joined word ``n``-grams of token array ``t`` —
     gram i = ``t[i..i+n-1]`` — via ``zip_with`` of ``n`` shifted
-    ``k``-length slices.  Callers guarantee ``k <= size(t) - n + 1`` (a
-    longer ``k`` makes the later slices ragged and NULL-pollutes the
-    join).  See :func:`word_shingles` for why this beats the textbook
+    ``k``-length slices.  Callers guarantee ``k <= size(t) - n + 1``:
+    with a longer ``k`` the later slices run ragged and ``zip_with``
+    pads them with NULLs, which ``concat_ws`` silently SKIPS — the tail
+    grams come back shorter than ``n`` words (e.g. 2-word "trigrams"),
+    not NULL, so the violation does not fail loudly (ADVICE r06; kept
+    as a documented contract because a NULL-propagating join would put
+    a per-element branch on this hot path).  See :func:`word_shingles`
+    for why this beats the textbook
     ``transform(sequence, i -> slice(t, i, n))``: that form re-evaluates
     ``t`` once per gram."""
     out = F.slice(t, 1, k)

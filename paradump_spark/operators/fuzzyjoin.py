@@ -57,6 +57,8 @@ def fuzzy_join(
     prefix_len: int | None = None,
     max_block: int = 10_000,
     suffix: str = "_right",
+    skew_threshold: float | None = 8.0,
+    skew_decision: dict | None = None,
 ) -> DataFrame:
     """Inner fuzzy join: every (left, right) pair with
     ``levenshtein(lower(left_col), lower(right_col)) ≤ max_levenshtein``
@@ -66,6 +68,16 @@ def fuzzy_join(
     ``__lev`` edit distance.  Exact under blocking: a pair is found iff
     the two strings share a token (or prefix) whose block survived the
     ``max_block`` frequency cut.
+
+    Token frequencies are Zipfian, so a block can sit well under
+    ``max_block`` and still be 100× the mean — one reducer then builds
+    that block's whole candidate square.  The block join therefore goes
+    through `plans.skew.salted_join_if_skewed` (VERDICT r06 directive
+    7): one cheap key-count probe, plain join when the hottest
+    surviving block is ≤ ``skew_threshold``× the mean, measurement-
+    sized salting above it (row-equal either way; inner join).
+    ``skew_threshold=None`` pins the plain join; ``skew_decision`` (a
+    dict) receives what was measured and chosen.
     """
     lb = _blocks(left, left_col, prefix_len)
     rb = _blocks(right, right_col, prefix_len)
@@ -94,8 +106,17 @@ def fuzzy_join(
         F.lower(F.col(left_col)), F.lower(F.col(rcol_out))
     )
     out_cols = list(left.columns) + list(rename.values())
+    if skew_threshold is None:
+        cand = lb.join(rb, "__block")
+    else:
+        from paradump_spark.plans.skew import salted_join_if_skewed
+
+        cand = salted_join_if_skewed(
+            lb, rb, ["__block"], threshold=skew_threshold,
+            decision=skew_decision,
+        )
     return (
-        lb.join(rb, "__block")
+        cand
         .where(lev <= max_levenshtein)
         .select(*out_cols, lev.alias("__lev"))
         # a pair sharing k tokens appears k times — collapse exactly
@@ -110,10 +131,12 @@ def fuzzy_self_pairs(
     max_levenshtein: int = 2,
     prefix_len: int | None = None,
     max_block: int = 10_000,
+    skew_threshold: float | None = 8.0,
+    skew_decision: dict | None = None,
 ) -> DataFrame:
     """Unordered similar pairs within one table: ``(id_a, id_b, lev)``
     with ``id_a < id_b`` — the dedup-candidate shape, same blocking
-    bound as :func:`fuzzy_join`."""
+    bound (and auto-salted block join) as :func:`fuzzy_join`."""
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
     )
@@ -125,6 +148,8 @@ def fuzzy_self_pairs(
         max_levenshtein=max_levenshtein,
         prefix_len=prefix_len,
         max_block=max_block,
+        skew_threshold=skew_threshold,
+        skew_decision=skew_decision,
     )
     return (
         joined.where(F.col("id_a") < F.col("id_b"))

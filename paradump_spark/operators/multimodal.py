@@ -506,20 +506,38 @@ def decode_audio(payload: bytes):
 
     data = bytes(payload)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        decoder_present, last_err = False, None
-        for dec in (_soundfile_decode, _av_decode_audio):
+        # per-decoder availability tracked separately (ADVICE r06): a
+        # container one INSTALLED decoder rejects might still decode
+        # with the UNINSTALLED one (e.g. soundfile rejects MP3, PyAV
+        # absent) — that is a missing-dependency situation, not bad
+        # data, and must quarantine with the install hint.
+        rejected: list[tuple[str, Exception]] = []
+        absent: list[str] = []
+        for name, dec in (
+            ("soundfile", _soundfile_decode),
+            ("PyAV", _av_decode_audio),
+        ):
             try:
                 got = dec(data)
             except Exception as e:  # decoder installed, container bad for it
-                decoder_present, last_err = True, e
+                rejected.append((name, e))
                 continue
-            if got is not None:  # None = package absent
-                return got
-        if decoder_present:
-            raise ValueError(f"undecodable audio container: {last_err}")
-        raise NotImplementedError(
-            "decoding this audio format requires soundfile or PyAV "
-            "(neither installed); WAV/PCM decodes natively"
+            if got is None:  # package absent
+                absent.append(name)
+                continue
+            return got
+        if absent:
+            detail = (
+                "; ".join(f"{n} rejected it ({e})" for n, e in rejected)
+                or "no audio decoder installed"
+            )
+            raise NotImplementedError(
+                f"decoding this audio format needs {' or '.join(absent)} "
+                f"installed ({detail}); install soundfile or PyAV — "
+                "WAV/PCM decodes natively"
+            )
+        raise ValueError(
+            f"undecodable audio container: {rejected[-1][1]}"
         )
     pos, fmt, raw = 12, None, None
     while pos + 8 <= len(data):

@@ -122,6 +122,15 @@ def salted_join_if_skewed(
     ``decision`` (optional dict) is filled with what was measured and
     chosen — callers log it; tests assert on it.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # validate up front (ADVICE r06): the plain-join branch would
+        # accept any `how`, making an unsupported join work or fail
+        # depending on the measured imbalance at runtime
+        raise ValueError(
+            f"salted_join_if_skewed supports inner/left joins only, not "
+            f"{how!r}: unmatched small-side rows would appear once per "
+            "salt replica on the salted branch"
+        )
     probe = big.select(*on)
     if sample_fraction is not None:
         probe = probe.sample(fraction=sample_fraction, seed=42)

@@ -275,3 +275,63 @@ def test_two_level_semantic_dedup_drops_planted_dups(spark):
     originals = [v for v in kept_ids if v < 100_000]
     # random embeddings at 0.999: essentially every original survives
     assert len(originals) >= n - n // 20
+
+
+def test_fuzzy_join_auto_salts_planted_hot_block(spark):
+    """Directive r06-7: the block join auto-salts through
+    salted_join_if_skewed.  A planted hot token (under max_block but
+    far over the imbalance threshold) must trigger salting, results
+    must equal the unsalted join row-for-row, and the measurement-sized
+    salt must actually spread the hot block across buckets."""
+    from paradump_spark.plans.skew import salted_join_if_skewed  # noqa: F401
+
+    # 200 names share the hot token "acme"; 60 distinct cold tokens
+    rows = [(i, f"acme part{i % 4}") for i in range(200)] + [
+        (1000 + i, f"tok{i} widget{i % 3}") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    decision = {}
+    salted = fuzzy_self_pairs(
+        df, "id", "name", max_levenshtein=2, skew_decision=decision
+    )
+    plain = fuzzy_self_pairs(df, "id", "name", max_levenshtein=2,
+                             skew_threshold=None)
+    got = sorted(map(tuple, salted.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want and len(got) > 0          # row-equal under salting
+    assert decision["salted"] is True
+    assert decision["buckets"] >= 8
+    assert decision["hot_key"] == {"__block": "acme"}
+    assert decision["imbalance"] > 8.0
+
+    # the deterministic salt spreads the hot block: max rows per
+    # (block, salt) reducer key is a fraction of the unsalted hot count
+    from pyspark.sql import functions as F2
+    lb = df.select("id", F2.lower(F2.col("name")).alias("nm"))
+    toks = lb.select("id", "nm", F2.explode(F2.split("nm", "[^a-z0-9]+")).alias("__block"))
+    hot_n = toks.where(F2.col("__block") == "acme").count()
+    b = decision["buckets"]
+    spread = (
+        toks.withColumn("__salt", F2.pmod(F2.hash("id", "nm", "__block"), F2.lit(b)))
+        .where(F2.col("__block") == "acme")
+        .groupBy("__salt").count()
+    )
+    max_per_salt = max(r["count"] for r in spread.collect())
+    assert max_per_salt < hot_n  # hot reducer shrank
+    assert spread.count() > 1    # across more than one bucket
+
+
+def test_salted_join_if_skewed_rejects_unsupported_how(spark):
+    """ADVICE r06: unsupported join types must fail deterministically at
+    entry, not only when the data happens to be skewed."""
+    import pytest as _pytest
+
+    from paradump_spark.plans.skew import salted_join_if_skewed
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, w string")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join_if_skewed(a, b, ["k"], how="full")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join_if_skewed(a, b, ["k"], how="right")

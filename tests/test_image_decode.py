@@ -373,3 +373,27 @@ def test_container_video_quarantines_without_av(spark):
     assert len(rows) == 1
     assert "PyAV" in rows[0]["decode_error"]
     assert rows[0]["frame_payload"] is None
+
+
+def test_partial_decoder_rejection_reports_missing_dependency(monkeypatch):
+    """ADVICE r06: one decoder installed-but-rejecting + the other
+    absent is a MISSING-DEPENDENCY situation (the absent decoder might
+    handle the container) — NotImplementedError with the install hint,
+    not ValueError 'bad data'."""
+    from paradump_spark.operators import multimodal as MM
+
+    monkeypatch.setattr(
+        MM, "_soundfile_decode",
+        lambda data: (_ for _ in ()).throw(RuntimeError("format rejected")),
+    )
+    monkeypatch.setattr(MM, "_av_decode_audio", lambda data: None)
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        MM.decode_audio(b"\xff\xfb\x90fake mp3 frame")
+
+    # both installed and both rejecting IS bad data -> ValueError
+    monkeypatch.setattr(
+        MM, "_av_decode_audio",
+        lambda data: (_ for _ in ()).throw(RuntimeError("also rejected")),
+    )
+    with pytest.raises(ValueError, match="undecodable audio container"):
+        MM.decode_audio(b"\xff\xfb\x90fake mp3 frame")
