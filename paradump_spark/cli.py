@@ -130,8 +130,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="window width for spans mode")
     dd.add_argument("--vec-col", default="embedding",
                     help="embedding column for --method semantic")
-    dd.add_argument("--num-clusters", type=int, default=1024,
-                    help="k-means blocking clusters for --method semantic")
+    dd.add_argument("--num-clusters", type=int, default=0,
+                    help="k-means blocking clusters for --method semantic; "
+                         "0 (default) auto-scales k = ceil(N/64) with "
+                         "two-level assignment above k=64")
     dd.add_argument("--auto-bands", action="store_true",
                     help="minhash mode: tune the LSH banding to the "
                          "threshold (S-curve fit) instead of the fixed "
@@ -475,8 +477,8 @@ def validate(args: argparse.Namespace) -> None:
             raise SystemExit("--threshold must be in (0, 1]")
         if args.span_tokens < 2:
             raise SystemExit("--span-tokens must be >= 2")
-        if args.num_clusters < 1:
-            raise SystemExit("--num-clusters must be >= 1")
+        if args.num_clusters < 0:
+            raise SystemExit("--num-clusters must be >= 1 (or 0 for auto)")
     if args.command == "classify":
         if not args.label_col and not args.weights:
             raise SystemExit("need --label-col (train) or --weights (score)")
@@ -950,7 +952,8 @@ def main(argv: list[str] | None = None) -> int:
 
             out = semantic_dedup(
                 corpus, args.id_col, args.vec_col,
-                threshold=args.threshold, num_clusters=args.num_clusters,
+                threshold=args.threshold,
+                num_clusters=args.num_clusters or None,
             )
         elif args.method == "lines":
             out = DD.remove_boilerplate_lines(

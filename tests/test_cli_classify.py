@@ -17,8 +17,9 @@ def _args(argv):
         ["classify", "--directory", "/x", "--output", "/y"],
         ["classify", "--directory", "/x", "--output", "/y",
          "--label-col", "y", "--epochs", "0"],
+        # 0 now means auto-k (round 7); negatives still fail
         ["dedup", "--directory", "/x", "--output", "/y",
-         "--method", "semantic", "--num-clusters", "0"],
+         "--method", "semantic", "--num-clusters", "-4"],
     ],
 )
 def test_classify_validation(argv):
