@@ -1419,6 +1419,19 @@ def _q_semantic_dedup_flags(spark, sf_dir):
     ).select("vec_id", F.col("label").cast("int").alias("label"), "is_semantic_dup")
 
 
+def _q_embedding_cluster_report(spark, sf_dir):
+    """Per-cluster corpus profile (operators/semdedup.py:
+    embedding_cluster_report): size, share and cohesion (mean cosine to
+    the cluster's spherical mean) of each semantic cluster — the
+    curation view behind topic balancing and SemDeDup threshold tuning.
+    Deterministic (md5-seeded centroids, tie-broken argmax) but
+    k-means is not SQL-expressible -> rows-only."""
+    from paradump_spark.operators.semdedup import embedding_cluster_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cluster_report(emb, "vec_id", "embedding", num_clusters=16)
+
+
 def _q_contamination_bloom(spark, sf_dir):
     """Bloom-prefiltered decontamination
     (operators/decontam.py:contamination_bloom): the map-side Bloom
@@ -1882,6 +1895,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "pq_topk": _q_pq_topk,
+        # deterministic but not SQL-expressible (k-means) -> rows-only
+        "embedding_cluster_report": _q_embedding_cluster_report,
     }
 
 

@@ -415,16 +415,10 @@ def semantic_dedup(
         # Persisting cluster ids is also the production shape: at corpus
         # scale the assignment is written once and every downstream pass
         # reads the materialized column.
-        if num_clusters > 64:
-            clustered = assign_clusters_two_level(
-                emb, id_col, vec_col, num_clusters, seed=seed
-            ).localCheckpoint(eager=True)
-        else:
-            # small k: the flat broadcast argmax is one corpus pass with
-            # no coarse-level overhead — strictly cheaper below ~64
-            clustered = assign_clusters(
-                emb, id_col, vec_col, num_clusters, seed=seed
-            ).localCheckpoint(eager=True)
+        clustered, _ = cluster_embeddings(
+            emb, id_col, vec_col, num_clusters=num_clusters,
+            cluster_size=cluster_size, seed=seed,
+        )
         cluster_col = "cluster_id"
         out_cols = emb.columns
     else:
@@ -434,3 +428,96 @@ def semantic_dedup(
         clustered, id_col, vec_col, threshold, cluster_col, max_cluster
     )
     return flags.where(~F.col("is_semantic_dup")).select(*out_cols)
+
+
+def cluster_embeddings(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_clusters: int | None = None,
+    cluster_size: int = 64,
+    seed: int = 42,
+) -> tuple[DataFrame, int]:
+    """Corpus + ``cluster_id``, MATERIALIZED, with the scale-aware
+    routing the whole module shares: ``num_clusters=None`` auto-scales
+    k = max(8, ceil(N / cluster_size)); k > 64 assigns through the
+    two-level hierarchy, small k through the flat broadcast argmax
+    (strictly cheaper below ~64 — no coarse-level overhead).  Returns
+    (labeled frame, k).  The localCheckpoint is deliberate: every
+    caller consumes the labels more than once and the assignment
+    expression must not re-execute per consumer."""
+    if num_clusters is None:
+        num_clusters = max(8, -(-emb.count() // cluster_size))
+    if num_clusters > 64:
+        clustered = assign_clusters_two_level(
+            emb, id_col, vec_col, num_clusters, seed=seed
+        ).localCheckpoint(eager=True)
+    else:
+        clustered = assign_clusters(
+            emb, id_col, vec_col, num_clusters, seed=seed
+        ).localCheckpoint(eager=True)
+    return clustered, num_clusters
+
+
+def embedding_cluster_report(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_clusters: int | None = None,
+    cluster_size: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-cluster corpus profile — the curation view behind topic
+    balancing and SemDeDup tuning: how big each semantic cluster is and
+    how TIGHT it is.
+
+    Output: ``(cluster_id, n_rows, share, cohesion)`` ordered largest
+    first.  ``cohesion`` = mean cosine between each member and its
+    cluster's spherical mean (normalized mean of the normalized
+    members) — 1.0 for an exact-duplicate pile, → 0 for an incoherent
+    grab-bag; read it next to ``share`` to pick mixture weights
+    (down-sample huge low-cohesion clusters, protect small tight ones)
+    and to sanity-check ``semantic_dedup`` thresholds before a run.
+
+    Scale shape: one labeling pass (`cluster_embeddings` routing), one
+    posexplode partial aggregation for the means (shuffle ≤ partitions
+    × k × d, corpus-independent), one k-row join back for the member
+    dots — never an all-pairs comparison; clusters only ever move
+    through their key.
+    """
+    labeled, _k = cluster_embeddings(
+        emb, id_col, vec_col, num_clusters=num_clusters,
+        cluster_size=cluster_size, seed=seed,
+    )
+    nv = labeled.select(
+        "cluster_id",
+        V.normalized(F.col(vec_col)).cast("array<float>").alias("__nv"),
+    ).localCheckpoint(eager=True)  # consumed twice: means + member dots
+    means = (
+        nv.select("cluster_id", F.posexplode("__nv").alias("dim", "val"))
+        .groupBy("cluster_id", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(
+            "cluster_id",
+            V.normalized(F.transform(F.col("dm"), lambda s: s["m"]))
+            .cast("array<float>")
+            .alias("__cm"),
+        )
+    )
+    total = nv.count()
+    return (
+        nv.join(means, "cluster_id")
+        .select("cluster_id", V.dot(F.col("__nv"), F.col("__cm")).alias("__cos"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("__cos"), 6).alias("cohesion"),
+        )
+        .withColumn(
+            "share", F.round(F.col("n_rows") / F.lit(float(total)), 6)
+        )
+        .select("cluster_id", "n_rows", "share", "cohesion")
+        .orderBy(F.desc("n_rows"), F.asc("cluster_id"))
+    )

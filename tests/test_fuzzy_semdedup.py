@@ -335,3 +335,46 @@ def test_salted_join_if_skewed_rejects_unsupported_how(spark):
         salted_join_if_skewed(a, b, ["k"], how="full")
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join_if_skewed(a, b, ["k"], how="right")
+
+
+def test_embedding_cluster_report_contract(spark):
+    """Per-cluster profile: counts sum to N, shares sum to 1, cohesion
+    bounded; a planted exact-duplicate pile reads cohesion ~= 1.0 and
+    a planted two-direction grab-bag reads visibly lower."""
+    from paradump_spark.operators.semdedup import embedding_cluster_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    rep = embedding_cluster_report(emb, "vec_id", "embedding",
+                                   num_clusters=16).collect()
+    assert sum(r["n_rows"] for r in rep) == n
+    assert abs(sum(r["share"] for r in rep) - 1.0) < 1e-3
+    assert all(-1.0 <= r["cohesion"] <= 1.0 + 1e-9 for r in rep)
+    assert rep == sorted(rep, key=lambda r: (-r["n_rows"], r["cluster_id"]))
+    # determinism
+    rep2 = embedding_cluster_report(emb, "vec_id", "embedding",
+                                    num_clusters=16).collect()
+    assert rep == rep2
+
+    # planted structure, fully deterministic at k=1 (no seeding luck):
+    # a pile of exact duplicates reads cohesion ~= 1.0, a half-circle
+    # spread of directions reads visibly looser
+    import math
+    dup = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    r_dup = embedding_cluster_report(dup, "vec_id", "embedding",
+                                     num_clusters=1).collect()
+    assert len(r_dup) == 1
+    assert r_dup[0]["n_rows"] == 60 and r_dup[0]["share"] == 1.0
+    assert r_dup[0]["cohesion"] > 0.999
+
+    mix = spark.createDataFrame(
+        [(100 + i, [0.0, math.cos(i / 13.0), math.sin(i / 13.0), 0.0])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    r_mix = embedding_cluster_report(mix, "vec_id", "embedding",
+                                     num_clusters=1).collect()
+    assert r_mix[0]["cohesion"] < 0.95  # spread directions: looser

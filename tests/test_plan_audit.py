@@ -22,6 +22,7 @@ ARROW_ALLOWED = {
     "ivf_topk",              # PQ/IVF build path
     "pack_stats",            # stateful per-partition packer
     "embedding_near_dup_lsh",
+    "embedding_cluster_report",  # Arrow numpy argmax in ivf_assign
 }
 
 
