@@ -459,7 +459,7 @@ def ivf_topk(
     vec_col: str,
     k: int = 5,
     num_cells: int = 16,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
     query_id_col: str | None = None,
     refine_iters: int = 0,
 ) -> DataFrame:
@@ -468,8 +468,16 @@ def ivf_topk(
     Same output shape as :func:`brute_force_topk`; recall < 1 by design
     (rows-only correctness check).  Scan cost ≈ nprobe/num_cells of brute
     force once the assigned corpus is stored partitioned by cell.
+
+    ``nprobe=None`` derives the probe budget from the corpus size and
+    ``num_cells`` via :func:`derive_search_budget` (the materialized
+    query paths' default); the explicit ``4`` default is kept here
+    because this ad-hoc path is the declared rows-only bench query and
+    its recall/latency point must stay comparable across rounds.
     """
     qid = query_id_col or id_col
+    if nprobe is None:
+        nprobe = derive_search_budget(corpus.count(), num_cells, k)["nprobe"]
     cents = ivf_centroids(corpus, id_col, vec_col, num_cells)
     if refine_iters:
         cents = kmeans_refine(corpus, cents, id_col, vec_col, refine_iters)

@@ -486,3 +486,19 @@ def test_query_index_auto_budget_defaults(spark, sf_dir, tmp_path):
     got_pq = ivf_pq_query_index(spark, pq_path, q, "vec_id", "embedding", k=5)
     r_pq = ann_recall(got_pq, exact).collect()[0]
     assert r_pq["mean_recall"] >= 0.9
+
+
+def test_ivf_topk_auto_nprobe(spark, sf_dir):
+    """nprobe=None on the ad-hoc path derives from corpus size +
+    num_cells: a small under-celled corpus probes every cell, so the
+    result equals brute force exactly."""
+    from paradump_spark.operators.similarity import ann_recall, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") < 300)
+    q = corpus.where(F.col("vec_id") < 5)
+    got = ivf_topk(corpus, q, "vec_id", "embedding", k=5, num_cells=4,
+                   nprobe=None)
+    exact = brute_force_topk(corpus, q, "vec_id", "embedding", k=5)
+    r = ann_recall(got, exact).collect()[0]
+    assert r["mean_recall"] == 1.0
