@@ -1066,10 +1066,11 @@ def main(argv: list[str] | None = None) -> int:
             # chosen budget is visible in the CLI output
             from paradump_spark.operators.similarity import (
                 derive_search_budget,
+                index_row_count,
             )
 
             budget = derive_search_budget(
-                spark.read.parquet(f"{args.index}/corpus").count(),
+                index_row_count(spark, args.index),
                 spark.read.parquet(f"{args.index}/centroids").count(),
                 args.k,
             )

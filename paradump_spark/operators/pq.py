@@ -514,9 +514,13 @@ def ivf_pq_build_index(
     ).parquet(f"{path}/corpus")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     save_codebooks(corpus.sparkSession, books, f"{path}/pq_codebooks")
-    corpus.sparkSession.createDataFrame(
-        [(bool(residual),)], "residual boolean"
-    ).write.mode("overwrite").parquet(f"{path}/index_meta")
+    from paradump_spark.operators.similarity import write_index_meta
+
+    write_index_meta(
+        corpus.sparkSession, path,
+        n_rows=corpus.sparkSession.read.parquet(f"{path}/corpus").count(),
+        residual=residual,
+    )
     return books
 
 
@@ -547,6 +551,7 @@ def ivf_pq_append_index(
         )
     except Exception:  # pre-residual index layout: flat codes
         residual = False
+    n_new = new_corpus.count()  # meta bump after the append, see below
     assigned = SIM.ivf_assign(new_corpus, cents, id_col, vec_col)
     if residual:
         cn = F.broadcast(
@@ -568,6 +573,7 @@ def ivf_pq_append_index(
     encoded.repartition(F.col("cell_id")).write.mode("append").partitionBy(
         "cell_id"
     ).parquet(f"{path}/corpus")
+    SIM._bump_index_meta(spark, path, n_new)
 
 
 def ivf_pq_query_index(
@@ -607,10 +613,13 @@ def ivf_pq_query_index(
     cents = spark.read.parquet(f"{path}/centroids")
     ksub = books.ksub
     if nprobe is None or rescore is None:
-        from paradump_spark.operators.similarity import derive_search_budget
+        from paradump_spark.operators.similarity import (
+            derive_search_budget,
+            index_row_count,
+        )
 
         budget = derive_search_budget(
-            spark.read.parquet(f"{path}/corpus").count(), cents.count(), k
+            index_row_count(spark, path), cents.count(), k
         )
         nprobe = budget["nprobe"] if nprobe is None else nprobe
         rescore = budget["rescore"] if rescore is None else rescore

@@ -348,6 +348,57 @@ def ivf_build_index(
         "cell_id"
     ).parquet(f"{path}/corpus")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    write_index_meta(
+        corpus.sparkSession, path,
+        n_rows=corpus.sparkSession.read.parquet(f"{path}/corpus").count(),
+    )
+
+
+def write_index_meta(spark, path: str, n_rows: int, residual: bool = False) -> None:
+    """One-row marker alongside the index: the residual-encoding flag
+    (IVF-PQ) and the STORED ROW COUNT.  The count is what
+    :func:`derive_search_budget` needs; keeping it here makes the
+    auto-budget derivation a one-file read instead of a corpus
+    ``count()`` — at 100 TB the latter reads the footers of millions of
+    partition files per query batch."""
+    spark.createDataFrame(
+        [(bool(residual), int(n_rows))], "residual boolean, n_rows long"
+    ).write.mode("overwrite").parquet(f"{path}/index_meta")
+
+
+def index_row_count(spark, path: str) -> int:
+    """Stored row count from ``index_meta``; legacy indexes (or metas
+    from before the count was recorded) fall back to counting the
+    corpus."""
+    try:
+        row = spark.read.parquet(f"{path}/index_meta").collect()[0]
+        n = row["n_rows"] if "n_rows" in row.__fields__ else None
+        if n is not None:
+            return int(n)
+    except Exception:
+        pass
+    return spark.read.parquet(f"{path}/corpus").count()
+
+
+def _bump_index_meta(spark, path: str, n_new: int) -> None:
+    """Advance the stored row count after an append.  Written AFTER the
+    data append: a crash in between leaves the count low, which only
+    under-sizes auto search budgets (delete ``index_meta`` to force a
+    recount-and-heal on the next append).  A legacy index with no meta
+    is migrated by counting the full corpus once."""
+    residual, old = False, None
+    try:
+        row = spark.read.parquet(f"{path}/index_meta").collect()[0]
+        residual = bool(row["residual"])
+        if "n_rows" in row.__fields__ and row["n_rows"] is not None:
+            old = int(row["n_rows"])
+    except Exception:
+        pass
+    if old is None:  # legacy: corpus already contains the new rows
+        n_total = spark.read.parquet(f"{path}/corpus").count()
+    else:
+        n_total = old + int(n_new)
+    write_index_meta(spark, path, n_rows=n_total, residual=residual)
 
 
 def ivf_append_index(
@@ -374,10 +425,14 @@ def ivf_append_index(
     `sinks.shards.append_to_shards`).
     """
     cents = spark.read.parquet(f"{path}/centroids")
+    # counted up front (one pass over the NEW rows only) so the meta
+    # update after the append never re-scans the whole index
+    n_new = new_corpus.count()
     assigned = ivf_assign(new_corpus, cents, id_col, vec_col)
     assigned.repartition(F.col("cell_id")).write.mode("append").partitionBy(
         "cell_id"
     ).parquet(f"{path}/corpus")
+    _bump_index_meta(spark, path, n_new)
 
 
 def ivf_query_index(
@@ -403,7 +458,7 @@ def ivf_query_index(
     cents = spark.read.parquet(f"{path}/centroids")
     if nprobe is None:
         nprobe = derive_search_budget(
-            spark.read.parquet(f"{path}/corpus").count(), cents.count(), k
+            index_row_count(spark, path), cents.count(), k
         )["nprobe"]
     q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
     qcells = (

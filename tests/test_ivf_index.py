@@ -502,3 +502,62 @@ def test_ivf_topk_auto_nprobe(spark, sf_dir):
     exact = brute_force_topk(corpus, q, "vec_id", "embedding", k=5)
     r = ann_recall(got, exact).collect()[0]
     assert r["mean_recall"] == 1.0
+
+
+def test_index_row_count_meta_lifecycle(spark, sf_dir, tmp_path):
+    """The stored row count (index_meta.n_rows) makes auto-budget
+    derivation a one-file read instead of a corpus scan: build records
+    it, append bumps it by the new-rows count only, legacy indexes
+    (no meta) fall back to counting and are migrated on append."""
+    import shutil as _sh
+
+    from paradump_spark.operators.similarity import (
+        index_row_count,
+        ivf_append_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_meta")
+    ivf_build_index(a, path, "vec_id", "embedding", num_cells=4)
+    assert index_row_count(spark, path) == a.count()
+    meta = spark.read.parquet(f"{path}/index_meta").collect()[0]
+    assert meta["residual"] is False and meta["n_rows"] == a.count()
+
+    ivf_append_index(spark, path, b, "vec_id", "embedding")
+    assert index_row_count(spark, path) == n
+
+    # legacy index: no meta -> fall back to counting; append migrates
+    _sh.rmtree(f"{path}/index_meta")
+    assert index_row_count(spark, path) == n          # corpus fallback
+    more = b.select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding", "label"
+    )
+    ivf_append_index(spark, path, more, "vec_id", "embedding")
+    assert spark.read.parquet(f"{path}/index_meta").collect()[0][
+        "n_rows"
+    ] == n + b.count()                                 # migrated + exact
+
+
+def test_index_row_count_meta_pq(spark, sf_dir, tmp_path):
+    from paradump_spark.operators.pq import (
+        ivf_pq_append_index,
+        ivf_pq_build_index,
+    )
+    from paradump_spark.operators.similarity import index_row_count
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq_meta")
+    ivf_pq_build_index(
+        a, path, "vec_id", "embedding",
+        num_cells=4, m=8, ksub=16, residual=True,
+    )
+    assert index_row_count(spark, path) == a.count()
+    ivf_pq_append_index(spark, path, b, "vec_id", "embedding")
+    meta = spark.read.parquet(f"{path}/index_meta").collect()[0]
+    assert meta["n_rows"] == emb.count()
+    assert meta["residual"] is True                    # flag preserved
