@@ -675,7 +675,7 @@ def ivf_rebuild_index(
     try:
         meta = spark.read.parquet(f"{path}/index_meta").collect()
         residual = bool(meta and meta[0]["residual"])
-    except Exception:  # plain IVF layout: no index_meta
+    except Exception:  # pre-meta plain-IVF layout
         pass
     books = None
     if residual:  # split cells re-encode with the frozen codebooks
