@@ -277,6 +277,16 @@ def main() -> None:
 
     times["semantic_dedup"] = bench(semdedup_step)
 
+    # per-cluster corpus profile (size/share/cohesion) over the same
+    # auto-scaled clustering — the topic-balancing curation view; warmed
+    # by the semdedup slice above (shared argmax/means codegen)
+    def cluster_report_step():
+        from paradump_spark.operators.semdedup import embedding_cluster_report
+
+        embedding_cluster_report(emb, "vec_id", "embedding").count()
+
+    times["embedding_cluster_report"] = bench(cluster_report_step)
+
     # classifier serving: hashed tokens -> broadcast weight join -> sigmoid
     def classify_step():
         from paradump_spark.operators.classifier import score_linear
