@@ -1732,7 +1732,6 @@ _DRIVER_QUERY_NAMES = [
     "corr_qty_price",
     "order_age_buckets",
     "part_color_stats",
-    "segment_nation_intersect",
     # ------- round-5 rotation: the 3 queries no CORRECTNESS_r* file has
     # ever evaluated (added late in round 4; strict_verify-green), so
     # r03 ∪ r04 ∪ r05 covers the entire declared surface with hard
@@ -1765,6 +1764,14 @@ _DRIVER_QUERY_NAMES = [
     # still oracle-checked via extra_queries() + pytest).  With this in,
     # all declared queries have hard driver evidence in r03..r07. ----
     "order_date_ranks",
+    # ------- round-8 rotation (VERDICT r07 directive 1): the single
+    # declared query without driver evidence, embedding_cluster_report
+    # (rows-only by design: k-means is not SQL-expressible), takes the
+    # slot of segment_nation_intersect (simple set-op variant,
+    # driver-green in 5 rounds r03..r07; still oracle-checked via
+    # extra_queries() + pytest).  With this in, ALL declared queries
+    # have hard driver evidence in r03..r08. ----
+    "embedding_cluster_report",
 ]
 
 

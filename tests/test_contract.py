@@ -41,17 +41,33 @@ def test_oracle_keys_subset_of_queries():
     o = set(E.oracle_sql())
     assert o <= q
     # only approximate / non-SQL-expressible ops may be rows-only
-    assert q - o == {"pq_topk"}
+    assert q - o == {"pq_topk", "embedding_cluster_report"}
     # every retired (extra) query keeps a DuckDB oracle, except the
     # approximate-by-design ones
     xq, xo = set(E.extra_queries()), set(E.extra_oracle_sql())
-    assert xq - xo == {
-        "ivf_topk", "embedding_near_dup_lsh", "pack_stats",
-        # deterministic but k-means is not SQL-expressible
-        "embedding_cluster_report",
-    }
+    assert xq - xo == {"ivf_topk", "embedding_near_dup_lsh", "pack_stats"}
     assert xo <= xq
     assert not xq & q
+
+
+def test_readme_query_counts_consistent():
+    """README's declared-surface line must track the real contract:
+    '<N> declared queries: <K> DuckDB-oracle-checked + <M> rows-only'."""
+    import re
+
+    text = open("README.md").read()
+    m = re.search(
+        r"\((\d+) declared queries: (\d+) DuckDB-oracle-checked "
+        r"\+ (\d+) rows-only",
+        text,
+    )
+    assert m, "README declared-queries line missing or reformatted"
+    n, k, rows_only = map(int, m.groups())
+    allq, allo = E._all_queries(), E._all_oracle_sql()
+    assert n == len(allq)
+    assert k == len(allo)
+    assert rows_only == len(set(allq) - set(allo))
+    assert n == k + rows_only
 
 
 def test_entry_runs_and_has_rows(spark):
