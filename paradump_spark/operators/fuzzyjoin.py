@@ -74,8 +74,10 @@ def fuzzy_join(
     that block's whole candidate square.  The block join therefore goes
     through `plans.skew.salted_join_if_skewed` (VERDICT r06 directive
     7): one cheap key-count probe, plain join when the hottest
-    surviving block is ≤ ``skew_threshold``× the mean, measurement-
-    sized salting above it (row-equal either way; inner join).
+    surviving block is ≤ ``skew_threshold``× the mean, hot/cold-split
+    salting above it — only the measured-hot blocks' right-side rows
+    are replicated, never the whole token-exploded corpus (ADVICE r07).
+    Row-equal either way; inner join.
     ``skew_threshold=None`` pins the plain join; ``skew_decision`` (a
     dict) receives what was measured and chosen.
     """

@@ -165,6 +165,36 @@ def _fine_assign_arrow(
     )
 
 
+def _fine_budgets(counts: dict[int, int], num_clusters: int) -> dict[int, int]:
+    """Per-coarse-cell fine-centroid budgets: proportional to the cell's
+    row count, >= 1 per non-empty cell, <= the cell's row count, and
+    summing to <= num_clusters whenever num_clusters >= #non-empty cells
+    (always true in assign_clusters_two_level: n_coarse ≈ √num_clusters).
+
+    The max(1,·) bump for tiny cells can push the proportional sum past
+    num_clusters under skewed coarse cells (ADVICE r07) — the largest
+    budgets are leveled back down 1 at a time, never below 1.
+    """
+    total = sum(counts.values())
+    budgets = {
+        c: min(n, max(1, (num_clusters * n) // total))
+        for c, n in counts.items()
+    }
+    excess = sum(budgets.values()) - num_clusters
+    if excess > 0:
+        import heapq
+
+        heap = [(-b, c) for c, b in budgets.items() if b > 1]
+        heapq.heapify(heap)
+        while excess > 0 and heap:
+            nb, c = heapq.heappop(heap)
+            budgets[c] = -nb - 1
+            excess -= 1
+            if budgets[c] > 1:
+                heapq.heappush(heap, (-budgets[c], c))
+    return budgets
+
+
 def assign_clusters_two_level(
     emb: DataFrame,
     id_col: str,
@@ -221,12 +251,7 @@ def assign_clusters_two_level(
         return ca.withColumn("cluster_id", F.lit(None).cast("bigint")).drop(
             "cell_id"
         )
-    # proportional fine budget: >=1 per non-empty cell, <= the cell's
-    # row count, summing to <= num_clusters
-    budgets = {
-        c: min(n, max(1, (num_clusters * n) // total))
-        for c, n in counts.items()
-    }
+    budgets = _fine_budgets(counts, num_clusters)
     offsets, acc = {}, 0
     for c in sorted(budgets):
         offsets[c] = acc

@@ -247,14 +247,22 @@ def ivf_assign(
       else ``jvm``.
     """
     if method == "auto":
+        # one bounded collect (≤ num_cells rows) decides the path AND
+        # feeds the arrow kernel — the old count()+first() pair was two
+        # extra driver jobs and raised TypeError on an empty centroid
+        # table (ADVICE r07); empty/NULL centroids now degrade to the
+        # JVM path like before the auto mode existed
         try:
             import numpy  # noqa: F401
 
-            k_d = (
-                centroids.count()
-                * len(centroids.select("centroid").first()["centroid"])
-            )
-            method = "arrow" if k_d >= 512 else "jvm"
+            rows = centroids.collect()
+            if rows and rows[0]["centroid"] is not None:
+                k_d = len(rows) * len(rows[0]["centroid"])
+                if k_d >= 512:
+                    return _ivf_assign_arrow(
+                        corpus, centroids, vec_col, _rows=rows
+                    )
+            method = "jvm"
         except Exception:
             method = "jvm"
     if method == "arrow":
@@ -280,21 +288,26 @@ def ivf_assign(
 
 
 def _ivf_assign_arrow(
-    corpus: DataFrame, centroids: DataFrame, vec_col: str
+    corpus: DataFrame, centroids: DataFrame, vec_col: str, _rows=None
 ) -> DataFrame:
     """Arrow-vectorized nearest-centroid labeling (see :func:`ivf_assign`).
 
     The centroid table is collected once (it is bounded by num_cells —
-    the same rows every call site already broadcasts) and normalized on
-    the driver; workers do one matmul + argmax per Arrow batch.  numpy
-    ``argmax`` returns the FIRST maximum and the rows are sorted by
-    cell_id, so ties break to the lowest cell_id like the JVM path.
+    the same rows every call site already broadcasts; ``_rows`` lets the
+    auto path reuse its probe collect instead of re-running the job) and
+    normalized on the driver; workers do one matmul + argmax per Arrow
+    batch.  numpy ``argmax`` returns the FIRST maximum and the rows are
+    sorted by cell_id, so ties break to the lowest cell_id like the JVM
+    path.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    rows = sorted(centroids.collect(), key=lambda r: int(r["cell_id"]))
+    rows = sorted(
+        centroids.collect() if _rows is None else _rows,
+        key=lambda r: int(r["cell_id"]),
+    )
     ids = np.array([int(r["cell_id"]) for r in rows], dtype=np.int64)
     C = np.array([r["centroid"] for r in rows], dtype=np.float64)
     cn = np.linalg.norm(C, axis=1, keepdims=True)
@@ -385,7 +398,16 @@ def _bump_index_meta(spark, path: str, n_new: int) -> None:
     data append: a crash in between leaves the count low, which only
     under-sizes auto search budgets (delete ``index_meta`` to force a
     recount-and-heal on the next append).  A legacy index with no meta
-    is migrated by counting the full corpus once."""
+    is migrated by counting the full corpus once.
+
+    NOT concurrency-safe (ADVICE r07): this is a read-modify-write, so
+    two appends racing on one index would each read the old count and
+    the last writer's meta drops the other's increment — permanently
+    under-counting and under-sizing auto budgets.  Appends to one index
+    must be serialized by the caller, exactly like rebuilds (the
+    partitioned parquet append itself has the same single-writer
+    contract).  If a race is suspected, delete ``index_meta`` — the
+    next append recounts the corpus and heals the stored count."""
     residual, old = False, None
     try:
         row = spark.read.parquet(f"{path}/index_meta").collect()[0]
@@ -422,7 +444,9 @@ def ivf_append_index(
     `plans.skew.skew_report` over cell_id is the check.
 
     Caller contract: new ids must be new (dedup upstream, as with
-    `sinks.shards.append_to_shards`).
+    `sinks.shards.append_to_shards`), and appends to one index must be
+    serialized — both the parquet append and the ``index_meta`` row
+    count are single-writer (see :func:`_bump_index_meta`).
     """
     cents = spark.read.parquet(f"{path}/centroids")
     # counted up front (one pass over the NEW rows only) so the meta

@@ -101,23 +101,34 @@ def salted_join_if_skewed(
     how: str = "inner",
     sample_fraction: float | None = None,
     decision: dict | None = None,
+    top_k: int = 32,
 ) -> DataFrame:
     """Auto-salt wiring (VERDICT r05 directive 8): consult
     :func:`skew_report` on the big side's join keys and pick the plan —
     plain equi-join when the hottest key's imbalance is ≤ ``threshold``
-    (AQE's skew-join split copes below ~10×), :func:`salted_join`
-    above it.  Results are identical either way (salted_join is proven
-    row-equal for inner/left).
+    (AQE's skew-join split copes below ~10×), hot/cold-split salting
+    above it.  Results are identical either way.
+
+    **Hot/cold split** (ADVICE r07): blanket :func:`salted_join` would
+    replicate the ENTIRE small side ×buckets — in callers like
+    ``fuzzy_join`` the "small" side is the full token-exploded corpus,
+    so one Zipfian hot token could amplify a corpus-sized shuffle up to
+    64×.  Instead, only the ≤ ``top_k`` measured-hot keys (imbalance >
+    ``threshold``) take the salted path, and ONLY their small-side rows
+    are replicated (a broadcast semi-join picks them out); every cold
+    key goes through the plain equi-join.  Replication cost is thus
+    O(top_k hot keys' small rows × buckets) regardless of |small|.
+    Keys hotter than ``threshold`` but beyond rank ``top_k`` stay on
+    the plain branch — AQE's skew-join split covers that middle band.
 
     The probe is ONE partial-aggregated count shuffle over the key
-    columns only (projected first, so the scan is 2 columns wide); pass
+    columns only (projected first, so the scan is key-width); pass
     ``sample_fraction`` to probe a Bernoulli sample instead on very
     large inputs — imbalance ratios survive uniform sampling.
 
     ``buckets=None`` sizes the salt from the measurement:
     ``clamp(ceil(imbalance / threshold) * 8, 8, 64)`` — enough spread
-    to pull the hot reducer under the threshold, bounded so the small
-    side's replication stays cheap.
+    to pull the hot reducer under the threshold.
 
     ``decision`` (optional dict) is filled with what was measured and
     chosen — callers log it; tests assert on it.
@@ -134,9 +145,10 @@ def salted_join_if_skewed(
     probe = big.select(*on)
     if sample_fraction is not None:
         probe = probe.sample(fraction=sample_fraction, seed=42)
-    hot = skew_report(probe, on, top_k=1).collect()
+    hot = skew_report(probe, on, top_k=top_k).collect()
+    hot_rows = [r for r in hot if float(r["imbalance"]) > threshold]
     imbalance = float(hot[0]["imbalance"]) if hot else 0.0
-    salted = imbalance > threshold
+    salted = bool(hot_rows)
     if buckets is None:
         import math
 
@@ -147,10 +159,25 @@ def salted_join_if_skewed(
             salted=salted,
             buckets=buckets if salted else 0,
             hot_key={k: hot[0][k] for k in on} if hot else None,
+            hot_keys_n=len(hot_rows),
         )
     if not salted:
         return big.join(small, on=on, how=how)
-    return salted_join(big, small, on, buckets=buckets, how=how)
+    # hot/cold split: the hot-key list is driver-bounded (≤ top_k rows)
+    hotdf = big.sparkSession.createDataFrame(
+        [tuple(r[k] for k in on) for r in hot_rows],
+        schema=big.select(*on).schema,
+    )
+    hotb = F.broadcast(hotdf)
+    big_hot = big.join(hotb, on, "left_semi")
+    big_cold = big.join(hotb, on, "left_anti")
+    # only hot keys' small rows get replicated ×buckets; NULL-key small
+    # rows drop out of the semi-join, which is row-equal (an equi-join
+    # never matches NULL keys)
+    small_hot = small.join(hotb, on, "left_semi")
+    cold = big_cold.join(small, on=on, how=how)
+    hot_joined = salted_join(big_hot, small_hot, on, buckets=buckets, how=how)
+    return cold.unionByName(hot_joined)
 
 
 def skew_report(

@@ -378,3 +378,35 @@ def test_embedding_cluster_report_contract(spark):
     r_mix = embedding_cluster_report(mix, "vec_id", "embedding",
                                      num_clusters=1).collect()
     assert r_mix[0]["cohesion"] < 0.95  # spread directions: looser
+
+
+def test_fine_budgets_never_exceed_num_clusters():
+    """ADVICE r07: the max(1,·) bump under skewed coarse cells must not
+    push the budget sum past num_clusters (it used to: one mega-cell +
+    many singleton cells)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from paradump_spark.operators.semdedup import _fine_budgets
+
+    # the historical failure shape: 1 huge cell + 60 singletons, k=64
+    counts = {0: 10_000, **{i: 1 for i in range(1, 61)}}
+    b = _fine_budgets(counts, 64)
+    assert sum(b.values()) <= 64
+    assert all(1 <= b[c] <= counts[c] for c in counts)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ns=st.lists(st.integers(min_value=1, max_value=100_000),
+                    min_size=1, max_size=64),
+        k=st.integers(min_value=1, max_value=4096),
+    )
+    def prop(ns, k):
+        counts = dict(enumerate(ns))
+        b = _fine_budgets(counts, k)
+        assert all(1 <= b[c] <= counts[c] for c in counts)
+        # sum <= num_clusters whenever feasible under the >=1-per-cell
+        # floor; the floor itself is the only allowed overshoot
+        assert sum(b.values()) <= max(k, len(counts))
+
+    prop()

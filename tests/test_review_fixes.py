@@ -196,3 +196,50 @@ def test_load_events_bare_int64_micros_not_divided(spark, tmp_path):
     )
     df2 = load_events(spark, p2)
     assert df2.collect()[0]["ts"].year == 2023
+
+
+def test_ivf_assign_auto_empty_centroids_degrades_to_jvm(spark):
+    """ADVICE r07: method='auto' used count()+first() and raised
+    TypeError on an empty centroid table; it must fall back to the JVM
+    path (which yields NULL cell_id like any empty argmax) instead."""
+    from paradump_spark.operators.similarity import ivf_assign
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, v array<float>"
+    )
+    empty = spark.createDataFrame([], "cell_id int, centroid array<float>")
+    out = ivf_assign(corpus, empty, "id", "v", method="auto")
+    assert "cell_id" in out.columns  # plan builds; no TypeError
+
+
+def test_ivf_assign_auto_single_collect(spark):
+    """The auto probe must reuse ONE bounded collect for both the k*d
+    decision and the arrow kernel — no extra count()/first() jobs."""
+    from unittest.mock import patch
+
+    from paradump_spark.operators.similarity import ivf_assign
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0] * 6) for i in range(50)],
+        "id long, v array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(c + 1)] * 18 + [0.0] * 0) for c in range(40)],
+        "cell_id int, centroid array<float>",
+    )  # 40 cells x 18 dims = 720 >= 512 -> arrow path
+    calls = {"collect": 0, "count": 0, "first": 0}
+    orig_collect = type(cents).collect
+    with patch.object(
+        type(cents), "collect",
+        lambda self: (calls.__setitem__("collect", calls["collect"] + 1),
+                      orig_collect(self))[1],
+    ), patch.object(
+        type(cents), "count",
+        lambda self: (_ for _ in ()).throw(AssertionError("count() called")),
+    ), patch.object(
+        type(cents), "first",
+        lambda self: (_ for _ in ()).throw(AssertionError("first() called")),
+    ):
+        out = ivf_assign(corpus, cents, "id", "v", method="auto")
+    assert calls["collect"] == 1
+    assert out.where(F.col("cell_id").isNull()).count() == 0

@@ -211,6 +211,50 @@ def test_auto_salt_plain_path_when_uniform(spark):
     assert got.count() == big.where(F.col("k") <= 200).count()
 
 
+def test_hot_split_salts_only_hot_keys(spark):
+    """ADVICE r07: the salted branch must replicate only the hot keys'
+    small-side rows, not the whole small side — the plan shows a
+    broadcast semi-join feeding the explode, plus a Union of the plain
+    cold branch."""
+    from paradump_spark.plans.skew import salted_join_if_skewed
+
+    big, dim = _planted_hot(spark), _dim(spark)
+    decision = {}
+    got = salted_join_if_skewed(big, dim, ["k"], threshold=8.0, decision=decision)
+    assert decision["salted"] and decision["hot_keys_n"] == 1
+    plan = got._jdf.queryExecution().analyzed().toString()
+    assert "LeftSemi" in plan and "Union" in plan and "__salt" in plan
+    # row equality vs the plain join
+    want = big.join(dim, "k")
+    assert got.count() == want.count() == 25_000
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_hot_split_left_join_multiple_hot_keys(spark):
+    """Two planted hot keys, left join, some big keys missing from dim:
+    hot/cold union must still equal the plain left join row-for-row."""
+    hot0 = spark.range(8_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    hot1 = spark.range(8_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    # keys 2..301, 10 rows each; keys > 200 have no dim match
+    cold = spark.range(3_000).select(
+        (F.col("id") % 300 + 2).alias("k"), F.col("id").alias("v")
+    )
+    big = hot0.unionByName(hot1).unionByName(cold)
+    dim = _dim(spark)
+    from paradump_spark.plans.skew import salted_join_if_skewed
+
+    decision = {}
+    got = salted_join_if_skewed(
+        big, dim, ["k"], threshold=8.0, how="left", decision=decision
+    )
+    assert decision["salted"] and decision["hot_keys_n"] == 2
+    want = big.join(dim, "k", "left")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_auto_salt_sampled_probe(spark):
     from paradump_spark.plans.skew import salted_join_if_skewed
 

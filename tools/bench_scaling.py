@@ -47,6 +47,24 @@ def run_bench(sf_dir: str, runs: int) -> dict:
     return json.loads(line)
 
 
+def current_commit() -> str:
+    """Short HEAD hash, '-dirty' suffixed when the worktree differs —
+    the min-merge guard key (ADVICE r07: a min taken across code
+    versions can keep a stale fast measurement and mask a regression)."""
+    try:
+        h = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        return h + ("-dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
 def load_avg() -> float:
     with open("/proc/loadavg") as fh:
         return float(fh.read().split()[0])
@@ -110,11 +128,17 @@ def main() -> None:
         except Exception:
             extra, prev = {}, None
 
+    commit = current_commit()
+    for v in scaling.values():
+        v["commit"] = commit
     merged = False
     if merge_min and prev and isinstance(prev.get("queries"), dict):
         for k, v in scaling.items():
             old = prev["queries"].get(k)
-            if not old:
+            # same-commit guard (ADVICE r07): a query whose code changed
+            # since the old measurement must NOT inherit the old (possibly
+            # faster) number — its entry resets to this pass's values
+            if not old or old.get("commit") != commit:
                 continue
             v["sf0.1_sec"] = min(v["sf0.1_sec"], old["sf0.1_sec"])
             v["sf1_sec"] = min(v["sf1_sec"], old["sf1_sec"])
@@ -142,7 +166,9 @@ def main() -> None:
             "(--merge-min): this host's random CPU-steal windows only "
             "ever ADD time, so the min of measured medians converges on "
             "the unstolen value; every number is a real single-pass "
-            "median."
+            "median. minima only merge measurements from the SAME git "
+            "commit (recorded per query); a query touched since its old "
+            "measurement resets to the fresh pass."
         )
     tot01 = round(sum(v["sf0.1_sec"] for v in scaling.values()), 3)
     tot1 = round(sum(v["sf1_sec"] for v in scaling.values()), 3)
