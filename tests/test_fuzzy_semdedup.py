@@ -145,13 +145,14 @@ def test_semantic_dedup_flags_shape(spark):
 
 
 def test_semantic_dedup_max_cluster_conservative(spark):
-    # both 3-row clusters exceed the cap -> pair generation skips them
-    # entirely and every row SURVIVES (conservative direction)
+    # recurse=False restores the pre-round-8 skip: both 3-row clusters
+    # exceed the cap -> pair generation skips them entirely and every
+    # row SURVIVES (conservative direction)
     kept = {
         r.vid
         for r in semantic_dedup(
             _emb(spark), "vid", "v", threshold=0.95,
-            cluster_col="cl", max_cluster=2,
+            cluster_col="cl", max_cluster=2, recurse=False,
         ).collect()
     }
     assert kept == {1, 2, 3, 4, 5, 6}
@@ -410,3 +411,84 @@ def test_fine_budgets_never_exceed_num_clusters():
         assert sum(b.values()) <= max(k, len(counts))
 
     prop()
+
+
+# ------------------------------------------------- mega-cluster recursion
+
+def test_megacluster_ball_flags_equal_brute(spark):
+    """VERDICT r07 directive 2: a planted >max_cluster near-dup ball
+    must be deduplicated, not skipped — flags equal the unbounded
+    (max_cluster=None) brute reference: every ball row except the
+    global lowest id flagged, background rows untouched."""
+    from paradump_spark.operators.semdedup import semantic_dedup_flags
+
+    # 300 IDENTICAL vectors (k-means cannot split them -> exercises the
+    # hash-salt fallback) + 20 mutually-ORTHOGONAL one-hot rows, one
+    # cluster; a second normal cluster of 10 orthogonal rows
+    def onehot(d):
+        v = [0.0] * 32
+        v[d] = 1.0
+        return v
+
+    rows = [(i, onehot(0), 0) for i in range(300)]
+    rows += [(300 + i, onehot(1 + i), 0) for i in range(20)]
+    rows += [(500 + i, onehot(21 + i), 1) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vid long, v array<float>, cl int")
+
+    got = {
+        r.vid: r.is_semantic_dup
+        for r in semantic_dedup_flags(
+            emb, "vid", "v", 0.95, "cl", max_cluster=50
+        ).collect()
+    }
+    want = {
+        r.vid: r.is_semantic_dup
+        for r in semantic_dedup_flags(
+            emb, "vid", "v", 0.95, "cl", max_cluster=None
+        ).collect()
+    }
+    assert got == want
+    assert got[0] is False                      # global min kept
+    assert all(got[i] for i in range(1, 300))   # whole ball flagged
+    assert not any(got[i] for i in list(range(300, 320)) + list(range(500, 510)))
+
+
+def test_megacluster_pairs_no_allpairs_plan(spark):
+    """The recursive path must stay an equi-join pipeline: no cartesian
+    product anywhere in the physical plan."""
+    from paradump_spark.operators.semdedup import semantic_pairs
+
+    rows = [(i, [1.0, 0.0, 0.0], 0) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vid long, v array<float>, cl int")
+    pairs = semantic_pairs(emb, "vid", "v", 0.95, "cl", max_cluster=40)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # and it actually found the intra-ball dups
+    flagged = {r.id_b for r in pairs.collect()}
+    assert flagged == set(range(1, 200))
+
+
+def test_megacluster_diverse_stall_exits(spark):
+    """A diverse mega-cluster (few dups) must terminate via the stall
+    guard with sub-block coverage, not loop: every row pair-examined at
+    some granularity, planted near-dup still caught when co-blocked."""
+    import math
+
+    from paradump_spark.operators.semdedup import semantic_pairs
+
+    # 150 well-spread unit vectors on a 2-sphere arc: no near-dups
+    rows = [
+        (i, [math.cos(0.01 * i), math.sin(0.01 * i), 0.0], 0)
+        for i in range(150)
+    ]
+    # plus one exact duplicate pair far apart in id space
+    rows.append((900, [math.cos(0.5), math.sin(0.5), 0.0], 0))
+    emb = spark.createDataFrame(rows, "vid long, v array<float>, cl int")
+    pairs = semantic_pairs(
+        emb, "vid", "v", 0.9999, "cl", max_cluster=40, max_rounds=4
+    ).collect()
+    # terminates (no hang) and keeps only true near-dup pairs
+    assert all(r.cosine > 0.9999 for r in pairs)
+    # the planted exact dup of vid=50 is found iff co-blocked; with
+    # k-means sub-labels it should land with its twin
+    assert any(r.id_a == 50 and r.id_b == 900 for r in pairs)
