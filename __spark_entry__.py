@@ -1308,6 +1308,35 @@ def _q_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_topk_exact(spark, sf_dir):
+    """IVF search with nprobe == num_cells probes EVERY cell — exact by
+    construction (tests/test_dedup_similarity.py asserts brute-force
+    equality at nprobe=all), so it shares ann_topk's DuckDB oracle.
+    The declared proof that the approximate path's scoring/ranking
+    machinery is the exact machinery with a pruned scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=5, num_cells=16, nprobe=16,
+    )
+
+
+def _q_pq_topk_exact(spark, sf_dir):
+    """PQ two-stage search with rescore == N re-scores every ADC
+    candidate on the raw vectors — the ADC stage only orders the
+    candidate set, so the result is exact and shares ann_topk's
+    oracle."""
+    from paradump_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = PQ.train_pq(emb, "vec_id", "embedding", m=8, ksub=64)
+    codes = PQ.pq_encode(emb, "embedding", books)
+    return PQ.pq_adc_topk(
+        codes, emb.where(F.col("vec_id") < 5), books,
+        "vec_id", "embedding", k=5, rescore=emb.count(),
+    )
+
+
 def _q_pq_topk(spark, sf_dir):
     """Product-quantized two-stage search (ADC candidates -> exact
     re-score); approximate by design -> rows-only."""
@@ -1729,9 +1758,7 @@ _DRIVER_QUERY_NAMES = [
     "pq_topk",
     "chunk_coverage_lineitem",
     "segment_order_stats",
-    "corr_qty_price",
     "order_age_buckets",
-    "part_color_stats",
     # ------- round-5 rotation: the 3 queries no CORRECTNESS_r* file has
     # ever evaluated (added late in round 4; strict_verify-green), so
     # r03 ∪ r04 ∪ r05 covers the entire declared surface with hard
@@ -1772,6 +1799,14 @@ _DRIVER_QUERY_NAMES = [
     # extra_queries() + pytest).  With this in, ALL declared queries
     # have hard driver evidence in r03..r08. ----
     "embedding_cluster_report",
+    # ------- round-8 additions (VERDICT r07 directive 5): the exact-
+    # budget ANN twins — nprobe=all / rescore=N make the approximate
+    # searches exact, so they get ORACLE rows sharing ann_topk's SQL.
+    # They take the slots of corr_qty_price / part_color_stats (simple
+    # SQL variants, driver-green in 5 rounds r03..r07; still oracle-
+    # checked via extra_queries() + pytest). ----
+    "ivf_topk_exact",
+    "pq_topk_exact",
 ]
 
 
@@ -1902,12 +1937,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "pq_topk": _q_pq_topk,
+        "ivf_topk_exact": _q_ivf_topk_exact,
+        "pq_topk_exact": _q_pq_topk_exact,
         # deterministic but not SQL-expressible (k-means) -> rows-only
         "embedding_cluster_report": _q_embedding_cluster_report,
     }
 
 
 def _all_oracle_sql() -> dict[str, str]:
+    o = _oracle_sql_literals()
+    # exact-budget ANN twins (VERDICT r07 directive 5): at nprobe=all /
+    # rescore=N the approximate searches are EXACT (pytest asserts
+    # frame equality with brute_force_topk), so they share the
+    # brute-force oracle
+    o["ivf_topk_exact"] = o["ann_topk"]
+    o["pq_topk_exact"] = o["ann_topk"]
+    return o
+
+
+def _oracle_sql_literals() -> dict[str, str]:
     return {
         "diff_classified": _DIFF_CLASSIFIED_SQL,
         "incremental_diff_classified": _DIFF_CLASSIFIED_SQL,
