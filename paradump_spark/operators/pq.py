@@ -509,6 +509,11 @@ def ivf_pq_build_index(
             train_cap=train_cap, seed=seed, opq_iters=opq_iters,
         )
         encoded = pq_encode(assigned, vec_col, books)
+    from pyspark.sql import Observation
+
+    # stored row count rides the write job (see similarity.ivf_build_index)
+    obs = Observation()
+    encoded = encoded.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     encoded.repartition(F.col("cell_id")).write.mode("overwrite").partitionBy(
         "cell_id"
     ).parquet(f"{path}/corpus")
@@ -517,9 +522,7 @@ def ivf_pq_build_index(
     from paradump_spark.operators.similarity import write_index_meta
 
     write_index_meta(
-        corpus.sparkSession, path,
-        n_rows=corpus.sparkSession.read.parquet(f"{path}/corpus").count(),
-        residual=residual,
+        corpus.sparkSession, path, n_rows=obs.get["n_rows"], residual=residual,
     )
     return books
 

@@ -345,6 +345,8 @@ def ivf_build_index(
     centroids before assignment (better-balanced cells, higher recall at
     the same nprobe).
     """
+    from pyspark.sql import Observation
+
     cents = ivf_centroids(corpus, id_col, vec_col, num_cells, seed)
     if refine_iters:
         cents = kmeans_refine(
@@ -352,6 +354,12 @@ def ivf_build_index(
             train_cap=train_cap, seed=seed,
         )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    # the stored row count (auto search budgets) rides the write job as
+    # an Observation — round 7 re-read the freshly written corpus and
+    # count()ed it, a whole extra job + parquet listing per build
+    # (VERDICT r07 directive 3: ivf_build_refined +63% at sf0.1)
+    obs = Observation()
+    assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     # Cluster by cell before the partitioned write: without this every
     # input task writes one file per cell it touches (tasks × cells tiny
     # files — at cluster scale, millions); one hash shuffle on cell_id
@@ -361,10 +369,7 @@ def ivf_build_index(
         "cell_id"
     ).parquet(f"{path}/corpus")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    write_index_meta(
-        corpus.sparkSession, path,
-        n_rows=corpus.sparkSession.read.parquet(f"{path}/corpus").count(),
-    )
+    write_index_meta(corpus.sparkSession, path, n_rows=obs.get["n_rows"])
 
 
 def write_index_meta(spark, path: str, n_rows: int, residual: bool = False) -> None:
@@ -374,9 +379,34 @@ def write_index_meta(spark, path: str, n_rows: int, residual: bool = False) -> N
     auto-budget derivation a one-file read instead of a corpus
     ``count()`` — at 100 TB the latter reads the footers of millions of
     partition files per query batch."""
+    target = f"{path}/index_meta"
+    if "://" not in path or path.startswith("file://"):
+        # one row: a driver-side pyarrow write costs microseconds where a
+        # Spark job + output commit costs ~1 s of fixed overhead per
+        # build (the r07 ivf_build_refined regression was exactly this
+        # meta write + a read-back count); Spark reads the directory
+        # identically
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        local = target[len("file://"):] if target.startswith("file://") else target
+        tbl = pa.table(
+            {
+                "residual": pa.array([bool(residual)], pa.bool_()),
+                "n_rows": pa.array([int(n_rows)], pa.int64()),
+            }
+        )
+        shutil.rmtree(local, ignore_errors=True)
+        os.makedirs(local, exist_ok=True)
+        papq.write_table(tbl, os.path.join(local, "part-00000.parquet"))
+        return
+    # remote filesystems (hdfs/s3/...) go through Spark's committer
     spark.createDataFrame(
         [(bool(residual), int(n_rows))], "residual boolean, n_rows long"
-    ).write.mode("overwrite").parquet(f"{path}/index_meta")
+    ).write.mode("overwrite").parquet(target)
 
 
 def index_row_count(spark, path: str) -> int:
