@@ -688,3 +688,193 @@ def embedding_cluster_report(
         .select("cluster_id", "n_rows", "share", "cohesion")
         .orderBy(F.desc("n_rows"), F.asc("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental semantic dedup — the embedding analogue of
+# dedup.incremental_dedup's minhash signature store (VERDICT r07
+# directive 6): corpora grow shard by shard, and re-clustering +
+# re-pairing 100 TB of history per arriving shard is the failure mode
+# this avoids.  The store persists FROZEN centroids (new shards assign
+# map-only, exactly faiss's add-after-train contract) and the KEEPER
+# set (one representative per ε-ball seen so far), partitioned by
+# cluster_id so the probe join prunes to the shard's own cells.
+
+def incremental_semantic_dedup(
+    spark,
+    store_path: str,
+    new_emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    cluster_col: str | None = None,
+    num_clusters: int | None = None,
+    cluster_size: int = 64,
+    seed: int = 42,
+    append_fresh: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a new embedding shard against the historical keeper store.
+
+    Returns ``(fresh_rows, matches)``: ``matches`` is (new_id,
+    existing_id, cosine) — every pairing of a new row with a KEEPER (a
+    historical surviving representative) or a LOWER-id row of its own
+    shard above the threshold; ``fresh_rows`` are the new rows with no
+    match.  With ``append_fresh`` the fresh rows join the keeper set,
+    so the store stays current without ever re-pairing history.
+
+    First call on an empty store initializes it: the shard clusters
+    (``cluster_col`` if given, else k-means via
+    :func:`cluster_embeddings`, whose centroids persist FROZEN), dedups
+    within itself, and writes its survivors as keepers.  Later calls
+    must use the same threshold/cluster mode (validated — mixed modes
+    would make keeper blocks incomparable) and, in the k-means mode,
+    assign against the frozen centroids: a map-only broadcast argmax,
+    no corpus shuffle, no re-clustering drift.
+
+    Plan shape per shard: normalize + assign the NEW rows only, one
+    equi-join against the keeper store on cluster_id (the store side is
+    partitioned by cluster_id — the scan prunes to the shard's own
+    cells), one within-shard pairing (Σ|cluster∩shard|², never history-
+    sized).  Keeper-vs-keeper pairs were already resolved in earlier
+    runs and are never recomputed.
+
+    Caller contract: new ids must be new across shards (same as
+    `dedup.incremental_dedup` / `sinks.shards.append_to_shards`), and
+    shards arrive in ascending id order if flag parity with a
+    single-run :func:`semantic_dedup_flags` matters (the "lower id
+    kept" rule then means the keeper really is the lowest id seen).
+    """
+    import json
+    import os
+
+    params_file = os.path.join(store_path, "_sem_params.json")
+    mode = f"caller:{cluster_col}" if cluster_col else "frozen-centroids"
+    mine = {
+        "threshold": float(threshold),
+        "mode": mode,
+        "cluster_size": int(cluster_size),
+        "seed": int(seed),
+    }
+    keepers_path = os.path.join(store_path, "keepers")
+    cents_path = os.path.join(store_path, "centroids")
+
+    if not os.path.exists(params_file):
+        # ---- bootstrap: cluster, self-dedup, persist ----
+        if cluster_col is None:
+            labeled, _k = cluster_embeddings(
+                new_emb, id_col, vec_col, num_clusters=num_clusters,
+                cluster_size=cluster_size, seed=seed,
+            )
+            centroids = _centroids_of(labeled, "cluster_id", vec_col)
+            centroids.write.mode("overwrite").parquet(cents_path)
+            cl = "cluster_id"
+        else:
+            labeled, cl = new_emb, cluster_col
+        pairs = semantic_pairs(labeled, id_col, vec_col, threshold, cl)
+        matches = pairs.select(
+            F.col("id_b").alias("new_id"),
+            F.col("id_a").alias("existing_id"),
+            "cosine",
+        ).localCheckpoint(eager=True)
+        dropped = matches.select(F.col("new_id").alias(id_col)).distinct()
+        fresh_labeled = labeled.join(dropped, id_col, "left_anti")
+        _write_keepers(fresh_labeled, id_col, vec_col, cl, keepers_path)
+        os.makedirs(store_path, exist_ok=True)
+        with open(params_file, "w") as fh:
+            json.dump(mine, fh)
+        fresh = new_emb.join(dropped, id_col, "left_anti")
+        return fresh, matches
+
+    with open(params_file) as fh:
+        stored = json.load(fh)
+    if stored != mine:
+        raise ValueError(
+            f"semantic store {store_path} was built with {stored}; probe "
+            f"uses {mine} — keeper blocks would be incomparable"
+        )
+
+    # ---- probe: assign new rows, pair vs keepers + own shard ----
+    if cluster_col is None:
+        cents = spark.read.parquet(cents_path).withColumnRenamed(
+            "cluster_id", "cell_id"
+        )
+        labeled = ivf_assign(new_emb, cents, id_col, vec_col)
+        labeled = labeled.withColumnRenamed("cell_id", "cluster_id")
+        cl = "cluster_id"
+    else:
+        labeled, cl = new_emb, cluster_col
+    newb = labeled.select(
+        F.col(cl).cast("string").alias("__cl"),
+        F.col(id_col).alias("__id"),
+        V.normalized(F.col(vec_col)).cast("array<float>").alias("__nv"),
+    ).localCheckpoint(eager=True)  # consumed by hist join + self pairing
+    # pin the store snapshot by listing files NOW (the append below must
+    # not make a lazy re-evaluation match fresh rows against themselves)
+    store_now = spark.read.parquet(keepers_path)
+    files = store_now.inputFiles()
+    store = (
+        spark.read.option("basePath", keepers_path).parquet(*files)
+        if files else store_now
+    )
+    hist = (
+        newb.join(
+            store.select(
+                F.col("__cl"),
+                F.col("__id").alias("existing_id"),
+                F.col("__nv").alias("__kv"),
+            ),
+            "__cl",
+        )
+        .withColumn("cosine", F.round(V.dot(F.col("__nv"), F.col("__kv")), 6))
+        .where(F.col("cosine") > threshold)
+        .select(F.col("__id").alias("new_id"), "existing_id", "cosine")
+    )
+    intra = semantic_pairs(labeled, id_col, vec_col, threshold, cl).select(
+        F.col("id_b").alias("new_id"),
+        F.col("id_a").alias("existing_id"),
+        "cosine",
+    )
+    matches = hist.unionByName(intra).localCheckpoint(eager=True)
+    dropped = matches.select(F.col("new_id").alias(id_col)).distinct()
+    fresh = new_emb.join(dropped, id_col, "left_anti")
+    if append_fresh:
+        fresh_keepers = newb.join(
+            dropped.select(F.col(id_col).alias("__id")), "__id", "left_anti"
+        )
+        fresh_keepers.write.mode("append").partitionBy("__cl").parquet(
+            keepers_path
+        )
+    return fresh, matches
+
+
+def _centroids_of(labeled: DataFrame, cl: str, vec_col: str) -> DataFrame:
+    """Spherical mean per cluster — the frozen quantizer persisted at
+    store init (posexplode partial aggregation: shuffle ≤ partitions ×
+    k × d, corpus-independent)."""
+    return (
+        labeled.select(
+            F.col(cl).alias("cluster_id"),
+            F.posexplode(V.normalized(F.col(vec_col)).cast("array<float>"))
+            .alias("dim", "val"),
+        )
+        .groupBy("cluster_id", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(
+            "cluster_id",
+            V.normalized(F.transform(F.col("dm"), lambda s: s["m"]))
+            .cast("array<float>")
+            .alias("centroid"),
+        )
+    )
+
+
+def _write_keepers(
+    labeled: DataFrame, id_col: str, vec_col: str, cl: str, path: str
+) -> None:
+    labeled.select(
+        F.col(cl).cast("string").alias("__cl"),
+        F.col(id_col).alias("__id"),
+        V.normalized(F.col(vec_col)).cast("array<float>").alias("__nv"),
+    ).write.mode("overwrite").partitionBy("__cl").parquet(path)

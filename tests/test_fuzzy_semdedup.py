@@ -492,3 +492,130 @@ def test_megacluster_diverse_stall_exits(spark):
     # the planted exact dup of vid=50 is found iff co-blocked; with
     # k-means sub-labels it should land with its twin
     assert any(r.id_a == 50 and r.id_b == 900 for r in pairs)
+
+
+# ------------------------------------------- incremental semantic dedup
+
+def _ball(vid0, d, n, dim=16):
+    """n near-identical vectors around one-hot dim d (tiny deterministic
+    jitter keeps cosine ~0.9999 — above any dedup threshold)."""
+    rows = []
+    for i in range(n):
+        v = [0.0] * dim
+        v[d] = 1.0
+        v[(d + 1) % dim] = 0.001 * (i % 3)
+        rows.append((vid0 + i, v))
+    return rows
+
+
+def test_incremental_semantic_dedup_two_shards_equal_full_run(spark, tmp_path):
+    """VERDICT r07 directive 6: two-shard incremental == full-run flags
+    on the label-clustered contract; the store grows without ever
+    re-pairing history."""
+    from paradump_spark.operators.semdedup import incremental_semantic_dedup
+
+    # cluster 0: a 6-row ball split across shards + 1 distinct row
+    # cluster 1: a 4-row ball entirely in shard 2 + 1 distinct row
+    all_rows = (
+        [(vid, v, 0) for vid, v in _ball(0, 0, 6)]
+        + [(100, [0.0] * 15 + [1.0], 0)]
+        + [(vid, v, 1) for vid, v in _ball(200, 4, 4)]
+        + [(300, [0.0] * 14 + [1.0, 0.0], 1)]
+    )
+    schema = "vid long, v array<float>, lbl int"
+    full = spark.createDataFrame(all_rows, schema)
+    shard1 = spark.createDataFrame(
+        [r for r in all_rows if r[0] < 3 or r[0] == 100], schema
+    )
+    shard2 = spark.createDataFrame(
+        [r for r in all_rows if not (r[0] < 3 or r[0] == 100)], schema
+    )
+
+    store = str(tmp_path / "semstore")
+    f1, m1 = incremental_semantic_dedup(
+        spark, store, shard1, "vid", "v", threshold=0.95, cluster_col="lbl"
+    )
+    kept1 = {r.vid for r in f1.collect()}
+    f2, m2 = incremental_semantic_dedup(
+        spark, store, shard2, "vid", "v", threshold=0.95, cluster_col="lbl"
+    )
+    kept2 = {r.vid for r in f2.collect()}
+
+    full_kept = {
+        r.vid
+        for r in __import__(
+            "paradump_spark.operators.semdedup", fromlist=["semantic_dedup"]
+        ).semantic_dedup(
+            full, "vid", "v", threshold=0.95, cluster_col="lbl"
+        ).collect()
+    }
+    assert kept1 | kept2 == full_kept == {0, 100, 200, 300}
+    # history is never re-paired: every shard-2 match has a NEW id on
+    # the new side only
+    new_ids = {r[0] for r in shard2.select("vid").collect()}
+    assert all(r.new_id in new_ids for r in m2.collect())
+    # shard-2 ball members' HISTORY matches point at the shard-1 keeper
+    # (id 0) only — dropped shard-1 rows (1, 2) never re-enter pairing
+    hist = {
+        r.existing_id
+        for r in m2.collect()
+        if r.new_id in (3, 4, 5) and r.existing_id not in new_ids
+    }
+    assert hist == {0}
+
+
+def test_incremental_semantic_dedup_frozen_centroids(spark, tmp_path):
+    """k-means mode: init freezes centroids; a later shard's near-dups
+    of historical keepers are caught via map-only assignment + the
+    cluster-pruned keeper join."""
+    from paradump_spark.operators.semdedup import incremental_semantic_dedup
+
+    shard1 = spark.createDataFrame(
+        [(vid, v) for vid, v in _ball(0, 0, 30) + _ball(100, 5, 30)],
+        "vid long, v array<float>",
+    )
+    store = str(tmp_path / "kstore")
+    f1, _ = incremental_semantic_dedup(
+        spark, store, shard1, "vid", "v", threshold=0.95, num_clusters=4
+    )
+    assert f1.count() <= 4  # two balls -> ~2 keepers (+jitter margin)
+    # shard 2: more members of ball A + a brand-new direction
+    shard2 = spark.createDataFrame(
+        [(vid, v) for vid, v in _ball(1000, 0, 10)]
+        + [(2000, [0.0] * 10 + [1.0] + [0.0] * 5)],
+        "vid long, v array<float>",
+    )
+    f2, m2 = incremental_semantic_dedup(
+        spark, store, shard2, "vid", "v", threshold=0.95, num_clusters=4
+    )
+    kept2 = {r.vid for r in f2.collect()}
+    assert 2000 in kept2                       # new direction survives
+    assert all(v >= 1000 for v in kept2)
+    assert not {v for v in kept2 if 1000 <= v < 1010}  # ball A all matched
+    # matched against HISTORY keepers (ids < 100), proving the frozen
+    # assignment routed them to the right cell (intra-shard pairs also
+    # appear — filter to the history side)
+    hist_matches = {
+        r.existing_id
+        for r in m2.collect()
+        if r.new_id < 1010 and r.existing_id < 1000
+    }
+    assert hist_matches and all(e < 100 for e in hist_matches)
+
+
+def test_incremental_semantic_dedup_param_mismatch_raises(spark, tmp_path):
+    from paradump_spark.operators.semdedup import incremental_semantic_dedup
+
+    shard = spark.createDataFrame(
+        [(vid, v) for vid, v in _ball(0, 0, 5)], "vid long, v array<float>"
+    )
+    store = str(tmp_path / "pstore")
+    incremental_semantic_dedup(
+        spark, store, shard, "vid", "v", threshold=0.95, num_clusters=2
+    )
+    with pytest.raises(ValueError, match="incomparable"):
+        incremental_semantic_dedup(
+            spark, store,
+            shard.selectExpr("vid + 50 AS vid", "v"),
+            "vid", "v", threshold=0.9, num_clusters=2,
+        )
