@@ -1321,6 +1321,19 @@ def _q_ivf_topk_exact(spark, sf_dir):
     )
 
 
+def _q_knn_join_exact(spark, sf_dir):
+    """Corpus×corpus kNN-join (the kNN-graph input for graph-based
+    clustering/dedup) at nprobe == num_cells — every cell probed, so
+    the result is exact (tests assert brute-force equality) and the
+    DuckDB all-pairs oracle applies.  Both sides are the full corpus;
+    the plan is one cell-keyed shuffle equi-join, never a cartesian."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_join(
+        emb, emb, "vec_id", "embedding", k=3, num_cells=8, nprobe=8,
+        exclude_self=True,
+    )
+
+
 def _q_pq_topk_exact(spark, sf_dir):
     """PQ two-stage search with rescore == N re-scores every ADC
     candidate on the raw vectors — the ADC stage only orders the
@@ -1758,7 +1771,6 @@ _DRIVER_QUERY_NAMES = [
     "pq_topk",
     "chunk_coverage_lineitem",
     "segment_order_stats",
-    "order_age_buckets",
     # ------- round-5 rotation: the 3 queries no CORRECTNESS_r* file has
     # ever evaluated (added late in round 4; strict_verify-green), so
     # r03 ∪ r04 ∪ r05 covers the entire declared surface with hard
@@ -1807,6 +1819,11 @@ _DRIVER_QUERY_NAMES = [
     # checked via extra_queries() + pytest). ----
     "ivf_topk_exact",
     "pq_topk_exact",
+    # round-8 NEW operator: corpus×corpus kNN-join through shared IVF
+    # cells (VERDICT r07 directive 7), declared at the exact full-probe
+    # budget with the all-pairs DuckDB oracle; takes the slot of
+    # order_age_buckets (driver-green in 5 rounds, still pytest-oracled).
+    "knn_join_exact",
 ]
 
 
@@ -1939,6 +1956,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "ivf_topk_exact": _q_ivf_topk_exact,
         "pq_topk_exact": _q_pq_topk_exact,
+        "knn_join_exact": _q_knn_join_exact,
         # deterministic but not SQL-expressible (k-means) -> rows-only
         "embedding_cluster_report": _q_embedding_cluster_report,
     }
@@ -1952,6 +1970,18 @@ def _all_oracle_sql() -> dict[str, str]:
     # brute-force oracle
     o["ivf_topk_exact"] = o["ann_topk"]
     o["pq_topk_exact"] = o["ann_topk"]
+    # corpus×corpus kNN-join at full probe: every row is a query, self
+    # excluded — the all-pairs oracle
+    o["knn_join_exact"] = f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT query_id, {_norm_sql('v')} AS qv FROM q0),
+c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT neighbor_id, {_norm_sql('v')} AS cv FROM c0),
+s AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, round(cos, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= 3"""
     return o
 
 

@@ -23,6 +23,9 @@ ARROW_ALLOWED = {
     "pack_stats",            # stateful per-partition packer
     "embedding_near_dup_lsh",
     "embedding_cluster_report",  # Arrow numpy argmax in ivf_assign
+    "ivf_topk_exact",        # Arrow numpy argmax in ivf_assign
+    "pq_topk_exact",         # Arrow-batched PQ encode (same as pq_topk)
+    "knn_join_exact",        # Arrow numpy argmax in ivf_assign/probe_cells
 }
 
 
