@@ -56,6 +56,64 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--incremental-chunks", type=int, default=None,
                    help="two-phase mode: checksum N PK chunks, row-diff only changed ones")
 
+    # ------- live-DB verbs (ref run_test_sync.sh's CLI-driven dump →
+    # copy → sync cycle): connections come from a `module:callable`
+    # zero-arg DBAPI factory so any driver (psycopg, a psql shim, …)
+    # plugs in without the CLI knowing DSN syntax -------
+    dbd = sub.add_parser(
+        "db-dump",
+        help="single-transaction live-DB table export to parquet "
+             "(ref: paradump single-tx snapshot over a live connection)",
+    )
+    dbd.add_argument("--reader", required=True,
+                     help="module:callable returning a DBAPI connection")
+    dbd.add_argument("--db-table", required=True)
+    dbd.add_argument("--columns", required=True, help="comma-separated")
+    dbd.add_argument("--output", required=True, help="parquet output path")
+    dbd.add_argument("--begin-sql", default=None,
+                     help="transaction opener (e.g. 'BEGIN ISOLATION "
+                          "LEVEL REPEATABLE READ')")
+    dbd.add_argument("--batch-rows", type=int, default=50_000)
+
+    dbc = sub.add_parser(
+        "db-copy",
+        help="K5: bulk-load a dumped parquet table into a live "
+             "destination table (batched parameterized INSERTs)",
+    )
+    dbc.add_argument("--writer", required=True,
+                     help="module:callable returning a DBAPI connection")
+    dbc.add_argument("--source-parquet", required=True)
+    dbc.add_argument("--table", required=True)
+    dbc.add_argument("--columns", required=True, help="comma-separated")
+    dbc.add_argument("--dialect", default="postgres",
+                     choices=("mysql", "postgres", "mssql"))
+    dbc.add_argument("--batch-size", type=int, default=500)
+    dbc.add_argument("--placeholder", default="?")
+    dbc.add_argument("--quote", default='"')
+
+    dbs = sub.add_parser(
+        "db-sync",
+        help="parasync over a live destination: snapshot the live table, "
+             "classify I/U/D vs the source parquet, optionally apply (K6)",
+    )
+    dbs.add_argument("--reader", required=True,
+                     help="module:callable returning a DBAPI connection")
+    dbs.add_argument("--writer", default=None,
+                     help="module:callable DBAPI factory (required with --apply)")
+    dbs.add_argument("--table", required=True, help="live destination table")
+    dbs.add_argument("--source-parquet", required=True)
+    dbs.add_argument("--columns", required=True, help="comma-separated")
+    dbs.add_argument("--pk", required=True, help="comma-separated key columns")
+    dbs.add_argument("--begin-sql", default=None)
+    dbs.add_argument("--batch-rows", type=int, default=50_000)
+    dbs.add_argument("--apply", action="store_true",
+                     help="apply the classified DML to the destination")
+    dbs.add_argument("--placeholder", default="?")
+    dbs.add_argument("--quote", default='"')
+    dbs.add_argument("--scratch", default=None,
+                     help="directory for the live-side snapshot parquet "
+                          "(default: a temp dir)")
+
     pr = sub.add_parser("profile", help="one-pass per-column table profile")
     pr.add_argument("--directory", required=True, help="source catalog directory")
     pr.add_argument("--table", action="append", default=[], help="explicit table (repeatable)")
@@ -401,6 +459,30 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _load_conn_factory(spec: str):
+    """Resolve ``module:callable`` to a zero-arg DBAPI connection
+    factory.  The factory's defining module is registered for by-value
+    pickling so executor-side closures (copy_table / apply_diff run on
+    executors) work even when that module isn't importable there —
+    e.g. a test-local psql shim or a deploy-specific DSN wrapper."""
+    import importlib
+
+    if ":" not in spec:
+        raise SystemExit(f"--reader/--writer must be module:callable, got {spec!r}")
+    mod_name, attr = spec.split(":", 1)
+    mod = importlib.import_module(mod_name)
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass  # importable-everywhere modules need no registration
+    fn = getattr(mod, attr, None)
+    if not callable(fn):
+        raise SystemExit(f"{spec!r} does not name a callable")
+    return fn
+
+
 def validate(args: argparse.Namespace) -> None:
     if args.command == "dump":
         if args.mode not in DUMP_MODES:
@@ -556,6 +638,72 @@ def main(argv: list[str] | None = None) -> int:
 
             mp = write_manifest(cat, args.output, results)
             print(f"manifest {mp}")
+        return 0
+    if args.command == "db-dump":
+        from paradump_spark.sources.jdbc import single_tx_export
+
+        n = single_tx_export(
+            _load_conn_factory(args.reader), args.db_table, args.output,
+            columns=args.columns.split(","), begin_sql=args.begin_sql,
+            batch_rows=args.batch_rows,
+        )
+        print(f"db-dump {args.db_table} rows={n} path={args.output}")
+        return 0
+    if args.command == "db-copy":
+        from paradump_spark.sinks.dml import copy_table
+
+        df = spark.read.parquet(args.source_parquet)
+        cols = args.columns.split(",")
+        copy_table(
+            df, _load_conn_factory(args.writer), args.table, columns=cols,
+            batch_size=args.batch_size, dialect=args.dialect,
+            placeholder=args.placeholder, quote=args.quote,
+        )
+        print(f"db-copy {args.table} rows={df.count()}")
+        return 0
+    if args.command == "db-sync":
+        import tempfile
+
+        from paradump_spark.operators.diff import diff_classified
+        from paradump_spark.sinks.dml import DmlTemplates, apply_diff
+        from paradump_spark.sources.jdbc import single_tx_export
+
+        if args.apply and not args.writer:
+            raise SystemExit("--apply requires --writer")
+        cols = args.columns.split(",")
+        pk = args.pk.split(",")
+        scratch = args.scratch or tempfile.mkdtemp(prefix="dbsync_")
+        snap = f"{scratch}/{args.table}.snapshot.parquet"
+        single_tx_export(
+            _load_conn_factory(args.reader), args.table, snap,
+            columns=cols, begin_sql=args.begin_sql,
+            batch_rows=args.batch_rows,
+        )
+        src = spark.read.parquet(args.source_parquet)
+        drift = diff_classified(
+            src, spark.read.parquet(snap), pk, keep_noops=False
+        )
+        from pyspark.sql import functions as F
+
+        by_kind = {
+            r["dmltype"]: r["cnt"]
+            for r in drift.groupBy("dmltype")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        total = sum(by_kind.values())
+        for kind in ("I", "U", "D"):
+            print(f"db-sync {args.table} {kind}={by_kind.get(kind, 0)}")
+        if total == 0:
+            print(f"db-sync {args.table} converged")
+            return 0
+        if args.apply:
+            tmpl = DmlTemplates(
+                args.table, cols, pk,
+                placeholder=args.placeholder, quote=args.quote,
+            )
+            apply_diff(drift, _load_conn_factory(args.writer), tmpl)
+            print(f"db-sync {args.table} applied {total} changes")
         return 0
     if args.command == "verify-dump":
         import os

