@@ -10,6 +10,15 @@ is 10×; a query scaling materially worse than that gets a plan
 investigation (the ledger marks ratios > the budget with "over").
 
 Usage:  python tools/bench_scaling.py [sf1_dir] [out_json] [--merge-min]
+        [--sf5 DIR]
+
+``--sf5 DIR``: add a THIRD scale point (50× sf0.1 rows, 5× sf1 — from
+tools/gen_sf.py) to every timed query (VERDICT r07 directive 4).  Each
+query then carries an ``exp`` estimate — the log-log slope between the
+sf1 and sf5 points, log(t5/t1)/log(5) — the number that distinguishes
+fixed-overhead-dominated (exp ≈ 0), linear (exp ≈ 1), and superlinear
+(exp > 1) behavior where a single ratio cannot.  The sf5 budget is
+ratio ≤ 6 over sf1 (5× rows + shuffle overhead).
 
 ``--merge-min``: merge with the existing ledger by PER-QUERY MINIMUM of
 the measured medians (totals and ratios recomputed from the merged
@@ -30,6 +39,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LINEAR_BUDGET = 12.0  # 10x data + modest shuffle superlinearity
+SF5_BUDGET = 6.0      # sf1 -> sf5 leg: 5x rows + shuffle overhead
 
 
 def run_bench(sf_dir: str, runs: int) -> dict:
@@ -87,8 +97,14 @@ def wait_quiet(threshold: float = 0.7, max_wait: int = 600) -> float:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--merge-min"]
-    merge_min = "--merge-min" in sys.argv[1:]
+    argv = sys.argv[1:]
+    sf5_dir = None
+    if "--sf5" in argv:
+        i = argv.index("--sf5")
+        sf5_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--merge-min"]
+    merge_min = "--merge-min" in argv
     sf1_dir = args[0] if len(args) > 0 else os.path.join(REPO, "scratch/sf1")
     out_path = args[1] if len(args) > 1 else os.path.join(REPO, "SF1_LEDGER.json")
     loads = {"sf0.1_start": round(wait_quiet(), 2)}
@@ -99,6 +115,14 @@ def main() -> None:
     big = run_bench(sf1_dir, runs=3)
     loads["sf1_end"] = round(load_avg(), 2)
     print(f"sf1 total {big['value']}s; load now {loads['sf1_end']:.2f}")
+    huge = None
+    if sf5_dir:
+        loads["sf5_start"] = round(wait_quiet(), 2)
+        huge = run_bench(sf5_dir, runs=3)
+        loads["sf5_end"] = round(load_avg(), 2)
+        print(f"sf5 total {huge['value']}s; load now {loads['sf5_end']:.2f}")
+
+    import math
 
     scaling = {}
     for k, t01 in base["queries"].items():
@@ -114,6 +138,18 @@ def main() -> None:
                 "over" if ratio is not None and ratio > LINEAR_BUDGET else "ok"
             ),
         }
+        t5 = (huge or {}).get("queries", {}).get(k)
+        if t5 is not None:
+            scaling[k]["sf5_sec"] = t5
+            if t1 > 0:
+                r5 = t5 / t1
+                scaling[k]["ratio_sf5_vs_sf1"] = round(r5, 2)
+                # log-log slope over the sf1→sf5 leg (the fixed-overhead
+                # floor has amortized by sf1, so this is the data-term
+                # exponent): exp ≈ 0 overhead-bound, 1 linear, >1 super
+                scaling[k]["exp"] = round(math.log(max(r5, 1e-9)) / math.log(5), 2)
+                if r5 > SF5_BUDGET:
+                    scaling[k]["verdict"] = "over-sf5"
     # carry forward sections other tools append (tools/recall_scaling.py)
     extra, prev = {}, None
     if os.path.exists(out_path):
@@ -142,6 +178,10 @@ def main() -> None:
                 continue
             v["sf0.1_sec"] = min(v["sf0.1_sec"], old["sf0.1_sec"])
             v["sf1_sec"] = min(v["sf1_sec"], old["sf1_sec"])
+            if "sf5_sec" in v and "sf5_sec" in old:
+                v["sf5_sec"] = min(v["sf5_sec"], old["sf5_sec"])
+            elif "sf5_sec" in old:  # sf5 pass skipped this refresh
+                v["sf5_sec"] = old["sf5_sec"]
             v["ratio"] = (
                 round(v["sf1_sec"] / v["sf0.1_sec"], 2)
                 if v["sf0.1_sec"] > 0 else None
@@ -151,6 +191,12 @@ def main() -> None:
                 if v["ratio"] is not None and v["ratio"] > LINEAR_BUDGET
                 else "ok"
             )
+            if "sf5_sec" in v and v["sf1_sec"] > 0:
+                r5 = v["sf5_sec"] / v["sf1_sec"]
+                v["ratio_sf5_vs_sf1"] = round(r5, 2)
+                v["exp"] = round(math.log(max(r5, 1e-9)) / math.log(5), 2)
+                if r5 > SF5_BUDGET:
+                    v["verdict"] = "over-sf5"
         merged = True
 
     note = (
@@ -170,19 +216,41 @@ def main() -> None:
             "commit (recorded per query); a query touched since its old "
             "measurement resets to the fresh pass."
         )
+    if sf5_dir or any("sf5_sec" in v for v in scaling.values()):
+        note += (
+            f" sf5 = gen_sf.py at 50x sf0.1 rows (5x sf1); exp = "
+            f"log(sf5_sec/sf1_sec)/log(5), the sf1->sf5 log-log slope "
+            f"(0 = overhead-bound, 1 = linear); sf5 budget "
+            f"{SF5_BUDGET} over sf1."
+        )
     tot01 = round(sum(v["sf0.1_sec"] for v in scaling.values()), 3)
     tot1 = round(sum(v["sf1_sec"] for v in scaling.values()), 3)
+    with5 = [v for v in scaling.values() if "sf5_sec" in v]
     ledger = {
         **extra,
         "note": note,
         "linear_budget": LINEAR_BUDGET,
+        "sf5_budget": SF5_BUDGET,
         "load_gate": loads,
         # totals over the COMMON timed-query set (== bench value when not
         # merged, since every query appears in both passes)
         "sf0.1_total": tot01,
         "sf1_total": tot1,
         "total_ratio": round(tot1 / tot01, 2) if tot01 else None,
-        "n_over_budget": sum(1 for v in scaling.values() if v["verdict"] == "over"),
+        "sf5_total": (
+            round(sum(v["sf5_sec"] for v in with5), 3) if with5 else None
+        ),
+        "sf5_total_ratio_vs_sf1": (
+            round(
+                sum(v["sf5_sec"] for v in with5)
+                / sum(v["sf1_sec"] for v in with5),
+                2,
+            )
+            if with5 else None
+        ),
+        "n_over_budget": sum(
+            1 for v in scaling.values() if v["verdict"].startswith("over")
+        ),
         "queries": scaling,
         "ann_recall_sf1": big.get("ann_recall"),
     }
@@ -191,7 +259,13 @@ def main() -> None:
         fh.write("\n")
     print(json.dumps({k: v for k, v in ledger.items() if k != "queries"}, indent=1))
     for k, v in sorted(scaling.items(), key=lambda kv: -(kv[1]["ratio"] or 0)):
-        print(f"{k:28s} {v['sf0.1_sec']:>8.2f}s -> {v['sf1_sec']:>8.2f}s  x{v['ratio']}  {v['verdict']}")
+        tail = ""
+        if "sf5_sec" in v:
+            tail = f" -> {v['sf5_sec']:.2f}s exp={v.get('exp')}"
+        print(
+            f"{k:28s} {v['sf0.1_sec']:>8.2f}s -> {v['sf1_sec']:>8.2f}s"
+            f"  x{v['ratio']}  {v['verdict']}{tail}"
+        )
 
 
 if __name__ == "__main__":
