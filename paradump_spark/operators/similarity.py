@@ -1097,3 +1097,51 @@ def knn_join(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def knn_graph_clusters(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int | None = 4,
+    refine_iters: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Graph-based embedding clustering: the kNN graph thresholded on
+    cosine, then connected components — every input row + ``component``
+    (the smallest reachable id; rows with no neighbor above the
+    threshold form singleton components).
+
+    This is the pipeline SemDeDup's cluster blocking cannot express:
+    two documents in DIFFERENT k-means cells still merge when a chain
+    of ≥``threshold`` neighbors connects them (transitive near-dup
+    families, mirror-site balls).  Composition of existing scale
+    machinery: :func:`knn_join` (self, cell-pruned, never cartesian) →
+    edge filter → `dedup.connected_components` (large-star/small-star,
+    ≤ 2·log₂ n rounds).  Cost: the kNN-join plus CC over ≤ N·k edges —
+    corpus-linear for constant k.
+
+    Approximation contract: an edge is findable iff the neighbor sits
+    in one of its query's probed cells (raise ``nprobe`` toward
+    ``num_cells`` for exactness); components can only MERGE as nprobe
+    grows, never split.
+    """
+    from paradump_spark.operators.dedup import connected_components
+
+    edges = knn_join(
+        emb, emb, id_col, vec_col, k=k, num_cells=num_cells, nprobe=nprobe,
+        exclude_self=True, refine_iters=refine_iters, seed=seed,
+    ).where(F.col("cosine") > threshold).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    comp = connected_components(
+        edges, vertices=emb.select(F.col(id_col).alias("id"))
+    )
+    return emb.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )

@@ -531,3 +531,38 @@ def test_probe_cells_arrow_matches_jvm(spark, sf_dir):
         for r in SIM.probe_cells(emb, cents, "embedding", 3, method="jvm").collect()
     )
     assert a == j
+
+
+def test_knn_graph_clusters_balls_and_chain(spark):
+    """knn_graph_clusters: transitive near-dup families merge across
+    k-means cell boundaries (the case SemDeDup blocking cannot express)
+    while distant groups stay separate."""
+    import math
+
+    def pad(v):
+        return v + [0.0] * (8 - len(v))
+
+    rows = []
+    # ball A around e0, ball B around e1 (ids far apart); per-row unique
+    # jitter so the kNN graph chains through the ball (exact-tie piles
+    # would partition a small-k graph by identical value)
+    for i in range(20):
+        rows.append((i, pad([1.0, 0.001 * i, 0.0])))
+        rows.append((500 + i, pad([0.001 * i, 1.0, 0.0])))
+    # a CHAIN on an arc in dims 2-3: consecutive cos(0.2)≈0.98 > 0.95,
+    # endpoints cos(3.8) < 0 — one component only via transitivity
+    for j in range(20):
+        rows.append(
+            (900 + j, pad([0.0, 0.0, math.cos(0.2 * j), math.sin(0.2 * j)]))
+        )
+    emb = spark.createDataFrame(rows, "vid long, v array<float>")
+    out = SIM.knn_graph_clusters(
+        emb, "vid", "v", threshold=0.95, k=4, num_cells=8, nprobe=8
+    )
+    comp = {r.vid: r.component for r in out.collect()}
+    assert len(comp) == 60
+    assert {comp[i] for i in range(20)} == {0}
+    assert {comp[500 + i] for i in range(20)} == {500}
+    assert {comp[900 + j] for j in range(20)} == {900}
+    # three distinct families
+    assert len(set(comp.values())) == 3
