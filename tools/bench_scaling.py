@@ -67,7 +67,11 @@ def current_commit() -> str:
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
         dirty = subprocess.run(
-            ["git", "status", "--porcelain"],
+            # generated measurement artifacts don't change query code:
+            # the ledger this tool writes and the scratch datasets/logs
+            # must not flip refresh N+1 to a different merge key
+            ["git", "status", "--porcelain", "--",
+             ":!SF1_LEDGER.json", ":!scratch"],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
         return h + ("-dirty" if dirty else "")
@@ -80,7 +84,7 @@ def load_avg() -> float:
         return float(fh.read().split()[0])
 
 
-def wait_quiet(threshold: float = 0.7, max_wait: int = 600) -> float:
+def wait_quiet(threshold: float = 0.7, max_wait: int = 1200) -> float:
     """Block until the 1-min load drops below ``threshold`` (or give up
     after ``max_wait`` s).  The first ledger run recorded a back-to-back
     sf1 pass inside the previous pass's writeback/steal window and
