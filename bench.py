@@ -603,6 +603,22 @@ def emit_results(times, runs, recalls, lsh_quality, sf1_ledger, r03_keys, sf,
         "ann_recall": recalls,
         "lsh_quality": lsh_quality,
         "sf1_total_ratio": (sf1_ledger or {}).get("total_ratio"),
+        # 3-point scaling evidence (VERDICT r07 directive 4): the
+        # sf1->sf5 (5x) total ratio and the worst per-query log-log
+        # exponents from the committed ledger
+        "sf5_total_ratio_vs_sf1": (sf1_ledger or {}).get(
+            "sf5_total_ratio_vs_sf1"
+        ),
+        "sf5_worst_exponents": dict(
+            sorted(
+                (
+                    (k, v["exp"])
+                    for k, v in ((sf1_ledger or {}).get("queries") or {}).items()
+                    if v.get("exp") is not None
+                ),
+                key=lambda kv: -kv[1],
+            )[:6]
+        ) or None,
         # recall@10 at sf1 with the auto-derived default budgets
         # (tools/recall_auto.py; VERDICT r06 directive 4)
         "sf1_recall_auto": {
