@@ -198,6 +198,31 @@ def build_parser() -> argparse.ArgumentParser:
                          "default — fewer junk candidate pairs, same "
                          "exact-verified result")
 
+    kn = sub.add_parser(
+        "knn",
+        help="corpus×corpus k-nearest-neighbors through shared IVF "
+             "cells (self kNN graph by default); --components writes "
+             "thresholded-graph connected components instead of edges",
+    )
+    kn.add_argument("--directory", required=True)
+    kn.add_argument("--table", default="embeddings")
+    kn.add_argument("--right-table", default=None,
+                    help="defaults to --table (self kNN graph; "
+                         "self-matches excluded)")
+    kn.add_argument("--id-col", default="vec_id")
+    kn.add_argument("--vec-col", default="embedding")
+    kn.add_argument("--k", type=int, default=10)
+    kn.add_argument("--num-cells", type=int, default=16)
+    kn.add_argument("--nprobe", type=int, default=0,
+                    help="probed cells per query; 0 = auto from corpus "
+                         "size; = num-cells for the exact result")
+    kn.add_argument("--threshold", type=float, default=None,
+                    help="cosine edge threshold (required for --components)")
+    kn.add_argument("--components", action="store_true",
+                    help="emit (row, component) via connected components "
+                         "over the thresholded kNN graph")
+    kn.add_argument("--output", required=True, help="parquet output")
+
     rp = sub.add_parser(
         "report",
         help="corpus datasheet: volumes, token percentiles, quality "
@@ -638,6 +663,39 @@ def main(argv: list[str] | None = None) -> int:
 
             mp = write_manifest(cat, args.output, results)
             print(f"manifest {mp}")
+        return 0
+    if args.command == "knn":
+        from pyspark.sql import functions as F
+
+        from paradump_spark.operators.similarity import (
+            knn_graph_clusters,
+            knn_join,
+        )
+
+        cat = ParquetCatalog(spark, args.directory)
+        left = cat.load(args.table)
+        nprobe = args.nprobe or None
+        if args.components:
+            if args.threshold is None:
+                raise SystemExit("--components requires --threshold")
+            out = knn_graph_clusters(
+                left, args.id_col, args.vec_col, args.threshold,
+                k=args.k, num_cells=args.num_cells, nprobe=nprobe,
+            )
+            out.write.mode("overwrite").parquet(args.output)
+            n_comp = out.select("component").distinct().count()
+            print(f"knn components={n_comp} rows={out.count()} path={args.output}")
+            return 0
+        right = cat.load(args.right_table) if args.right_table else left
+        out = knn_join(
+            left, right, args.id_col, args.vec_col, k=args.k,
+            num_cells=args.num_cells, nprobe=nprobe,
+            exclude_self=args.right_table is None,
+        )
+        if args.threshold is not None:
+            out = out.where(F.col("cosine") > args.threshold)
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"knn edges={out.count()} path={args.output}")
         return 0
     if args.command == "db-dump":
         from paradump_spark.sources.jdbc import single_tx_export

@@ -135,3 +135,39 @@ def test_index_rebuild_cli(spark, sf_dir, tmp_path, capsys):
     # bad flags fail loudly, before any Spark work
     assert main(["index-rebuild", "--index", idx, "--max-share", "1.5"]) == 2
     assert main(["index-rebuild", "--index", idx, "--split-factor", "1"]) == 2
+
+
+def test_cli_knn_edges_and_components(spark, sf_dir, tmp_path, capsys):
+    from paradump_spark.cli import main
+
+    edges = str(tmp_path / "edges")
+    assert main([
+        "knn", "--directory", sf_dir, "--table", "embeddings",
+        "--id-col", "vec_id", "--vec-col", "embedding",
+        "--k", "3", "--num-cells", "8", "--nprobe", "8",
+        "--output", edges,
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "knn edges=" in out
+    df = spark.read.parquet(edges)
+    assert set(df.columns) == {"query_id", "neighbor_id", "rank", "cosine"}
+    assert df.where("query_id = neighbor_id").count() == 0  # self excluded
+
+    comp = str(tmp_path / "comp")
+    assert main([
+        "knn", "--directory", sf_dir, "--table", "embeddings",
+        "--id-col", "vec_id", "--vec-col", "embedding",
+        "--k", "3", "--num-cells", "8", "--nprobe", "8",
+        "--threshold", "0.99", "--components", "--output", comp,
+    ]) == 0
+    assert "components=" in capsys.readouterr().out
+    cdf = spark.read.parquet(comp)
+    assert "component" in cdf.columns
+    assert cdf.where("component IS NULL").count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="threshold"):
+        main([
+            "knn", "--directory", sf_dir, "--components",
+            "--output", str(tmp_path / "x"),
+        ])
