@@ -1322,15 +1322,21 @@ def _q_ivf_topk_exact(spark, sf_dir):
 
 
 def _q_knn_join_exact(spark, sf_dir):
-    """Corpus×corpus kNN-join (the kNN-graph input for graph-based
-    clustering/dedup) at nprobe == num_cells — every cell probed, so
-    the result is exact (tests assert brute-force equality) and the
-    DuckDB all-pairs oracle applies.  Both sides are the full corpus;
-    the plan is one cell-keyed shuffle equi-join, never a cartesian."""
+    """kNN-join (the kNN-graph input for graph-based clustering/dedup)
+    at nprobe == num_cells — every cell probed, so the result is exact
+    and the DuckDB all-pairs oracle applies.  The right side is the
+    FULL corpus; the left (query) side is bounded to 200 rows because
+    full-probe exactness makes the work |L|×|R| by definition and this
+    query also runs in the 10×/50× strict sweeps — the unbounded
+    corpus×corpus equality (both sides full, self-graph) is pytest-
+    asserted at sf0.01 (tests/test_dedup_similarity.py
+    test_knn_join_full_probe_equals_brute), and the SCALE path is the
+    cell-pruned approximate nprobe, not full probe.  Plan: one
+    cell-keyed shuffle equi-join, never a cartesian."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.knn_join(
-        emb, emb, "vec_id", "embedding", k=3, num_cells=8, nprobe=8,
-        exclude_self=True,
+        emb.where(F.col("vec_id") < 200), emb, "vec_id", "embedding",
+        k=3, num_cells=8, nprobe=8, exclude_self=True,
     )
 
 
@@ -1973,7 +1979,7 @@ def _all_oracle_sql() -> dict[str, str]:
     # corpus×corpus kNN-join at full probe: every row is a query, self
     # excluded — the all-pairs oracle
     o["knn_join_exact"] = f"""
-WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
 q AS (SELECT query_id, {_norm_sql('v')} AS qv FROM q0),
 c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT neighbor_id, {_norm_sql('v')} AS cv FROM c0),
