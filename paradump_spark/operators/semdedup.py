@@ -827,6 +827,10 @@ def incremental_semantic_dedup(
         )
         .withColumn("cosine", F.round(V.dot(F.col("__nv"), F.col("__kv")), 6))
         .where(F.col("cosine") > threshold)
+        # replay guard (streaming foreachBatch at-least-once): a
+        # re-delivered batch whose keepers already landed must not match
+        # its own rows and silently drop them from the output
+        .where(F.col("__id") != F.col("existing_id"))
         .select(F.col("__id").alias("new_id"), "existing_id", "cosine")
     )
     intra = semantic_pairs(labeled, id_col, vec_col, threshold, cl).select(
@@ -871,10 +875,41 @@ def _centroids_of(labeled: DataFrame, cl: str, vec_col: str) -> DataFrame:
 
 
 def _write_keepers(
-    labeled: DataFrame, id_col: str, vec_col: str, cl: str, path: str
+    labeled: DataFrame, id_col: str, vec_col: str, cl: str, path: str,
+    mode: str = "overwrite",
 ) -> None:
     labeled.select(
         F.col(cl).cast("string").alias("__cl"),
         F.col(id_col).alias("__id"),
         V.normalized(F.col(vec_col)).cast("array<float>").alias("__nv"),
-    ).write.mode("overwrite").partitionBy("__cl").parquet(path)
+    ).write.mode(mode).partitionBy("__cl").parquet(path)
+
+
+def append_semantic_keepers(
+    spark, store_path: str, fresh: DataFrame, id_col: str, vec_col: str
+) -> None:
+    """Append already-deduped rows to the keeper store WITHOUT probing —
+    the output-first half of the streaming twin's ordering contract
+    (emit fresh rows, then index them).  Rows assign against the frozen
+    centroids (or carry the caller cluster column the store was built
+    with); one map-only pass over the (small) fresh batch."""
+    import json
+    import os
+
+    with open(os.path.join(store_path, "_sem_params.json")) as fh:
+        params = json.load(fh)
+    if params["mode"] == "frozen-centroids":
+        cents = spark.read.parquet(
+            os.path.join(store_path, "centroids")
+        ).withColumnRenamed("cluster_id", "cell_id")
+        labeled = ivf_assign(fresh, cents, id_col, vec_col).withColumnRenamed(
+            "cell_id", "cluster_id"
+        )
+        cl = "cluster_id"
+    else:
+        cl = params["mode"].split(":", 1)[1]
+        labeled = fresh
+    _write_keepers(
+        labeled, id_col, vec_col, cl,
+        os.path.join(store_path, "keepers"), mode="append",
+    )

@@ -286,3 +286,73 @@ def decontam_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_semantic_dedup(
+    emb: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_clusters: int | None = None,
+    cluster_size: int = 64,
+    trigger_available_now: bool = True,
+):
+    """Continuous SEMANTIC dedup — the embedding twin of
+    :func:`stream_incremental_dedup`: every arriving shard probes the
+    frozen-centroid keeper store
+    (`operators.semdedup.incremental_semantic_dedup`); only rows with
+    no ≥-threshold match (vs history keepers or a lower id in their own
+    shard) reach ``out_path``, and those survivors then append to the
+    keeper store (`append_semantic_keepers`).
+
+    Ordering inside the checkpointed batch is output-first,
+    store-append second (the same at-least-once contract as the
+    minhash twin): a crash between the two replays the batch against a
+    store without its keepers, re-emitting the rows rather than
+    silently dropping them.  A replayed batch whose keepers DID land
+    is guarded by the probe's self-id exclusion (its rows re-emit and
+    re-append — duplicate keeper rows only duplicate future match
+    pairs, never change a keep/drop decision).  The FIRST batch
+    bootstraps the store (clusters itself, freezes the centroids) —
+    that one batch is store-first by necessity.
+    """
+    import os
+
+    from paradump_spark.operators.semdedup import (
+        append_semantic_keepers,
+        incremental_semantic_dedup,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bootstrap = not os.path.exists(
+            os.path.join(store_path, "_sem_params.json")
+        )
+        fresh, _ = incremental_semantic_dedup(
+            spark, store_path, batch_df, id_col, vec_col,
+            threshold=threshold, num_clusters=num_clusters,
+            cluster_size=cluster_size, append_fresh=bootstrap,
+        )
+        fresh = fresh.persist()
+        try:
+            fresh.write.mode("append").parquet(out_path)
+            if not bootstrap:
+                append_semantic_keepers(
+                    spark, store_path, fresh, id_col, vec_col
+                )
+        finally:
+            fresh.unpersist()
+
+    writer = (
+        emb.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -414,3 +414,67 @@ def test_cli_pipeline_stage_flag_validation(tmp_path):
         main(base + ["--chunk-stride", "4"])  # stride without window
     with _pytest.raises(SystemExit):
         main(base + ["--pack-tokens", "0"])
+
+
+def test_stream_semantic_dedup_across_runs(spark, tmp_path):
+    """Embedding twin of the minhash streaming store: two availableNow
+    runs over a growing shard directory — near-dups of BOTH the initial
+    store and earlier-streamed shards drop, survivors' keepers land for
+    the next run, history is never re-clustered."""
+    from paradump_spark.operators.semdedup import incremental_semantic_dedup
+    from paradump_spark.streaming.documents import stream_semantic_dedup
+
+    def vec(d, jit):
+        v = [0.0] * 16
+        v[d] = 1.0
+        v[(d + 1) % 16] = 0.0005 * jit
+        return v
+
+    store = str(tmp_path / "semstore")
+    out = str(tmp_path / "fresh")
+    ckpt = str(tmp_path / "ckpt")
+    shards = tmp_path / "shards"
+    shards.mkdir()
+
+    # init: ball A (ids 0-9 -> keeper 0) + two distinct directions
+    init = spark.createDataFrame(
+        [(i, vec(0, 0)) for i in range(10)]
+        + [(50, vec(4, 0)), (51, vec(8, 0))],
+        "vid long, v array<float>",
+    )
+    f0, _ = incremental_semantic_dedup(
+        spark, store, init, "vid", "v", threshold=0.95, num_clusters=4
+    )
+    assert {r.vid for r in f0.collect()} == {0, 50, 51}
+
+    # shard 1: new ball B + more members of historical ball A
+    spark.createDataFrame(
+        [(100 + i, vec(12, 0)) for i in range(8)]
+        + [(200 + i, vec(0, 0)) for i in range(5)],
+        "vid long, v array<float>",
+    ).coalesce(1).write.parquet(str(shards / "s1"))
+
+    def _run():
+        stream = (
+            spark.readStream.schema("vid long, v array<float>")
+            .parquet(str(shards) + "/*")
+        )
+        q = stream_semantic_dedup(
+            stream, store, out, ckpt, id_col="vid", vec_col="v",
+            threshold=0.95, num_clusters=4,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    _run()
+    got1 = {r.vid for r in spark.read.parquet(out).collect()}
+    assert got1 == {100}  # ball B keeper kept; ball-A copies dropped
+
+    # shard 2: copies of STREAMED ball B + one brand-new direction
+    spark.createDataFrame(
+        [(300 + i, vec(12, 0)) for i in range(5)] + [(400, vec(2, 0))],
+        "vid long, v array<float>",
+    ).coalesce(1).write.parquet(str(shards / "s2"))
+    _run()
+    got2 = {r.vid for r in spark.read.parquet(out).collect()}
+    assert got2 == {100, 400}  # dup-vs-streamed dropped, new kept
