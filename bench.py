@@ -255,6 +255,15 @@ def main() -> None:
         ).count()
     )
 
+    # corpus×corpus kNN-join at the APPROXIMATE (cell-pruned) budget —
+    # the 100 TB path; full-probe exactness is oracle/pytest territory
+    times["knn_join_nprobe4"] = bench(
+        lambda: SIM.knn_join(
+            emb, emb, "vec_id", "embedding", k=5, num_cells=16, nprobe=4,
+            exclude_self=True,
+        ).count()
+    )
+
     # SemDeDup: k-means blocking + within-cluster cosine + anti-join
     # keep.  Warm the kmeans/assign/pair codegen on a 200-vector slice
     # (first invocation pays Janino compilation of the argmax + dot
