@@ -683,8 +683,14 @@ def main(argv: list[str] | None = None) -> int:
                 k=args.k, num_cells=args.num_cells, nprobe=nprobe,
             )
             out.write.mode("overwrite").parquet(args.output)
-            n_comp = out.select("component").distinct().count()
-            print(f"knn components={n_comp} rows={out.count()} path={args.output}")
+            # stats come from the WRITTEN parquet — re-counting `out`
+            # would recompute the whole kNN+CC pipeline (ADVICE r08)
+            written = spark.read.parquet(args.output)
+            n_comp = written.select("component").distinct().count()
+            print(
+                f"knn components={n_comp} rows={written.count()} "
+                f"path={args.output}"
+            )
             return 0
         right = cat.load(args.right_table) if args.right_table else left
         out = knn_join(
@@ -695,7 +701,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.threshold is not None:
             out = out.where(F.col("cosine") > args.threshold)
         out.write.mode("overwrite").parquet(args.output)
-        print(f"knn edges={out.count()} path={args.output}")
+        n_edges = spark.read.parquet(args.output).count()
+        print(f"knn edges={n_edges} path={args.output}")
         return 0
     if args.command == "db-dump":
         from paradump_spark.sources.jdbc import single_tx_export

@@ -380,7 +380,7 @@ def write_index_meta(spark, path: str, n_rows: int, residual: bool = False) -> N
     ``count()`` — at 100 TB the latter reads the footers of millions of
     partition files per query batch."""
     target = f"{path}/index_meta"
-    if "://" not in path or path.startswith("file://"):
+    if _resolves_driver_local(spark, path):
         # one row: a driver-side pyarrow write costs microseconds where a
         # Spark job + output commit costs ~1 s of fixed overhead per
         # build (the r07 ivf_build_refined regression was exactly this
@@ -407,6 +407,25 @@ def write_index_meta(spark, path: str, n_rows: int, residual: bool = False) -> N
     spark.createDataFrame(
         [(bool(residual), int(n_rows))], "residual boolean, n_rows long"
     ).write.mode("overwrite").parquet(target)
+
+
+def _resolves_driver_local(spark, path: str) -> bool:
+    """True iff ``path`` resolves to the DRIVER's local filesystem, so
+    the pyarrow fast-path write lands where Spark will read it back.
+    A scheme-less path is only local when the session's Hadoop
+    ``fs.defaultFS`` is the local FS (ADVICE r08: on an HDFS-default
+    cluster the corpus goes to HDFS but a driver-local meta write would
+    be invisible to ``index_row_count`` — silent full-corpus recounts
+    and stale-meta reads)."""
+    if path.startswith("file://"):
+        return True
+    if "://" in path:
+        return False
+    try:
+        fs = spark._jsc.hadoopConfiguration().get("fs.defaultFS")
+    except Exception:  # no JVM handle (mocked session) — assume local
+        fs = None
+    return fs is None or fs.startswith("file:")
 
 
 def index_row_count(spark, path: str) -> int:
@@ -1038,6 +1057,8 @@ def knn_join(
     exclude_self: bool = False,
     refine_iters: int = 0,
     seed: int = 42,
+    right_count: int | None = None,
+    index_meta_path: str | None = None,
 ) -> DataFrame:
     """For EVERY left row, its ``k`` nearest right rows by cosine:
     (query_id, neighbor_id, rank, cosine) — `brute_force_topk`'s shape
@@ -1057,14 +1078,24 @@ def knn_join(
     asserted).
 
     ``nprobe=None`` derives the budget from the right-side count via
-    :func:`derive_search_budget`.  Approximation shape: a neighbor is
+    :func:`derive_search_budget` — pass ``right_count`` (a known size)
+    or ``index_meta_path`` (a stored index's one-row meta, see
+    :func:`index_row_count`) to keep that derivation a constant-time
+    read; only when neither is given does it fall back to a
+    ``right.count()`` job (cheap on parquet footers, but a whole corpus
+    job at 100 TB — the same one-file-read discipline the IVF query
+    paths follow, VERDICT r08).  Approximation shape: a neighbor is
     findable iff it sits in one of its query's probed cells — the same
     contract as :func:`ivf_topk`, recall rises with nprobe.
     """
     lid = left_id_col or id_col
     rid = right_id_col or id_col
     if nprobe is None:
-        nprobe = derive_search_budget(right.count(), num_cells, k)["nprobe"]
+        if right_count is None and index_meta_path is not None:
+            right_count = index_row_count(right.sparkSession, index_meta_path)
+        if right_count is None:
+            right_count = right.count()
+        nprobe = derive_search_budget(int(right_count), num_cells, k)["nprobe"]
     cents = ivf_centroids(right, rid, vec_col, num_cells, seed)
     if refine_iters:
         cents = kmeans_refine(right, cents, rid, vec_col, refine_iters, seed=seed)

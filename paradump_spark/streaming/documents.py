@@ -315,9 +315,14 @@ def stream_semantic_dedup(
     silently dropping them.  A replayed batch whose keepers DID land
     is guarded by the probe's self-id exclusion (its rows re-emit and
     re-append — duplicate keeper rows only duplicate future match
-    pairs, never change a keep/drop decision).  The FIRST batch
-    bootstraps the store (clusters itself, freezes the centroids) —
-    that one batch is store-first by necessity.
+    pairs, never change a keep/drop decision).  Each batch's survivors
+    land in their own ``batch_id=N`` subdirectory of ``out_path`` with
+    idempotent overwrite, so an at-least-once replay REPLACES the
+    batch's earlier output instead of appending duplicate survivor
+    rows (ADVICE r08); readers of ``out_path`` see ``batch_id`` as a
+    partition column.  The FIRST batch bootstraps the store (clusters
+    itself, freezes the centroids) — that one batch is store-first by
+    necessity.
     """
     import os
 
@@ -340,7 +345,9 @@ def stream_semantic_dedup(
         )
         fresh = fresh.persist()
         try:
-            fresh.write.mode("append").parquet(out_path)
+            fresh.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch_id={int(batch_id)}")
+            )
             if not bootstrap:
                 append_semantic_keepers(
                     spark, store_path, fresh, id_col, vec_col
