@@ -406,6 +406,7 @@ def semantic_pairs(
     recurse: bool = True,
     max_rounds: int = 4,
     seed: int = 42,
+    report: dict | None = None,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs ``(id_a, id_b, cosine)`` with
     ``id_a < id_b`` and ``round(cosine, 6) > threshold``.
@@ -422,35 +423,57 @@ def semantic_pairs(
     pair, and their per-block SURVIVORS (rows not yet flagged) recombine
     at the parent cluster to catch cross-sub-block duplicates — a dup
     ball therefore converges to the single lowest-id keeper, exactly as
-    unbounded pairing would.  A parent whose survivor set stops
-    shrinking (a genuinely diverse mega-cluster, < 10% flagged in a
-    round) exits the loop: its rows have all been pair-examined at
-    sub-block granularity, and further recombination would loop without
-    progress.  ``recurse=False`` restores the old conservative skip
-    (over-limit rows all kept, no pairs).  Per round the driver holds
-    only block/parent COUNTS (bounded by N/max_cluster entries), never
-    rows; the plan stays free of any all-pairs join.
+    unbounded pairing would.  Survivors whose parent still has
+    UNFINISHED (over-limit) sub-blocks wait in a pending set and only
+    recombine once every sibling wave has paired (ADVICE r08: releasing
+    waves independently missed cross-wave duplicates between an early
+    wave's survivors and a late wave's).  A parent whose recombined
+    survivor set stops shrinking (a genuinely diverse mega-cluster,
+    < 10% flagged in a round) exits the loop: its rows have all been
+    pair-examined at sub-block granularity, and further recombination
+    would loop without progress.  ``recurse=False`` restores the old
+    conservative skip (over-limit rows all kept, no pairs).  Per round
+    the driver holds only block/parent COUNTS (bounded by
+    N/max_cluster entries), never rows; the plan stays free of any
+    all-pairs join.
+
+    ``report`` (optional dict) receives coverage accounting on exit:
+    ``rounds`` run, ``residual_over_rows`` (rows whose block was still
+    over-limit at exit — never pair-examined at that granularity, all
+    conservatively kept), ``residual_pending_rows`` (sub-block-examined
+    survivors that exited before their parent-level recombination) and
+    ``stalled_parents``.  All zero on the converged path.
     """
     base = clustered.select(
         F.col(cluster_col).cast("string").alias("__cl"),
         F.col(id_col).alias("__id"),
         V.normalized(F.col(vec_col)).alias("__nv"),
     ).withColumn("__bk", F.col("__cl"))
+    if report is not None:
+        report.update(
+            rounds=0, residual_over_rows=0, residual_pending_rows=0,
+            stalled_parents=0,
+        )
     if max_cluster is None:
         return _pair_block(base, threshold)
 
     spark = clustered.sparkSession
     work = base
     pairs_out = None
+    pending = None  # sub-paired survivors awaiting sibling waves
     prev_parent_n: dict[str, int] = {}
+    n_stalled = 0
     for rnd in range(max_rounds + 1):
-        sizes = work.groupBy("__bk").agg(F.count(F.lit(1)).alias("__n"))
-        over_keys = [
-            r["__bk"]
-            for r in sizes.where(
-                (F.col("__n") > max_cluster) & F.col("__bk").isNotNull()
-            ).collect()
-        ]
+        # block sizes, carrying the parent key (__bk determines __cl —
+        # the extra group column adds no cardinality)
+        over = (
+            work.groupBy("__bk", "__cl")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where((F.col("__n") > max_cluster) & F.col("__bk").isNotNull())
+            .collect()
+        )
+        over_keys = [r["__bk"] for r in over]
+        over_parents = sorted({r["__cl"] for r in over})
         if not over_keys and rnd == 0:
             # no mega-clusters at all — the single-pass fast path (the
             # steady state: one size probe, one pairing shuffle)
@@ -459,30 +482,63 @@ def semantic_pairs(
             overdf = F.broadcast(
                 spark.createDataFrame([(k,) for k in over_keys], "__bk string")
             )
+            overcl = F.broadcast(
+                spark.createDataFrame(
+                    [(c,) for c in over_parents], "__cl string"
+                )
+            )
             ok = work.join(overdf, "__bk", "left_anti")
             over_rows = work.join(overdf, "__bk", "left_semi")
         else:
-            ok, over_rows = work, None
+            ok, over_rows, overcl = work, None, None
         p = _pair_block(ok, threshold)
         pairs_out = p if pairs_out is None else pairs_out.unionByName(p)
         if not recurse or rnd == max_rounds:
-            break  # residual over-limit rows stay unpaired (all kept)
+            # residual rows exit unpaired-at-this-granularity (all
+            # conservatively KEPT); surface the counts instead of
+            # dropping them silently (ADVICE r08)
+            if report is not None:
+                report["rounds"] = rnd + 1
+                if over_rows is not None:
+                    report["residual_over_rows"] = over_rows.count()
+                if pending is not None:
+                    report["residual_pending_rows"] = pending.count()
+                report["stalled_parents"] = n_stalled
+            break
         # survivors of sub-block pairings (blocks finer than the parent)
         # recombine at parent granularity to catch cross-block dups;
         # parent-level blocks (__bk == __cl) already had total coverage
         sub_done = ok.where(F.col("__bk") != F.col("__cl"))
         flagged = p.select(F.col("id_b").alias("__id")).distinct()
-        survivors = (
-            sub_done.join(flagged, "__id", "left_anti")
-            .withColumn("__bk", F.col("__cl"))
-        )
-        # stall guard: parents whose survivor count stays ≥ 90% of their
-        # previous working size will not converge — exit them (their
-        # rows were pair-examined at sub-block granularity this round).
-        # counts are bounded by the number of over-limit parents.
+        survivors = sub_done.join(flagged, "__id", "left_anti")
+        # wave safety: a parent with over-limit blocks still in flight
+        # keeps this wave's survivors PENDING; parents that settled this
+        # round release every pending wave together, so cross-wave
+        # duplicates meet in one parent-level block
+        if overcl is not None:
+            defer = survivors.join(overcl, "__cl", "left_semi")
+            ready = survivors.join(overcl, "__cl", "left_anti")
+        else:
+            defer, ready = None, survivors
+        if pending is not None:
+            if overcl is not None:
+                released = pending.join(overcl, "__cl", "left_anti")
+                pending = pending.join(overcl, "__cl", "left_semi")
+            else:
+                released, pending = pending, None
+            ready = ready.unionByName(released)
+        if defer is not None:
+            pending = (
+                defer if pending is None else pending.unionByName(defer)
+            ).localCheckpoint(eager=True)
+        ready = ready.withColumn("__bk", F.col("__cl"))
+        # stall guard: parents whose recombined survivor count stays
+        # ≥ 90% of their previous recombination will not converge —
+        # exit them (their rows were pair-examined at sub-block
+        # granularity).  counts are bounded by the over-parent count.
         surv_n = {
             r["__cl"]: r["n"]
-            for r in survivors.groupBy("__cl")
+            for r in ready.groupBy("__cl")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
@@ -494,15 +550,19 @@ def semantic_pairs(
             and n >= 0.9 * prev_parent_n[cl]
         ]
         if stalled:
+            n_stalled += len(stalled)
             stalldf = F.broadcast(
                 spark.createDataFrame([(c,) for c in stalled], "__cl string")
             )
-            survivors = survivors.join(stalldf, "__cl", "left_anti")
+            ready = ready.join(stalldf, "__cl", "left_anti")
             surv_n = {c: n for c, n in surv_n.items() if c not in set(stalled)}
-        prev_parent_n = surv_n
+        prev_parent_n.update(surv_n)
         if over_rows is None and not surv_n:
+            if report is not None:
+                report["rounds"] = rnd + 1
+                report["stalled_parents"] = n_stalled
             break  # everything paired; nothing left to recombine
-        parts = [survivors] if surv_n else []
+        parts = [ready] if surv_n else []
         if over_rows is not None:
             parts.append(_refine_blocks(over_rows, max_cluster, seed + rnd))
         work = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])

@@ -494,6 +494,160 @@ def test_megacluster_diverse_stall_exits(spark):
     assert any(r.id_a == 50 and r.id_b == 900 for r in pairs)
 
 
+def test_megacluster_cross_wave_dup_found(spark, monkeypatch):
+    """ADVICE r08: sub-blocks of one parent that finish in DIFFERENT
+    rounds (staggered waves) must still pair their survivors against
+    each other.  A deterministic staggered splitter forces wave 1
+    (ids < 40, fits immediately) and wave 2 (ids >= 40, needs a second
+    refinement round); the planted duplicate pair (34, 89) straddles
+    the waves, so the pre-fix recombination — which paired each wave at
+    parent level independently — missed it."""
+    from paradump_spark.operators import semdedup as SD
+
+    calls = {"n": 0}
+
+    def staggered_refine(work, max_cluster, seed):
+        calls["n"] += 1
+        if calls["n"] == 1:  # parent (90 rows): 40-row wave + 50-row over
+            lbl = F.when(F.col("__id") < 40, "a").otherwise("b")
+        else:  # the over block (50 rows): two fitting halves
+            lbl = F.when(F.col("__id") < 65, "b1").otherwise("b2")
+        return work.withColumn(
+            "__bk", F.concat_ws("#", F.col("__bk"), lbl)
+        )
+
+    monkeypatch.setattr(SD, "_refine_blocks", staggered_refine)
+
+    def onehot(d, dim=64):
+        v = [0.0] * dim
+        v[d] = 1.0
+        return v
+
+    # wave 1 (ids 0..39): 34-copy ball u + cross-wave row x@34 + 5 distinct
+    rows = [(i, onehot(0), 0) for i in range(34)]
+    rows += [(34, onehot(1), 0)]
+    rows += [(35 + i, onehot(2 + i), 0) for i in range(5)]
+    # wave 2a (ids 40..64): 25-copy ball v
+    rows += [(40 + i, onehot(10), 0) for i in range(25)]
+    # wave 2b (ids 65..89): 24-copy ball w + cross-wave twin x@89
+    rows += [(65 + i, onehot(11), 0) for i in range(24)]
+    rows += [(89, onehot(1), 0)]
+    emb = spark.createDataFrame(rows, "vid long, v array<float>, cl int")
+
+    report = {}
+    pairs = SD.semantic_pairs(
+        emb, "vid", "v", 0.95, "cl", max_cluster=40, max_rounds=4,
+        report=report,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (34, 89) in got  # the cross-wave duplicate
+    # converged cleanly: nothing residual, nothing stalled
+    assert report["residual_over_rows"] == 0
+    assert report["residual_pending_rows"] == 0
+    assert report["stalled_parents"] == 0
+    # and flags equal the unbounded reference on this ball structure
+    calls["n"] = 0  # fresh stagger sequence for the flags run
+    flags = {
+        r.vid: r.is_semantic_dup
+        for r in semantic_dedup_flags(
+            emb, "vid", "v", 0.95, "cl", max_cluster=40
+        ).collect()
+    }
+    want = {
+        r.vid: r.is_semantic_dup
+        for r in semantic_dedup_flags(
+            emb, "vid", "v", 0.95, "cl", max_cluster=None
+        ).collect()
+    }
+    assert flags == want
+
+
+def test_semantic_pairs_recursion_property(spark):
+    """VERDICT r08 directive 7 (hypothesis): generated cluster-size
+    distributions — dup balls, Zipf-ish ball mixes, uniform-diverse
+    arcs (the stall guard's adversarial shape) — must terminate within
+    max_rounds, report coverage accounting, and produce flags that are
+    a SUBSET of unbounded pairing's (conservative: recursion may keep
+    extra rows, never drop a non-duplicate); on pure ball+orthogonal
+    structures the flags are exactly equal."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    cluster_spec = st.tuples(
+        st.lists(st.integers(min_value=2, max_value=45),
+                 min_size=0, max_size=3),      # ball sizes
+        st.integers(min_value=0, max_value=8),  # orthogonal diverse rows
+        st.booleans(),                          # add a near-dup arc chain
+    )
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(specs=st.lists(cluster_spec, min_size=1, max_size=2),
+           max_cluster=st.integers(min_value=20, max_value=35))
+    def prop(specs, max_cluster):
+        rows, nid, dim = [], 0, 64
+        ndim = [0]  # next unused one-hot direction
+        has_arc = False
+        for cl, (balls, n_div, arc) in enumerate(specs):
+            for bs in balls:
+                d = ndim[0] % (dim - 2)
+                ndim[0] += 1
+                for j in range(bs):
+                    v = [0.0] * dim
+                    v[d] = 1.0
+                    v[dim - 1] = 0.001 * (j % 3)  # jitter, cos ~0.9999
+                    rows.append((nid, v, cl))
+                    nid += 1
+            for _ in range(n_div):
+                d = ndim[0] % (dim - 2)
+                ndim[0] += 1
+                v = [0.0] * dim
+                v[d] = 1.0
+                rows.append((nid, v, cl))
+                nid += 1
+            if arc:  # 30 spread directions, neighbors cos(0.1)~0.995
+                has_arc = True
+                for j in range(30):
+                    v = [0.0] * dim
+                    v[0] = math.cos(0.1 * j)
+                    v[1] = math.sin(0.1 * j)
+                    rows.append((nid, v, cl))
+                    nid += 1
+        if not rows:
+            return
+        emb = spark.createDataFrame(rows, "vid long, v array<float>, cl int")
+        report = {}
+        rec = {
+            r.vid
+            for r in semantic_pairs(
+                emb, "vid", "v", 0.95, "cl", max_cluster=max_cluster,
+                max_rounds=3, report=report,
+            ).select(F.col("id_b").alias("vid")).distinct().collect()
+        }
+        unb = {
+            r.vid
+            for r in semantic_pairs(
+                emb, "vid", "v", 0.95, "cl", max_cluster=None
+            ).select(F.col("id_b").alias("vid")).distinct().collect()
+        }
+        # terminate within budget, account for every exit path
+        assert report["rounds"] <= 4
+        assert report["residual_over_rows"] >= 0
+        assert report["residual_pending_rows"] >= 0
+        assert report["stalled_parents"] >= 0
+        # conservative: never flags a row unbounded pairing would keep
+        assert rec <= unb
+        # ball+orthogonal structures converge to exact equality
+        if not has_arc:
+            assert rec == unb
+
+    prop()
+
+
 # ------------------------------------------- incremental semantic dedup
 
 def _ball(vid0, d, n, dim=16):
