@@ -1340,6 +1340,25 @@ def _q_knn_join_exact(spark, sf_dir):
     )
 
 
+def _q_knn_graph_components(spark, sf_dir):
+    """Graph-based embedding clustering (operators/similarity.py:
+    knn_graph_clusters): thresholded exact kNN graph (nprobe ==
+    num_cells — every cell probed, proven equal to brute force) →
+    large-star/small-star connected components; component = smallest
+    reachable vec_id, singletons map to themselves.  The corpus is
+    bounded to 600 rows for the same reason knn_join_exact bounds its
+    query side: full-probe exactness is |V|² by definition and this
+    query also runs in the 10×/50× strict sweeps — the SCALE path is
+    the cell-pruned approximate nprobe (pytest-covered), not full
+    probe.  Oracle: DuckDB all-pairs top-k edges + recursive-CTE
+    reachability closure (the dedup_clusters precedent)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 600)
+    return SIM.knn_graph_clusters(
+        emb, "vec_id", "embedding", threshold=0.6, k=5,
+        num_cells=8, nprobe=8,
+    ).select("vec_id", F.col("component").cast("long").alias("component"))
+
+
 def _q_pq_topk_exact(spark, sf_dir):
     """PQ two-stage search with rescore == N re-scores every ADC
     candidate on the raw vectors — the ADC stage only orders the
@@ -1963,6 +1982,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_exact": _q_ivf_topk_exact,
         "pq_topk_exact": _q_pq_topk_exact,
         "knn_join_exact": _q_knn_join_exact,
+        "knn_graph_components": _q_knn_graph_components,
         # deterministic but not SQL-expressible (k-means) -> rows-only
         "embedding_cluster_report": _q_embedding_cluster_report,
     }
@@ -1988,6 +2008,28 @@ s AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos
 SELECT query_id, neighbor_id, rank::INTEGER AS rank, round(cos, 6) AS cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM s) WHERE rank <= 3"""
+    # thresholded exact kNN graph → connected components: top-5 edges
+    # above cosine 0.6 (ranking BEFORE the threshold, matching
+    # knn_graph_clusters' composition), symmetrized, then the
+    # recursive-CTE reachability closure from the dedup_clusters
+    # precedent; component = min reachable id, singletons seed as
+    # themselves
+    o["knn_graph_components"] = f"""
+WITH RECURSIVE
+v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 600),
+v AS (SELECT vec_id, {_norm_sql('v')} AS nv FROM v0),
+s AS (SELECT a.vec_id AS qid, b.vec_id AS nid, list_dot_product(a.nv, b.nv) AS cos
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+e AS (SELECT qid, nid FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        FROM s) WHERE rank <= 5 AND round(cos, 6) > 0.6),
+sym AS (SELECT qid AS s, nid AS d FROM e UNION SELECT nid, qid FROM e),
+reach(s, d) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+)
+SELECT s AS vec_id, min(d)::BIGINT AS component FROM reach GROUP BY s"""
     return o
 
 
