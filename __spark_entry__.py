@@ -1486,6 +1486,55 @@ def _q_semantic_dedup_flags(spark, sf_dir):
     ).select("vec_id", F.col("label").cast("int").alias("label"), "is_semantic_dup")
 
 
+def _q_incremental_semantic_flags(spark, sf_dir):
+    """Incremental SemDeDup through the persistent keeper store
+    (operators/semdedup.py:incremental_semantic_dedup): the corpus
+    arrives as two ascending-id shards (split at vec_id 250); shard 1
+    bootstraps the store (self-dedups, persists survivors as keepers),
+    shard 2 probes the keepers + pairs within itself — history is never
+    re-paired.  Emits the combined keep/drop flags.  The oracle encodes
+    the EXACT two-shard contract in SQL: a shard-2 row is a dup iff it
+    matches a shard-1 SURVIVOR (keeper) above threshold or a lower id
+    of its own shard — so the check is scale-robust, not an artifact of
+    flag parity with the single-run path (which pytest asserts
+    separately on crafted ball data)."""
+    import shutil
+    import tempfile
+
+    from paradump_spark.operators.semdedup import incremental_semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    store = tempfile.mkdtemp(prefix="paradump_semstore_")
+    try:
+        s1 = emb.where(F.col("vec_id") < 250)
+        s2 = emb.where(F.col("vec_id") >= 250)
+        _, m1 = incremental_semantic_dedup(
+            spark, store, s1, "vec_id", "embedding",
+            threshold=0.6, cluster_col="label",
+        )
+        _, m2 = incremental_semantic_dedup(
+            spark, store, s2, "vec_id", "embedding",
+            threshold=0.6, cluster_col="label", append_fresh=False,
+        )
+    finally:
+        # matches are eagerly checkpointed inside the operator — the
+        # store is no longer needed once both probes ran
+        shutil.rmtree(store, ignore_errors=True)
+    dropped = (
+        m1.select("new_id")
+        .unionByName(m2.select("new_id"))
+        .distinct()
+        .withColumnRenamed("new_id", "__dropped")
+    )
+    return emb.join(
+        dropped, emb["vec_id"] == dropped["__dropped"], "left"
+    ).select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.col("__dropped").isNotNull().alias("is_semantic_dup"),
+    )
+
+
 def _q_embedding_cluster_report(spark, sf_dir):
     """Per-cluster corpus profile (operators/semdedup.py:
     embedding_cluster_report): size, share and cohesion (mean cosine to
@@ -1983,6 +2032,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_exact": _q_pq_topk_exact,
         "knn_join_exact": _q_knn_join_exact,
         "knn_graph_components": _q_knn_graph_components,
+        "incremental_semantic_flags": _q_incremental_semantic_flags,
         # deterministic but not SQL-expressible (k-means) -> rows-only
         "embedding_cluster_report": _q_embedding_cluster_report,
     }
@@ -2030,6 +2080,34 @@ reach(s, d) AS (
   SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
 )
 SELECT s AS vec_id, min(d)::BIGINT AS component FROM reach GROUP BY s"""
+    # the exact two-shard incremental contract: shard-1 flags are the
+    # single-run rule; shard-1 SURVIVORS become keepers; a shard-2 row
+    # is a dup iff it matches a keeper or a lower id of its own shard
+    _nv = _norm_sql("CAST(embedding AS DOUBLE[])")
+    o["incremental_semantic_flags"] = f"""
+WITH e AS (
+  SELECT vec_id, label::INT AS label, {_nv} AS nv FROM embeddings),
+s1 AS (SELECT * FROM e WHERE vec_id < 250),
+s2 AS (SELECT * FROM e WHERE vec_id >= 250),
+f1 AS (SELECT a.vec_id, a.label,
+         EXISTS (SELECT 1 FROM s1 b
+                 WHERE b.label = a.label AND b.vec_id < a.vec_id
+                   AND round(list_dot_product(a.nv, b.nv), 6) > 0.6)
+           AS is_semantic_dup
+       FROM s1 a),
+keep AS (SELECT s1.vec_id, s1.label, s1.nv
+         FROM s1 JOIN f1 USING (vec_id) WHERE NOT f1.is_semantic_dup),
+f2 AS (SELECT a.vec_id, a.label,
+         (EXISTS (SELECT 1 FROM keep b WHERE b.label = a.label
+                  AND round(list_dot_product(a.nv, b.nv), 6) > 0.6)
+          OR EXISTS (SELECT 1 FROM s2 b
+                     WHERE b.label = a.label AND b.vec_id < a.vec_id
+                       AND round(list_dot_product(a.nv, b.nv), 6) > 0.6))
+           AS is_semantic_dup
+       FROM s2 a)
+SELECT vec_id, label, is_semantic_dup FROM f1
+UNION ALL
+SELECT vec_id, label, is_semantic_dup FROM f2"""
     return o
 
 
