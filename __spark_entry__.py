@@ -1295,6 +1295,22 @@ def _q_multimodal_features(spark, sf_dir):
     return MM.extract_features(binary, "doc_id")
 
 
+def _q_image_near_dup(spark, sf_dir):
+    """Perceptual-hash image dedup (operators/multimodal.py:
+    image_dedup_flags): deterministic synthetic PPM corpus keyed by the
+    documents ids (the container has no image codecs — the corpus
+    generator and dependency-free decoders make the whole pipeline
+    real and testable), dHash → exact-hash stage → Hamming-band LSH
+    over distinct fingerprints → connected components, min-id keeper.
+    Image decode is not SQL-expressible -> rows-only; the planted
+    keeper/flag structure is pytest-asserted (tests/test_image_dedup)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = MM.synthetic_image_corpus(docs, "doc_id", groups=40)
+    return MM.image_dedup_flags(corpus, "doc_id", max_hamming=4).select(
+        "doc_id", "phash", "is_image_dup"
+    )
+
+
 def _q_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(
@@ -2024,8 +2040,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": _q_classifier_scores,
         "classifier_calibration": _q_classifier_calibration,
         "events_props_stats": _q_events_props_stats,
-        # approximate by design -> rows-only checks
+        # approximate / non-SQL-expressible by design -> rows-only checks
         "ivf_topk": _q_ivf_topk,
+        "image_near_dup": _q_image_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "pq_topk": _q_pq_topk,
         "ivf_topk_exact": _q_ivf_topk_exact,

@@ -301,6 +301,251 @@ def extract_features(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup dedup (VERDICT r08 directive 4) — the
+# operator a 100 TB multimodal pipeline actually runs: resized /
+# re-encoded / brightness-shifted copies of one image collapse to the
+# same (or Hamming-close) 64-bit aHash/dHash, and Hamming-band LSH
+# turns the pair search into an equi-join — the minhash_lsh banding
+# precedent applied to bit fingerprints.  Pure numpy over the
+# dependency-free decoders; no PIL required.
+
+
+def _block_mean(gray, out_h: int, out_w: int):
+    """Area-mean downscale of a 2-D float array to (out_h, out_w).
+    Mean pooling (not nearest-neighbor sampling) is what makes the hash
+    resize-invariant: a 2x-downscaled copy has the same block means."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = (np.arange(h) * out_h) // h
+    xs = (np.arange(w) * out_w) // w
+    out = np.zeros((out_h, out_w))
+    cnt = np.zeros((out_h, out_w))
+    np.add.at(out, (ys[:, None], xs[None, :]), gray)
+    np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+    return out / np.where(cnt == 0.0, 1.0, cnt)
+
+
+def perceptual_hash_bytes(payload: bytes, algo: str = "dhash") -> int:
+    """64-bit perceptual hash of one image payload (driver-side /
+    per-row kernel).  ``dhash``: 8x9 block means, bit = right > left
+    (gradient direction — invariant to uniform brightness shifts).
+    ``ahash``: 8x8 block means, bit = above global mean."""
+    import numpy as np
+
+    img = decode_image(payload)
+    gray = img.astype(np.float64).mean(axis=2)
+    if algo == "dhash":
+        small = _block_mean(gray, 8, 9)
+        bits = small[:, 1:] > small[:, :-1]
+    elif algo == "ahash":
+        small = _block_mean(gray, 8, 8)
+        bits = small > small.mean()
+    else:
+        raise ValueError(f"unknown perceptual hash algo: {algo}")
+    h = int(np.packbits(bits.flatten()).view(">u8")[0])
+    return h - (1 << 64) if h >= 1 << 63 else h  # two's-complement long
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def image_perceptual_hash(
+    binary_df: DataFrame, id_col: str = "doc_id", algo: str = "dhash"
+) -> DataFrame:
+    """(id, phash, decode_error) — Arrow-batched perceptual hashing over
+    the payload column.  Undecodable rows keep their id with a NULL
+    hash and the error text (same quarantine contract as
+    :func:`image_features`); map-only, corpus-linear."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes, errs = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                ids.append(int(doc_id))
+                try:
+                    hashes.append(perceptual_hash_bytes(bytes(payload), algo))
+                    errs.append(None)
+                except Exception as e:  # bad bytes are data, not bugs
+                    hashes.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {"doc_id": ids, "phash": pd.array(hashes, dtype="Int64"),
+                 "decode_error": errs}
+            )
+
+    return binary_df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        batches, PHASH_SCHEMA
+    )
+
+
+def hamming_band_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """All pairs (id_a < id_b) whose 64-bit hashes differ in at most
+    ``max_hamming`` bits — EXACT, via Hamming-band LSH: the hash splits
+    into ``max_hamming + 1`` contiguous bands, and by pigeonhole two
+    hashes within the budget agree on at least one whole band, so one
+    band-keyed equi-join generates every candidate (full recall, no
+    cartesian); ``bit_count(xor)`` verifies exactly.  Shuffle is
+    (bands x N) rows keyed by (band_idx, band_bits); a ball of
+    identical hashes concentrates one band key the same way a hot
+    minhash band does — dedup identical hashes first
+    (:func:`image_dedup_flags` does) so this join only ever sees
+    DISTINCT fingerprints."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    bcols = []
+    for i in range(bands):
+        w = width if i < bands - 1 else 64 - width * (bands - 1)
+        seg = F.shiftrightunsigned(F.col(hash_col), i * width).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+        bcols.append(F.struct(F.lit(i).alias("i"), seg.alias("v")).alias(f"__b{i}"))
+    banded = hashed.select(
+        F.col(id_col), F.col(hash_col), F.explode(F.array(*bcols)).alias("__band")
+    )
+    a = banded.select(
+        F.col("__band"), F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha")
+    )
+    b = banded.select(
+        F.col("__band"), F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb")
+    )
+    return (
+        a.join(b, "__band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def image_dedup_flags(
+    binary_df: DataFrame,
+    id_col: str = "doc_id",
+    algo: str = "dhash",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Every input row + ``is_image_dup``: true iff a lower-id image in
+    the same near-dup family (transitive closure of Hamming ≤
+    ``max_hamming`` on the perceptual hash) exists — that lowest id is
+    the kept representative.  Undecodable rows are never flagged (they
+    carry ``decode_error`` instead).
+
+    Scale shape: hash (map-only) → exact stage groups IDENTICAL hashes
+    to their min id in ONE shuffle (the blank-thumbnail ball never
+    reaches the band join) → Hamming-band equi-join over DISTINCT
+    fingerprints only → large-star/small-star connected components over
+    rep edges (≤ 2·log₂ n rounds).  No cartesian, no per-pair Python.
+    """
+    from paradump_spark.operators.dedup import connected_components
+
+    h = image_perceptual_hash(binary_df, id_col, algo)
+    # broadcast-safe tiny frames come later; the hash table is consumed
+    # three times (exact stage, flags join, rep mapping) — pin it
+    h = h.localCheckpoint(eager=True)
+    ok = h.where(F.col("decode_error").isNull())
+    reps = ok.groupBy("phash").agg(F.min("doc_id").alias("rep_id"))
+    pairs = hamming_band_pairs(
+        reps.select(F.col("rep_id").alias("doc_id"), "phash"),
+        "doc_id", "phash", max_hamming,
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        vertices=reps.select(F.col("rep_id").alias("id")),
+    )
+    fam = reps.join(
+        comp.withColumnRenamed("id", "rep_id"), "rep_id", "left"
+    ).select(
+        "phash",
+        F.coalesce(F.col("component"), F.col("rep_id")).alias("__keeper"),
+    )
+    return h.join(fam, "phash", "left").select(
+        F.col("doc_id"),
+        F.col("phash"),
+        (
+            F.col("__keeper").isNotNull()
+            & (F.col("doc_id") != F.col("__keeper"))
+        ).alias("is_image_dup"),
+        F.col("decode_error"),
+    )
+
+
+def synthetic_image_corpus(
+    df: DataFrame, id_col: str = "doc_id", groups: int = 25
+) -> DataFrame:
+    """Deterministic synthetic image corpus over any id column — the
+    dependency-free test/demo feed for the perceptual-hash dedup.
+    Each id renders a PPM whose content is a pseudo-random
+    piecewise-constant pattern on dHash's 8x9 sampling grid, keyed by
+    ``id % groups`` — so a group is a near-dup family whose members
+    differ only in ways dHash is built to absorb: a per-id uniform
+    brightness shift, every 41st id a 3x-DOWNSCALED render (the
+    resize-invariance case), every 29th id one perturbed grid cell
+    (≤ 2 flipped hash bits — the Hamming-band near-dup case), and
+    every 37th id undecodable junk (the quarantine case).  Two
+    different groups get independent pseudo-random 64-bit patterns
+    (~32 expected differing bits), far outside ``max_hamming``."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def render(i: int) -> bytes:
+            if i % 37 == 13:
+                return b"JUNK-not-an-image-" + str(i).encode()
+            g = i % groups
+            r = np.arange(8, dtype=np.uint64)[:, None]
+            c = np.arange(9, dtype=np.uint64)[None, :]
+            # murmur-style per-cell mix — an affine pattern would shift
+            # every cell uniformly across groups and alias their hashes
+            x = (
+                (np.uint64(g) * np.uint64(73856093))
+                ^ (r * np.uint64(19349663))
+                ^ (c * np.uint64(83492791))
+            )
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            x = x ^ (x >> np.uint64(33))
+            v = (x % np.uint64(97)).astype(np.int64)
+            if i % 29 == 3:  # one perturbed cell: ≤ 2 hash bits flip
+                v = v.copy()
+                v[3, 4] = (v[3, 4] + 50) % 97
+            cells = (v * 2 + 10 + (i // groups) % 3).astype(np.uint8)
+            ry, rx = (1, 1) if i % 41 == 7 else (3, 2)  # 8x9 or 24x18
+            base = np.repeat(np.repeat(cells, ry, axis=0), rx, axis=1)
+            img = np.stack([base, base, base], axis=2)
+            return _encode_ppm(np.ascontiguousarray(img))
+
+        for pdf in it:
+            ids = [int(x) for x in pdf[id_col]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [render(i) for i in ids]}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(batches, out_schema)
+
+
 def sample_frames(
     binary_df: DataFrame,
     n_frames: int = 4,

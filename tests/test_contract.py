@@ -45,7 +45,8 @@ def test_oracle_keys_subset_of_queries():
     # every retired (extra) query keeps a DuckDB oracle, except the
     # approximate-by-design ones
     xq, xo = set(E.extra_queries()), set(E.extra_oracle_sql())
-    assert xq - xo == {"ivf_topk", "embedding_near_dup_lsh", "pack_stats"}
+    assert xq - xo == {"ivf_topk", "embedding_near_dup_lsh", "pack_stats",
+                       "image_near_dup"}
     assert xo <= xq
     assert not xq & q
 

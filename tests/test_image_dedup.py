@@ -1,0 +1,153 @@
+"""Perceptual-hash image near-dup dedup (VERDICT r08 directive 4):
+aHash/dHash over the dependency-free decoders + Hamming-band LSH
+grouping with a min-id keeper."""
+
+import collections
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from paradump_spark.operators import multimodal as MM
+
+
+def _pattern(g, perturb=False):
+    r = np.arange(8, dtype=np.uint64)[:, None]
+    c = np.arange(9, dtype=np.uint64)[None, :]
+    x = (
+        (np.uint64(g) * np.uint64(73856093))
+        ^ (r * np.uint64(19349663))
+        ^ (c * np.uint64(83492791))
+    )
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    x = x ^ (x >> np.uint64(33))
+    v = (x % np.uint64(97)).astype(np.int64)
+    if perturb:
+        v = v.copy()
+        v[3, 4] = (v[3, 4] + 50) % 97
+    return v
+
+
+def _ppm(cells, ry=3, rx=2, shift=0):
+    base = np.repeat(
+        np.repeat((cells * 2 + 10 + shift).astype(np.uint8), ry, axis=0),
+        rx, axis=1,
+    )
+    return MM._encode_ppm(
+        np.ascontiguousarray(np.stack([base, base, base], axis=2))
+    )
+
+
+def test_perceptual_hash_invariances():
+    v = _pattern(3)
+    h0 = MM.perceptual_hash_bytes(_ppm(v), "dhash")
+    # uniform brightness shift: dHash compares adjacent diffs — identical
+    assert MM.perceptual_hash_bytes(_ppm(v, shift=2), "dhash") == h0
+    # aHash thresholds at the global mean — also shift-invariant
+    a0 = MM.perceptual_hash_bytes(_ppm(v), "ahash")
+    assert MM.perceptual_hash_bytes(_ppm(v, shift=2), "ahash") == a0
+    # 3x/2x downscale: block means on the 8x9 grid are exact — identical
+    assert MM.perceptual_hash_bytes(_ppm(v, ry=1, rx=1), "dhash") == h0
+    # one perturbed grid cell flips at most its two adjacent-diff bits
+    hp = MM.perceptual_hash_bytes(_ppm(_pattern(3, perturb=True)), "dhash")
+    d = bin((h0 ^ hp) & ((1 << 64) - 1)).count("1")
+    assert 1 <= d <= 2
+    # different groups land far apart (independent pseudo-random bits)
+    hg = MM.perceptual_hash_bytes(_ppm(_pattern(4)), "dhash")
+    assert bin((h0 ^ hg) & ((1 << 64) - 1)).count("1") > 4
+    # undecodable bytes raise (quarantined by the Spark operators)
+    with pytest.raises(Exception):
+        MM.perceptual_hash_bytes(b"JUNK-not-an-image", "dhash")
+    with pytest.raises(ValueError, match="algo"):
+        MM.perceptual_hash_bytes(_ppm(v), "md5")
+
+
+def test_hamming_band_pairs_exact_and_no_cartesian(spark):
+    """Banding must find EVERY pair within the budget (pigeonhole: d+1
+    bands, ≤ d differing bits leave one band intact) and nothing beyond
+    it — checked against brute force over crafted bit patterns — and
+    the plan must be an equi-join, never a cartesian product."""
+    base = 0x0123456789ABCDEF
+    rows = [(0, base)]
+    flip = [1, 9, 17, 33, 47, 55, 63]
+    h = base
+    for i, bit in enumerate(flip, start=1):  # id i differs from 0 by i bits
+        h ^= 1 << bit
+        rows.append((i, h - (1 << 64) if h >= 1 << 63 else h))
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in MM.hamming_band_pairs(df, max_hamming=4).collect()
+    }
+    want = {}
+    for i, (ia, ha) in enumerate(rows):
+        for ib, hb in rows[i + 1:]:
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= 4:
+                want[(ia, ib)] = d
+    assert got == want and want  # full recall, exact distances
+    plan = (
+        MM.hamming_band_pairs(df, max_hamming=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_image_dedup_flags_planted(spark):
+    """The planted synthetic corpus: per near-dup family exactly the
+    lowest id is kept — including the 3x-downscaled and the
+    one-cell-perturbed re-renders — and undecodable junk is quarantined
+    unflagged."""
+    ids = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    corpus = MM.synthetic_image_corpus(ids, "doc_id", groups=25)
+    flags = MM.image_dedup_flags(corpus, "doc_id", algo="dhash", max_hamming=4)
+    rows = {r.doc_id: r for r in flags.collect()}
+    assert len(rows) == 200
+
+    junk = [i for i in range(200) if i % 37 == 13]
+    assert all(
+        not rows[i].is_image_dup
+        and rows[i].decode_error
+        and rows[i].phash is None
+        for i in junk
+    )
+    fam = collections.defaultdict(list)
+    for i in range(200):
+        if i % 37 == 13:
+            continue
+        fam[i % 25].append(i)
+    for g, members in fam.items():
+        keepers = [i for i in members if not rows[i].is_image_dup]
+        assert keepers == [min(members)], f"group {g}"
+    # resized + perturbed members specifically (non-min ids, decodable)
+    special = [
+        i for i in range(25, 200)
+        if (i % 41 == 7 or i % 29 == 3) and i % 37 != 13
+    ]
+    assert special and all(rows[i].is_image_dup for i in special)
+    # determinism
+    again = {r.doc_id: r for r in flags.collect()}
+    assert {i: r.phash for i, r in rows.items()} == {
+        i: r.phash for i, r in again.items()
+    }
+    # no cartesian anywhere in the whole composed plan
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_image_dedup_ahash_exact_copies(spark):
+    """aHash variant: exact/brightness-shifted full-size copies group to
+    one keeper (the grid-aligned invariances); the perturbed/resized
+    cases are dHash territory (aHash's global-mean threshold shifts)."""
+    ids = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    corpus = MM.synthetic_image_corpus(ids, "doc_id", groups=25)
+    flags = MM.image_dedup_flags(corpus, "doc_id", algo="ahash", max_hamming=4)
+    rows = {r.doc_id: r for r in flags.collect()}
+    fam = collections.defaultdict(list)
+    for i in range(200):
+        if i % 37 == 13 or i % 29 == 3 or i % 41 == 7:
+            continue  # junk / perturbed / resized out of scope here
+        fam[i % 25].append(i)
+    for g, members in fam.items():
+        flagged = [i for i in members if rows[i].is_image_dup]
+        assert set(flagged) >= set(members) - {min(members)}, f"group {g}"
