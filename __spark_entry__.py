@@ -1846,7 +1846,6 @@ _DRIVER_QUERY_NAMES = [
     "tfidf_top_terms",
     "mixture_plan",
     "funnel_report",
-    "funnel_users",
     "retention_cohorts",
     "event_transitions",
     # ------- round-4 rotation: the 20 queries CORRECTNESS_r03 never
@@ -1854,13 +1853,8 @@ _DRIVER_QUERY_NAMES = [
     # 20 rotated OUT (range_join_clicks, sessionize_stats, q1/q3/q5,
     # cube/rollup/grouping-sets, ...) are all hash-green in r03 and
     # stay oracle-checked via extra_queries() + pytest. -------
-    "contamination",
-    "group_sample_lang",
     "binary_render",
-    "events_moving_avg",
     "pq_topk",
-    "chunk_coverage_lineitem",
-    "segment_order_stats",
     # ------- round-5 rotation: the 3 queries no CORRECTNESS_r* file has
     # ever evaluated (added late in round 4; strict_verify-green), so
     # r03 ∪ r04 ∪ r05 covers the entire declared surface with hard
@@ -1914,6 +1908,26 @@ _DRIVER_QUERY_NAMES = [
     # budget with the all-pairs DuckDB oracle; takes the slot of
     # order_age_buckets (driver-green in 5 rounds, still pytest-oracled).
     "knn_join_exact",
+    # ------- round-9 rotation (VERDICT r08 directives 2/3/8): the two
+    # NEW oracle queries (knn_graph_components — thresholded exact kNN
+    # graph + CC vs a recursive-CTE reachability oracle; and
+    # incremental_semantic_flags — the two-shard frozen-keeper contract
+    # in exact SQL) plus the four queries whose newest driver evidence
+    # was r03 (client_report, q1_pricing_summary, q3_shipping_priority,
+    # sessionize_stats) rotate IN.  Rotated OUT, all driver-green in
+    # ≥2 rounds with an in-window family sibling, still oracle-checked
+    # via extra_queries() + pytest: contamination (contamination_bloom
+    # shares its exact oracle), funnel_users (funnel_report/retention/
+    # transitions stay), group_sample_lang, events_moving_avg
+    # (order_date_ranks keeps the window family), chunk_coverage_lineitem
+    # (sqltext keeps the chunk family), segment_order_stats
+    # (client_report re-covers the reference-join family). ----
+    "knn_graph_components",
+    "incremental_semantic_flags",
+    "client_report",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "sessionize_stats",
 ]
 
 

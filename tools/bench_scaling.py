@@ -163,7 +163,8 @@ def main() -> None:
             extra = {
                 k: v
                 for k, v in prev.items()
-                if k in ("recall_scaled_sf1", "recall_auto_budget_sf1")
+                if k in ("recall_scaled_sf1", "recall_auto_budget_sf1",
+                         "knn_scaled")
             }
         except Exception:
             extra, prev = {}, None

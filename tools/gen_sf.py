@@ -195,8 +195,46 @@ def generate(out_dir: str, scale: float = 10.0, seed: int = 42) -> None:
                       ("label", pa.int32())]))
 
 
+def generate_embeddings(out_dir: str, scale: float = 250.0, seed: int = 42) -> None:
+    """Embeddings table only, at scales where generating the full star
+    schema would be wasted work (VERDICT r08 directive 5: a 500k-vector
+    point — scale 250 — for the kNN-join / kNN-graph scaling ledger).
+    Same distribution as :func:`generate`'s embeddings block (10
+    unit-norm label clusters, sigma 0.35) on an independent RNG stream,
+    written in chunks so peak memory stays bounded."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_vec = int(2000 * scale)
+    centers = rng.normal(0, 1, (10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("embedding", pa.list_(pa.float32())),
+                        ("label", pa.int32())])
+    path = os.path.join(out_dir, "embeddings.parquet")
+    with pq.ParquetWriter(path, schema) as w:
+        for lo in range(0, n_vec, 100_000):
+            hi = min(lo + 100_000, n_vec)
+            labels = rng.integers(0, 10, hi - lo)
+            vecs = centers[labels] + rng.normal(0, 0.35, (hi - lo, 64))
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            w.write_table(pa.table(
+                {"vec_id": np.arange(lo, hi),
+                 "embedding": pa.array(
+                     list(vecs.astype("float32")), pa.list_(pa.float32())
+                 ),
+                 "label": pa.array(labels, pa.int32())},
+                schema=schema))
+    print(f"embeddings: {n_vec} rows -> {path}")
+
+
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scratch/sf1"
-    scale = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+    argv = sys.argv[1:]
+    emb_only = "--emb-only" in argv
+    argv = [a for a in argv if a != "--emb-only"]
+    out = argv[0] if len(argv) > 0 else "/root/repo/scratch/sf1"
+    scale = float(argv[1]) if len(argv) > 1 else (250.0 if emb_only else 10.0)
     assert not os.path.realpath(out).startswith("/root/testdata")
-    generate(out, scale)
+    if emb_only:
+        generate_embeddings(out, scale)
+    else:
+        generate(out, scale)
