@@ -531,6 +531,26 @@ def main() -> None:
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
 
+    # --- image near-dup dedup (round 9): dHash + Hamming-band LSH +
+    # CC keeper flags over the deterministic synthetic PPM corpus keyed
+    # by the documents ids.  Placed AFTER the ANN tail on purpose: the
+    # r08 postmortem showed new upstream queries add session-state drag
+    # to the ANN timings (BASELINE.md round 9).
+    from paradump_spark.operators import multimodal as MMOD
+
+    img_corpus = MMOD.synthetic_image_corpus(
+        docs.select("doc_id"), "doc_id", groups=40
+    ).localCheckpoint(eager=True)  # time the dedup, not the generator
+
+    def image_dedup_step():
+        MMOD.image_dedup_flags(
+            img_corpus, "doc_id", algo="dhash", max_hamming=4
+        ).count()
+
+    # warm the Arrow hash path once
+    MMOD.image_perceptual_hash(img_corpus.limit(200), "doc_id").count()
+    times["image_dedup"] = bench(image_dedup_step)
+
     # sf1 scaling ledger (VERDICT r05 directive 3): produced offline by
     # tools/bench_scaling.py over the tools/gen_sf.py sf1 dataset and
     # committed; embedding it here puts the scaling evidence in every
