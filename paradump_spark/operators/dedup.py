@@ -620,7 +620,15 @@ def connected_components(
     ``_rounds_out``: diagnostic — appends the number of alternating
     rounds executed (tests assert the logarithmic bound with it).
     """
-    pair = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # Pin the edge set BEFORE anything consumes it: the vertex-set union
+    # scans it twice and round 1's large-star once more — without this,
+    # an expensive upstream edge pipeline (a 100k-vector kNN join, a
+    # verified-Jaccard LSH pass) re-executes 3-4 times (found by the
+    # round-9 kNN-graph scaling runs: the 100k leg spent most of its
+    # wall re-running the join per consumer).
+    pair = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
     sym = pair.unionAll(pair.selectExpr("dst AS src", "src AS dst")).where(
         F.col("src") != F.col("dst")
     )

@@ -12,14 +12,16 @@ log-log slope isolates the corpus term:
   count is |Q| x nprobe x N/num_cells — linear in N by construction;
   the measurement checks the plan actually delivers that (no hidden
   quadratic, no skew collapse).
-* kNN-graph leg — the SELF-join (every row a query) + connected
-  components at 20k (scratch/sf1) and 100k; num_cells=256, nprobe=2,
-  k=5, threshold 0.9.  Scored pairs are N x nprobe x N/num_cells —
-  QUADRATIC at fixed cells; production scales num_cells with N (the
-  faiss sqrt(N) guideline) to hold N x nprobe x sqrt(N)... this leg
-  therefore ALSO times a sqrt-scaled-cells variant (cells 141 -> 316)
-  whose per-cell occupancy stays constant, the configuration a 100 TB
-  run would use.
+* kNN-graph legs — the SELF-join (every row a query) + connected
+  components at 20k (scratch/sf1) and 100k, in THREE cell policies
+  whose scored-pair count N x nprobe x N/cells makes the scaling law
+  explicit: fixed cells (256 -> 256; candidates grow N²/cells —
+  quadratic, the trap), sqrt-scaled cells (141 -> 316, the faiss
+  query-latency guideline; N^1.5), and CONSTANT-OCCUPANCY cells
+  (256 -> 1282, ~78 rows/cell at both scales; linear — the same rule
+  as SemDeDup's auto-k = N/cluster_size, and the configuration a
+  100 TB self-graph run actually uses).  Shared (dataset, cells)
+  points are measured once and reused across policies.
 
 Appends a "knn_scaled" section to SF1_LEDGER.json (bench_scaling.py
 carries it forward across refreshes).  Each pass is gated on 1-min
@@ -74,13 +76,20 @@ def main() -> None:
         sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SF1_LEDGER.json")
     )
     spark = build_session(
-        app_name="knn_scaling", master="local[32]", shuffle_partitions=32
+        app_name="knn_scaling", master="local[32]", shuffle_partitions=32,
+        # the corpora are single ~25-130 MB parquet files: default 128 MB
+        # splits would scan them at 1-2 task parallelism and serialize
+        # the normalize/assign map side (same reason bench.py sets this)
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(1024 * 1024)},
     )
     sec: dict = {"params": {
         "join": {"queries": 2000, "k": 10, "num_cells": 256, "nprobe": 4},
-        "graph": {"k": 5, "num_cells": 256, "nprobe": 2, "threshold": 0.9},
-        "graph_sqrt_cells": {"k": 5, "nprobe": 2, "threshold": 0.9,
-                             "cells": "round(sqrt(N))"},
+        "graph": {"k": 5, "nprobe": 2, "threshold": 0.9,
+                  "cell_policies": {
+                      "graph_fixed_cells": "256 at both scales (the N^2/cells trap)",
+                      "graph_sqrt_cells": "round(sqrt(N)) (faiss guideline; N^1.5)",
+                      "graph_linear_cells": "N/78 constant occupancy (linear; the 100 TB rule)",
+                  }},
         "runs": "median-of-3 after warmup, load-gated < 0.7",
     }}
 
@@ -109,25 +118,37 @@ def main() -> None:
         ),
     }
 
-    # ---- kNN-graph self-join + CC: 20k -> 100k ----
-    for key, cells in (("graph", lambda n: 256),
-                       ("graph_sqrt_cells", lambda n: round(math.sqrt(n)))):
+    # ---- kNN-graph self-join + CC: 20k -> 100k, three cell policies ----
+    policies = {
+        "graph_fixed_cells": lambda n: 256,
+        "graph_sqrt_cells": lambda n: round(math.sqrt(n)),
+        "graph_linear_cells": lambda n: max(16, round(n / 78)),
+    }
+    cache: dict[tuple, float] = {}
+    for key, cells in policies.items():
         pts = {}
         for name, d, n in (("20k", "scratch/sf1", 20_000),
                            ("100k", "scratch/sf5_emb", 100_000)):
-            print(f"{key} leg {name} (cells={cells(n)}): load {wait_quiet():.2f}")
-            emb = spark.read.parquet(os.path.join(REPO, d, "embeddings.parquet"))
+            c = cells(n)
+            if (name, c) not in cache:
+                print(f"graph leg {name} (cells={c}): load {wait_quiet():.2f}")
+                emb = spark.read.parquet(
+                    os.path.join(REPO, d, "embeddings.parquet")
+                )
 
-            def run():
-                SIM.knn_graph_clusters(
-                    emb, "vec_id", "embedding", threshold=0.9, k=5,
-                    num_cells=cells(n), nprobe=2,
-                ).agg(F.count(F.lit(1))).collect()
+                def run(emb=emb, c=c):
+                    SIM.knn_graph_clusters(
+                        emb, "vec_id", "embedding", threshold=0.9, k=5,
+                        num_cells=c, nprobe=2,
+                    ).agg(F.count(F.lit(1))).collect()
 
-            pts[name] = timed(run)
-            print(f"  {pts[name]}s")
+                cache[(name, c)] = timed(run)
+                print(f"  {cache[(name, c)]}s")
+            pts[name] = cache[(name, c)]
         sec[key] = {
             **pts,
+            "cells": {n: cells(k) for n, k in
+                      (("20k", 20_000), ("100k", 100_000))},
             "corpus_ratio": 5.0,
             "time_ratio": round(pts["100k"] / pts["20k"], 2),
             "exp": round(
