@@ -322,7 +322,17 @@ def _ivf_assign_arrow(
         Xn = X / np.where(n == 0.0, 1.0, n)
         return pd.Series(ids[np.argmax(Xn @ Cn.T, axis=1)].astype(np.int32))
 
-    return corpus.withColumn("cell_id", _nearest(F.col(vec_col)))
+    # The kernel IS deterministic — the marking exists to stop Catalyst
+    # from re-evaluating it: constraint inference on a downstream join
+    # key (isnotnull(cell_id)) otherwise pushes an inferred filter that
+    # REFERENCES the UDF below the projection, planning a second
+    # ArrowEvalPython per row (observed in the round-9 kNN plan: every
+    # corpus row paid the centroid matmul twice).  Nondeterministic
+    # expressions cannot be duplicated or pushed through, which is
+    # exactly the barrier wanted; values are unchanged.
+    return corpus.withColumn(
+        "cell_id", _nearest.asNondeterministic()(F.col(vec_col))
+    )
 
 
 def ivf_build_index(
@@ -1037,8 +1047,13 @@ def _probe_cells_arrow(
         order = np.argsort(-S, axis=1, kind="stable")[:, :p]
         return pd.Series([ids[r].astype(np.int32).tolist() for r in order])
 
+    # asNondeterministic for the same reason as _ivf_assign_arrow:
+    # InferFiltersFromGenerate adds `size(__pcs) > 0 AND isnotnull`
+    # below the explode, re-evaluating the Arrow kernel a second time
+    # per row (observed in the round-9 kNN plan); the barrier keeps one
+    # evaluation, values unchanged (_cells never returns null/empty).
     return (
-        df.withColumn("__pcs", _cells(F.col(vec_col)))
+        df.withColumn("__pcs", _cells.asNondeterministic()(F.col(vec_col)))
         .select("*", F.explode("__pcs").alias("cell_id"))
         .drop("__pcs")
     )
@@ -1059,6 +1074,7 @@ def knn_join(
     seed: int = 42,
     right_count: int | None = None,
     index_meta_path: str | None = None,
+    scoring: str = "jvm",
 ) -> DataFrame:
     """For EVERY left row, its ``k`` nearest right rows by cosine:
     (query_id, neighbor_id, rank, cosine) — `brute_force_topk`'s shape
@@ -1087,6 +1103,17 @@ def knn_join(
     paths follow, VERDICT r08).  Approximation shape: a neighbor is
     findable iff it sits in one of its query's probed cells — the same
     contract as :func:`ivf_topk`, recall rises with nprobe.
+
+    ``scoring``: ``"jvm"`` (default) scores candidate pairs with the
+    Catalyst HOF dot — pure-JVM plan, bit-sequential arithmetic, the
+    formulation every DuckDB oracle reproduces.  ``"arrow"`` scores
+    each cell with a cogrouped numpy kernel (one matmul + per-query
+    per-cell top-k inside the kernel, ties broken identically), which
+    ALSO shrinks the ranking input from |cell| to ≤ k rows per
+    (query, probed cell) — measured ~25-30x on a 100k self-join; the
+    path a corpus-scale run uses.  Same pair set, same ordering; only
+    the float summation order differs (pytest asserts frame equality
+    on the test corpora).
     """
     lid = left_id_col or id_col
     rid = right_id_col or id_col
@@ -1099,24 +1126,46 @@ def knn_join(
     cents = ivf_centroids(right, rid, vec_col, num_cells, seed)
     if refine_iters:
         cents = kmeans_refine(right, cents, rid, vec_col, refine_iters, seed=seed)
+    # shuffle_hash hint: without it Catalyst's post-ArrowEvalPython size
+    # estimates can pick a BroadcastHashJoin that ships the ENTIRE
+    # assigned corpus to every task (observed at the 100k scaling leg) —
+    # the documented plan is ONE cell-keyed shuffle on each side
     r = ivf_assign(right, cents, rid, vec_col).select(
         "cell_id",
         F.col(rid).alias("neighbor_id"),
         V.normalized(F.col(vec_col)).alias("__cv"),
-    )
+    ).hint("shuffle_hash")
     q = probe_cells(
         left.select(F.col(lid).alias("query_id"), F.col(vec_col)),
         cents, vec_col, nprobe,
     ).select(
         "cell_id", "query_id", V.normalized(F.col(vec_col)).alias("__qv")
     )
-    scored = q.join(r, "cell_id").select(
-        "query_id",
-        "neighbor_id",
-        V.dot(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    # Pin BOTH sides to an explicit cell_id partitioning: the join's
+    # INPUT is small (one row per vector) but its OUTPUT explodes by
+    # the per-cell candidate count, so AQE's input-byte-based coalescing
+    # otherwise shrinks the expensive scoring stage to 1-2 tasks
+    # (observed at the 100k scaling leg: a 26-core box pinned at 1 CPU).
+    # An explicit numPartitions repartition is exempt from coalescing,
+    # and the join reuses the co-partitioning — still ONE shuffle per
+    # side.
+    nparts = int(
+        left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    if exclude_self:
-        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    q = q.repartition(nparts, "cell_id")
+    r = r.repartition(nparts, "cell_id")
+    if scoring == "arrow":
+        scored = _knn_cell_topk_arrow(q, r, k, exclude_self)
+    elif scoring == "jvm":
+        scored = q.join(r, "cell_id").select(
+            "query_id",
+            "neighbor_id",
+            V.dot(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+        if exclude_self:
+            scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    else:
+        raise ValueError(f"unknown knn_join scoring: {scoring}")
     cand = partial_topk(
         scored, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
     )
@@ -1130,6 +1179,60 @@ def knn_join(
     )
 
 
+def _knn_cell_topk_arrow(
+    q: DataFrame, r: DataFrame, k: int, exclude_self: bool
+) -> DataFrame:
+    """Per-cell cosine scoring as a cogrouped numpy kernel: one matmul
+    per (cell, Arrow batch) + per-query top-k INSIDE the kernel, so only
+    ≤ k rows per (query, probed cell) ever leave it.  Tie-break matches
+    the JVM path exactly: stable argsort of -S with columns pre-sorted
+    by neighbor_id (cosine desc, neighbor_id asc).  Self-pairs are
+    masked in-kernel.  The global ranking downstream sees
+    nprobe x k rows per query instead of nprobe x |cell|."""
+    import numpy as np
+    import pandas as pd
+
+    def cell_topk(key, qpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.array([], dtype="int64"),
+             "neighbor_id": pd.array([], dtype="int64"),
+             "cosine": pd.array([], dtype="float64")}
+        )
+        if not len(qpdf) or not len(rpdf):
+            return empty
+        rpdf = rpdf.sort_values("neighbor_id", kind="mergesort")
+        Q = np.array(qpdf["__qv"].tolist(), dtype=np.float64)
+        R = np.array(rpdf["__cv"].tolist(), dtype=np.float64)
+        qid = qpdf["query_id"].to_numpy(dtype=np.int64)
+        nid = rpdf["neighbor_id"].to_numpy(dtype=np.int64)
+        S = Q @ R.T
+        if exclude_self:
+            # mask a query's own row (cosines live in [-1, 1])
+            S[qid[:, None] == nid[None, :]] = -2.0
+        kk = min(k, S.shape[1])
+        # stable argsort of -S: ties fall to the lower column index ==
+        # the smaller neighbor_id (columns sorted above) — identical to
+        # the JVM (cosine desc, neighbor_id asc) ordering
+        order = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        cos = np.take_along_axis(S, order, axis=1)
+        keep = cos > -1.5  # masked self-pairs drop out
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qid, kk)[keep.ravel()],
+                "neighbor_id": nid[order.ravel()][keep.ravel()],
+                "cosine": cos.ravel()[keep.ravel()],
+            }
+        )
+
+    return (
+        q.groupBy("cell_id")
+        .cogroup(r.groupBy("cell_id"))
+        .applyInPandas(
+            cell_topk, "query_id long, neighbor_id long, cosine double"
+        )
+    )
+
+
 def knn_graph_clusters(
     emb: DataFrame,
     id_col: str,
@@ -1140,6 +1243,7 @@ def knn_graph_clusters(
     nprobe: int | None = 4,
     refine_iters: int = 0,
     seed: int = 42,
+    scoring: str = "jvm",
 ) -> DataFrame:
     """Graph-based embedding clustering: the kNN graph thresholded on
     cosine, then connected components — every input row + ``component``
@@ -1165,6 +1269,7 @@ def knn_graph_clusters(
     edges = knn_join(
         emb, emb, id_col, vec_col, k=k, num_cells=num_cells, nprobe=nprobe,
         exclude_self=True, refine_iters=refine_iters, seed=seed,
+        scoring=scoring,
     ).where(F.col("cosine") > threshold).select(
         F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )

@@ -518,6 +518,30 @@ def test_knn_join_recall_rises_with_nprobe(spark, sf_dir):
     assert hi > 0.8
 
 
+def test_knn_join_arrow_scoring_equals_jvm(spark, sf_dir):
+    """The cogrouped numpy scoring kernel (the corpus-scale path:
+    in-kernel matmul + per-cell top-k) is frame-EQUAL to the
+    oracle-proven JVM HOF path at exact AND approximate budgets —
+    same pair set, same (cosine desc, neighbor_id asc) ordering."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 200)
+    for nprobe in (8, 3):
+        a = (
+            SIM.knn_join(q, emb, "vec_id", "embedding", k=3, num_cells=8,
+                         nprobe=nprobe, exclude_self=True, scoring="jvm")
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        b = (
+            SIM.knn_join(q, emb, "vec_id", "embedding", k=3, num_cells=8,
+                         nprobe=nprobe, exclude_self=True, scoring="arrow")
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert a.equals(b), f"nprobe={nprobe}"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="scoring"):
+        SIM.knn_join(q, emb, "vec_id", "embedding", scoring="gpu")
+
+
 def test_probe_cells_arrow_matches_jvm(spark, sf_dir):
     """auto/arrow and jvm probe expansions agree (ties to lowest cell)."""
     emb = _emb(spark, sf_dir).limit(100)

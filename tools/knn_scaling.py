@@ -91,6 +91,8 @@ def main() -> None:
                       "graph_linear_cells": "N/78 constant occupancy (linear; the 100 TB rule)",
                   }},
         "runs": "median-of-3 after warmup, load-gated < 0.7",
+        "scoring": "arrow (the corpus-scale kernel; pytest-equal to the "
+                   "oracle-proven jvm path)",
     }}
 
     # ---- kNN-join: fixed 2k-query batch, corpus 100k -> 500k ----
@@ -103,7 +105,7 @@ def main() -> None:
         def run():
             SIM.knn_join(
                 q, emb, "vec_id", "embedding", k=10,
-                num_cells=256, nprobe=4,
+                num_cells=256, nprobe=4, scoring="arrow",
             ).agg(F.count(F.lit(1))).collect()
 
         join_pts[name] = timed(run)
@@ -139,7 +141,7 @@ def main() -> None:
                 def run(emb=emb, c=c):
                     SIM.knn_graph_clusters(
                         emb, "vec_id", "embedding", threshold=0.9, k=5,
-                        num_cells=c, nprobe=2,
+                        num_cells=c, nprobe=2, scoring="arrow",
                     ).agg(F.count(F.lit(1))).collect()
 
                 cache[(name, c)] = timed(run)
