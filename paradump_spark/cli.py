@@ -221,6 +221,12 @@ def build_parser() -> argparse.ArgumentParser:
     kn.add_argument("--components", action="store_true",
                     help="emit (row, component) via connected components "
                          "over the thresholded kNN graph")
+    kn.add_argument("--scoring", choices=["jvm", "arrow"], default="arrow",
+                    help="pair-scoring kernel: arrow = cogrouped numpy "
+                         "matmul + in-kernel per-cell top-k (the "
+                         "corpus-scale path, ~25x); jvm = pure-Catalyst "
+                         "HOF dot (bit-sequential arithmetic). "
+                         "Result-equal (pytest-asserted)")
     kn.add_argument("--output", required=True, help="parquet output")
 
     rp = sub.add_parser(
@@ -681,6 +687,7 @@ def main(argv: list[str] | None = None) -> int:
             out = knn_graph_clusters(
                 left, args.id_col, args.vec_col, args.threshold,
                 k=args.k, num_cells=args.num_cells, nprobe=nprobe,
+                scoring=args.scoring,
             )
             out.write.mode("overwrite").parquet(args.output)
             # stats come from the WRITTEN parquet — re-counting `out`
@@ -697,6 +704,7 @@ def main(argv: list[str] | None = None) -> int:
             left, right, args.id_col, args.vec_col, k=args.k,
             num_cells=args.num_cells, nprobe=nprobe,
             exclude_self=args.right_table is None,
+            scoring=args.scoring,
         )
         if args.threshold is not None:
             out = out.where(F.col("cosine") > args.threshold)
