@@ -256,11 +256,14 @@ def main() -> None:
     )
 
     # corpus×corpus kNN-join at the APPROXIMATE (cell-pruned) budget —
-    # the 100 TB path; full-probe exactness is oracle/pytest territory
+    # the 100 TB path; full-probe exactness is oracle/pytest territory.
+    # scoring="arrow" is the corpus-scale kernel (round 9; pytest-equal
+    # to the oracle-proven jvm path): the jvm HOF dot at the sf5 leg's
+    # 100k vectors is ~2.5e9 interpreted ops — 20 min per run
     times["knn_join_nprobe4"] = bench(
         lambda: SIM.knn_join(
             emb, emb, "vec_id", "embedding", k=5, num_cells=16, nprobe=4,
-            exclude_self=True,
+            exclude_self=True, scoring="arrow",
         ).count()
     )
 
