@@ -1311,6 +1311,39 @@ def _q_image_near_dup(spark, sf_dir):
     )
 
 
+def _q_audio_near_dup(spark, sf_dir):
+    """Audio near-dup dedup (operators/multimodal.py:audio_dedup_flags):
+    deterministic synthetic WAV corpus keyed by the documents ids (the
+    container has no audio codecs — the corpus generator and the
+    dependency-free RIFF/PCM decoder make the whole pipeline real and
+    testable), 65-segment energy-difference fingerprint (gain/resample/
+    requantize-invariant) → exact-hash stage → Hamming-band LSH over
+    distinct fingerprints → connected components, min-id keeper.
+    Audio decode is not SQL-expressible -> rows-only; the planted
+    keeper/flag structure is pytest-asserted (tests/test_media_dedup)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = MM.synthetic_audio_corpus(docs, "doc_id", groups=40)
+    return MM.audio_dedup_flags(corpus, "doc_id", max_hamming=4).select(
+        "doc_id", "phash", "is_audio_dup"
+    )
+
+
+def _q_video_near_dup(spark, sf_dir):
+    """Video near-dup dedup (operators/multimodal.py:video_dedup_flags):
+    deterministic synthetic P6-stream corpus keyed by the documents ids,
+    per-frame dHash signatures at 8 sample slots → exact-signature
+    stage → slot-aligned Hamming-band LSH over distinct signatures →
+    JVM zip_with slot verification (≥ ¾ slots within Hamming ≤ 4) →
+    connected components, min-id keeper.  Frame decode is not
+    SQL-expressible -> rows-only; the planted keeper/flag structure is
+    pytest-asserted (tests/test_media_dedup)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = MM.synthetic_video_corpus(docs, "doc_id", groups=40)
+    return MM.video_dedup_flags(corpus, "doc_id", n_frames=8).select(
+        "doc_id", "sig", "is_video_dup"
+    )
+
+
 def _q_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(
@@ -2057,6 +2090,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approximate / non-SQL-expressible by design -> rows-only checks
         "ivf_topk": _q_ivf_topk,
         "image_near_dup": _q_image_near_dup,
+        "audio_near_dup": _q_audio_near_dup,
+        "video_near_dup": _q_video_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "pq_topk": _q_pq_topk,
         "ivf_topk_exact": _q_ivf_topk_exact,

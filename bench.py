@@ -554,6 +554,31 @@ def main() -> None:
     MMOD.image_perceptual_hash(img_corpus.limit(200), "doc_id").count()
     times["image_dedup"] = bench(image_dedup_step)
 
+    # --- audio + video near-dup dedup (round 9): the other two media
+    # members — energy-difference WAV fingerprints and per-frame dHash
+    # P6-stream signatures, through the same band-LSH + CC pipeline.
+    aud_corpus = MMOD.synthetic_audio_corpus(
+        docs.select("doc_id"), "doc_id", groups=40
+    ).localCheckpoint(eager=True)
+
+    def audio_dedup_step():
+        MMOD.audio_dedup_flags(aud_corpus, "doc_id", max_hamming=4).count()
+
+    MMOD.audio_perceptual_hash(aud_corpus.limit(200), "doc_id").count()
+    times["audio_dedup"] = bench(audio_dedup_step)
+    aud_corpus.unpersist()
+
+    vid_corpus = MMOD.synthetic_video_corpus(
+        docs.select("doc_id"), "doc_id", groups=40
+    ).localCheckpoint(eager=True)
+
+    def video_dedup_step():
+        MMOD.video_dedup_flags(vid_corpus, "doc_id", n_frames=8).count()
+
+    MMOD.video_signature(vid_corpus.limit(200), "doc_id").count()
+    times["video_dedup"] = bench(video_dedup_step)
+    vid_corpus.unpersist()
+
     # sf1 scaling ledger (VERDICT r05 directive 3): produced offline by
     # tools/bench_scaling.py over the tools/gen_sf.py sf1 dataset and
     # committed; embedding it here puts the scaling evidence in every

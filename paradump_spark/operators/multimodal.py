@@ -435,6 +435,59 @@ def hamming_band_pairs(
     )
 
 
+def perceptual_dedup_flags(
+    hashed: DataFrame,
+    max_hamming: int = 4,
+    flag_name: str = "is_dup",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Shared Hamming-near-dup pipeline over any 64-bit fingerprint
+    frame ``(doc_id, <hash_col>, decode_error)`` — the media-agnostic
+    half of :func:`image_dedup_flags` / :func:`audio_dedup_flags`.
+    Every input row + ``<flag_name>``: true iff a lower-id row in the
+    same near-dup family (transitive closure of Hamming ≤
+    ``max_hamming``) exists — that lowest id is the kept
+    representative.  Undecodable rows (non-NULL ``decode_error``) are
+    never flagged.
+
+    Scale shape: exact stage groups IDENTICAL hashes to their min id in
+    ONE shuffle (a ball of identical fingerprints never reaches the
+    band join) → Hamming-band equi-join over DISTINCT fingerprints only
+    → large-star/small-star connected components over rep edges
+    (≤ 2·log₂ n rounds).  No cartesian, no per-pair Python.
+    """
+    from paradump_spark.operators.dedup import connected_components
+
+    # the hash table is consumed three times (exact stage, flags join,
+    # rep mapping) — pin it so the Python hashing UDF runs once
+    h = hashed.localCheckpoint(eager=True)
+    ok = h.where(F.col("decode_error").isNull())
+    reps = ok.groupBy(hash_col).agg(F.min("doc_id").alias("rep_id"))
+    pairs = hamming_band_pairs(
+        reps.select(F.col("rep_id").alias("doc_id"), hash_col),
+        "doc_id", hash_col, max_hamming,
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        vertices=reps.select(F.col("rep_id").alias("id")),
+    )
+    fam = reps.join(
+        comp.withColumnRenamed("id", "rep_id"), "rep_id", "left"
+    ).select(
+        hash_col,
+        F.coalesce(F.col("component"), F.col("rep_id")).alias("__keeper"),
+    )
+    return h.join(fam, hash_col, "left").select(
+        F.col("doc_id"),
+        F.col(hash_col),
+        (
+            F.col("__keeper").isNotNull()
+            & (F.col("doc_id") != F.col("__keeper"))
+        ).alias(flag_name),
+        F.col("decode_error"),
+    )
+
+
 def image_dedup_flags(
     binary_df: DataFrame,
     id_col: str = "doc_id",
@@ -445,45 +498,11 @@ def image_dedup_flags(
     the same near-dup family (transitive closure of Hamming ≤
     ``max_hamming`` on the perceptual hash) exists — that lowest id is
     the kept representative.  Undecodable rows are never flagged (they
-    carry ``decode_error`` instead).
-
-    Scale shape: hash (map-only) → exact stage groups IDENTICAL hashes
-    to their min id in ONE shuffle (the blank-thumbnail ball never
-    reaches the band join) → Hamming-band equi-join over DISTINCT
-    fingerprints only → large-star/small-star connected components over
-    rep edges (≤ 2·log₂ n rounds).  No cartesian, no per-pair Python.
+    carry ``decode_error`` instead).  Pipeline shape documented at
+    :func:`perceptual_dedup_flags`.
     """
-    from paradump_spark.operators.dedup import connected_components
-
     h = image_perceptual_hash(binary_df, id_col, algo)
-    # broadcast-safe tiny frames come later; the hash table is consumed
-    # three times (exact stage, flags join, rep mapping) — pin it
-    h = h.localCheckpoint(eager=True)
-    ok = h.where(F.col("decode_error").isNull())
-    reps = ok.groupBy("phash").agg(F.min("doc_id").alias("rep_id"))
-    pairs = hamming_band_pairs(
-        reps.select(F.col("rep_id").alias("doc_id"), "phash"),
-        "doc_id", "phash", max_hamming,
-    )
-    comp = connected_components(
-        pairs.select("id_a", "id_b"),
-        vertices=reps.select(F.col("rep_id").alias("id")),
-    )
-    fam = reps.join(
-        comp.withColumnRenamed("id", "rep_id"), "rep_id", "left"
-    ).select(
-        "phash",
-        F.coalesce(F.col("component"), F.col("rep_id")).alias("__keeper"),
-    )
-    return h.join(fam, "phash", "left").select(
-        F.col("doc_id"),
-        F.col("phash"),
-        (
-            F.col("__keeper").isNotNull()
-            & (F.col("doc_id") != F.col("__keeper"))
-        ).alias("is_image_dup"),
-        F.col("decode_error"),
-    )
+    return perceptual_dedup_flags(h, max_hamming, "is_image_dup")
 
 
 def synthetic_image_corpus(
@@ -876,6 +895,188 @@ def audio_features(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio perceptual hashing + near-dup dedup — the audio member of the
+# media-dedup family (image_dedup_flags is the image member).  The
+# fingerprint is an energy-difference hash: the signal splits into 65
+# equal-duration segments, and bit i compares the RMS energy of segment
+# i+1 against segment i — the 1-D analogue of dHash's gradient bits.
+# By construction it is invariant to uniform gain changes (monotone
+# scaling preserves every RMS comparison), resampling (segments are
+# fractions of total duration, and RMS is rate-independent), bit-depth
+# re-encodes (quantization noise ≪ inter-segment contrast), and channel
+# layout (downmix first).  Reference has no media ops; public-method
+# precedent: Haitsma & Kalker, "A Highly Robust Audio Fingerprinting
+# System" (ISMIR 2002) — band-energy difference bits; this is the
+# dependency-free time-domain variant (no FFT needed for the
+# gain/resample/requantize invariances the dedup targets).
+
+
+def audio_fingerprint_bytes(payload: bytes) -> int:
+    """64-bit energy-difference fingerprint of one audio payload
+    (per-row kernel; see module comment above for the invariances).
+    Raises on undecodable/too-short payloads — callers quarantine."""
+    import numpy as np
+
+    x, _rate = decode_audio(payload)
+    mono = x.mean(axis=1) if x.ndim == 2 else x
+    n = mono.shape[0]
+    if n < 65:
+        raise ValueError(f"audio too short to fingerprint: {n} samples")
+    bounds = (np.arange(66, dtype=np.int64) * n) // 65
+    sq = np.concatenate(([0.0], np.cumsum(np.square(mono))))
+    seg_e = (sq[bounds[1:]] - sq[bounds[:-1]]) / np.maximum(
+        bounds[1:] - bounds[:-1], 1
+    )
+    bits = seg_e[1:] > seg_e[:-1]
+    h = int(np.packbits(bits).view(">u8")[0])
+    return h - (1 << 64) if h >= 1 << 63 else h  # two's-complement long
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def audio_perceptual_hash(
+    binary_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, phash, decode_error) — Arrow-batched audio fingerprinting
+    over the payload column; map-only, corpus-linear, same quarantine
+    contract as :func:`image_perceptual_hash`."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes, errs = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                ids.append(int(doc_id))
+                try:
+                    hashes.append(audio_fingerprint_bytes(bytes(payload)))
+                    errs.append(None)
+                except Exception as e:  # bad bytes are data, not bugs
+                    hashes.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {"doc_id": ids, "phash": pd.array(hashes, dtype="Int64"),
+                 "decode_error": errs}
+            )
+
+    return binary_df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        batches, AHASH_SCHEMA
+    )
+
+
+def audio_dedup_flags(
+    binary_df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Every input row + ``is_audio_dup``: true iff a lower-id clip in
+    the same near-dup family (transitive Hamming ≤ ``max_hamming`` on
+    the energy-difference fingerprint) exists.  Gain-scaled, resampled
+    and requantized re-encodes of the same clip land in one family;
+    undecodable rows quarantine unflagged.  Pipeline shape documented
+    at :func:`perceptual_dedup_flags` — one exact-hash shuffle, a
+    Hamming-band equi-join over distinct fingerprints, then CC."""
+    h = audio_perceptual_hash(binary_df, id_col)
+    return perceptual_dedup_flags(h, max_hamming, "is_audio_dup")
+
+
+def _encode_wav(samples, rate: int, bits: int = 16) -> bytes:
+    """Minimal RIFF/WAVE PCM encoder (mono float64 [-1,1] input) — the
+    synthesis half of :func:`decode_audio`'s dependency-free parser."""
+    import numpy as np
+    import struct
+
+    x = np.clip(samples, -1.0, 1.0)
+    if bits == 16:
+        raw = (x * 32767.0).astype("<i2").tobytes()
+    elif bits == 8:
+        raw = (np.round(x * 127.0) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError(f"unsupported synthetic bit depth {bits}")
+    block = bits // 8  # mono
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, rate, rate * block, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthetic_audio_corpus(
+    df: DataFrame, id_col: str = "doc_id", groups: int = 25
+) -> DataFrame:
+    """Deterministic synthetic WAV corpus over any id column — the
+    dependency-free test/demo feed for the audio near-dup dedup.  A
+    group (``id % groups``) is a near-dup family: one pseudo-random
+    65-segment energy profile (Nyquist square wave per segment, so each
+    segment's RMS is exactly its amplitude), rendered per id with the
+    variations the fingerprint is built to absorb — every 31st id at
+    half gain, every 41st id RESAMPLED to half the rate (same
+    duration), every 43rd id re-encoded at 8-bit depth, every 29th id
+    with one perturbed segment (≤ 2 flipped hash bits — the
+    Hamming-band near-dup case), and every 37th id undecodable junk
+    (the quarantine case).  Adjacent segment levels are forced distinct
+    so no energy-comparison bit sits on a quantization knife-edge."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def levels(g: int) -> "np.ndarray":
+            s = np.arange(65, dtype=np.uint64)
+            x = (np.uint64(g) * np.uint64(73856093)) ^ (
+                s * np.uint64(19349663)
+            )
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            x = x ^ (x >> np.uint64(33))
+            lv = (x % np.uint64(31)).astype(np.int64)
+            for i in range(1, 65):  # no adjacent ties → stable bits
+                if lv[i] == lv[i - 1]:
+                    lv[i] = (lv[i] + 1) % 31
+            return lv
+
+        def render(i: int) -> bytes:
+            if i % 37 == 13:
+                return b"RIFFjunk-not-audio-" + str(i).encode()
+            amp = 0.08 + 0.88 * levels(i % groups) / 30.0
+            if i % 29 == 3:  # one perturbed segment: ≤ 2 hash bits flip
+                amp = amp.copy()
+                amp[31] = 0.08 + 0.88 * ((levels(i % groups)[31] + 15) % 31) / 30.0
+            if i % 31 == 5:
+                amp = amp * 0.5  # uniform gain change
+            rate = 8000 if i % 41 == 7 else 16000
+            per_seg = rate // 100  # 0.65 s clip at either rate
+            wave = np.repeat(amp, per_seg)
+            wave[1::2] *= -1.0  # Nyquist square wave: RMS == amplitude
+            bits = 8 if i % 43 == 11 else 16
+            return _encode_wav(wave, rate, bits)
+
+        for pdf in it:
+            ids = [int(x) for x in pdf[id_col]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [render(i) for i in ids]}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Real frame sampling for a codec-free motion container: a "PPM stream"
 # is concatenated binary P6 frames (the uncompressed-video analogue of
 # the PPM/BMP image and WAV audio choices — real parsing, no codec
@@ -1022,3 +1223,244 @@ def sample_frames_real(
     return binary_df.select(F.col(id_col), F.col("payload")).mapInPandas(
         batches, out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup dedup — the motion member of the media-dedup family.
+# A video's fingerprint is the SEQUENCE of per-frame dHashes at n
+# evenly-spaced sample positions; two videos are near-dups when at
+# least ``min_matching`` aligned sample slots land within the per-frame
+# Hamming budget.  Candidate generation is slot-aligned Hamming-band
+# LSH (pigeonhole per slot: a matching slot pair agrees on one whole
+# band of that slot's hash), verification is a JVM-side zip_with over
+# the two signatures — no cartesian, no per-pair Python.
+
+
+VIDEO_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def video_signature(
+    binary_df: DataFrame, id_col: str = "doc_id", n_frames: int = 8
+) -> DataFrame:
+    """(id, sig, decode_error) — per-video array of 64-bit frame
+    dHashes at ``n_frames`` evenly-spaced sample positions.  P6 PPM
+    streams parse dependency-free; real containers route through the
+    guarded PyAV path; undecodable rows quarantine with a NULL sig.
+    Map-only, one pass over the payload bytes per video."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        def sig_of(data: bytes) -> list:
+            if data[:2] == b"P6":
+                frames = split_ppm_stream(data)
+                total = len(frames)
+                take = min(n_frames, total)
+                picked = [frames[(k * total) // take] for k in range(take)]
+            else:
+                got = _av_sample_video_frames(data, n_frames)
+                if got is None:
+                    raise NotImplementedError(
+                        "decoding this video container requires PyAV "
+                        "(not installed); P6 PPM streams parse natively"
+                    )
+                picked = [fp for _pos, fp in got]
+            return [perceptual_hash_bytes(fp, "dhash") for fp in picked]
+
+        for pdf in it:
+            ids, sigs, errs = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                ids.append(int(doc_id))
+                try:
+                    sigs.append(sig_of(bytes(payload)))
+                    errs.append(None)
+                except Exception as e:  # bad bytes are data, not bugs
+                    sigs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {"doc_id": ids, "sig": sigs, "decode_error": errs}
+            )
+
+    return binary_df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        batches, VIDEO_SIG_SCHEMA
+    )
+
+
+def video_dedup_flags(
+    binary_df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 8,
+    max_hamming: int = 4,
+    min_matching: int | None = None,
+) -> DataFrame:
+    """Every input row + ``is_video_dup``: true iff a lower-id video in
+    the same near-dup family exists, where two videos are near-dups
+    when ≥ ``min_matching`` (default ¾ of ``n_frames``) aligned sample
+    slots have frame dHashes within Hamming ≤ ``max_hamming``; families
+    close transitively (connected components), lowest id is the kept
+    representative.  Undecodable rows are never flagged.
+
+    Scale shape: signature (map-only) → exact stage groups IDENTICAL
+    signatures to their min id in ONE shuffle → slot-aligned
+    Hamming-band equi-join over DISTINCT signatures only (shuffle is
+    n_frames × bands rows per distinct signature) → zip_with slot
+    verification in the JVM → large-star/small-star CC over rep edges.
+    """
+    from paradump_spark.operators.dedup import connected_components
+
+    if min_matching is None:
+        min_matching = max(1, (3 * n_frames) // 4)
+    sig = video_signature(binary_df, id_col, n_frames)
+    # consumed three times (exact stage, flags join, rep mapping) —
+    # pin it so the Python hashing UDF runs once
+    sig = sig.localCheckpoint(eager=True)
+    ok = sig.where(F.col("decode_error").isNull())
+    reps = ok.groupBy("sig").agg(F.min("doc_id").alias("rep_id"))
+    # slot-aligned banding: (slot, band_idx, band_bits) keys; any pair
+    # with ≥1 slot inside the Hamming budget shares ≥1 such key
+    bands = max_hamming + 1
+    width = 64 // bands
+    slot_hash = F.col("__s.h")
+    bcols = []
+    for i in range(bands):
+        w = width if i < bands - 1 else 64 - width * (bands - 1)
+        seg = F.shiftrightunsigned(slot_hash, i * width).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+        bcols.append(
+            F.struct(
+                F.col("__s.slot").alias("slot"),
+                F.lit(i).alias("i"),
+                seg.alias("v"),
+            ).alias(f"__b{i}")
+        )
+    banded = (
+        reps.select(
+            "rep_id",
+            "sig",
+            F.explode(
+                F.transform(
+                    F.col("sig"),
+                    lambda h, s: F.struct(s.alias("slot"), h.alias("h")),
+                )
+            ).alias("__s"),
+        )
+        .select("rep_id", "sig", F.explode(F.array(*bcols)).alias("__band"))
+    )
+    a = banded.select(
+        F.col("__band"),
+        F.col("rep_id").alias("id_a"),
+        F.col("sig").alias("__sa"),
+    )
+    b = banded.select(
+        F.col("__band"),
+        F.col("rep_id").alias("id_b"),
+        F.col("sig").alias("__sb"),
+    )
+    matched = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("__sa"),
+                F.col("__sb"),
+                lambda x, y: F.bit_count(x.bitwiseXOR(y)) <= F.lit(max_hamming),
+            ),
+            lambda ok_: ok_,
+        )
+    )
+    pairs = (
+        a.join(b, "__band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+        .where(matched >= F.lit(min_matching))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    comp = connected_components(
+        pairs, vertices=reps.select(F.col("rep_id").alias("id"))
+    )
+    fam = reps.join(
+        comp.withColumnRenamed("id", "rep_id"), "rep_id", "left"
+    ).select(
+        "sig",
+        F.coalesce(F.col("component"), F.col("rep_id")).alias("__keeper"),
+    )
+    return sig.join(fam, "sig", "left").select(
+        F.col("doc_id"),
+        F.col("sig"),
+        (
+            F.col("__keeper").isNotNull()
+            & (F.col("doc_id") != F.col("__keeper"))
+        ).alias("is_video_dup"),
+        F.col("decode_error"),
+    )
+
+
+def synthetic_video_corpus(
+    df: DataFrame, id_col: str = "doc_id", groups: int = 25,
+    n_frames: int = 8,
+) -> DataFrame:
+    """Deterministic synthetic P6-stream corpus over any id column —
+    the dependency-free test/demo feed for the video near-dup dedup.
+    A group (``id % groups``) is a near-dup family: ``n_frames``
+    per-slot pseudo-random patterns on dHash's 8x9 grid, rendered per
+    id with the variations the signature absorbs — per-id uniform
+    brightness shift (identical signatures), every 41st id a
+    3x-DOWNSCALED render, every 29th id TWO slots replaced with a
+    different pattern (within the ¾ slot-match default), and every
+    37th id undecodable junk."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def cells_of(key: int, bright: int) -> "np.ndarray":
+            r = np.arange(8, dtype=np.uint64)[:, None]
+            c = np.arange(9, dtype=np.uint64)[None, :]
+            x = (
+                (np.uint64(key) * np.uint64(73856093))
+                ^ (r * np.uint64(19349663))
+                ^ (c * np.uint64(83492791))
+            )
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            x = x ^ (x >> np.uint64(33))
+            v = (x % np.uint64(97)).astype(np.int64)
+            return (v * 2 + 10 + bright).astype(np.uint8)
+
+        def render(i: int) -> bytes:
+            if i % 37 == 13:
+                return b"P6junk-not-a-stream-" + str(i).encode()
+            g = i % groups
+            bright = (i // groups) % 3
+            ry, rx = (1, 1) if i % 41 == 7 else (3, 2)
+            frames = []
+            for slot in range(n_frames):
+                key = g * n_frames + slot
+                if i % 29 == 3 and slot in (2, 5):
+                    # two replaced slots — an "edited" near-dup copy
+                    key = 1_000_003 + i * n_frames + slot
+                cells = cells_of(key, bright)
+                base = np.repeat(np.repeat(cells, ry, axis=0), rx, axis=1)
+                img = np.stack([base, base, base], axis=2)
+                frames.append(_encode_ppm(np.ascontiguousarray(img)))
+            return b"".join(frames)
+
+        for pdf in it:
+            ids = [int(x) for x in pdf[id_col]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [render(i) for i in ids]}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(batches, out_schema)

@@ -46,7 +46,7 @@ def test_oracle_keys_subset_of_queries():
     # approximate-by-design ones
     xq, xo = set(E.extra_queries()), set(E.extra_oracle_sql())
     assert xq - xo == {"ivf_topk", "embedding_near_dup_lsh", "pack_stats",
-                       "image_near_dup"}
+                       "image_near_dup", "audio_near_dup", "video_near_dup"}
     assert xo <= xq
     assert not xq & q
 

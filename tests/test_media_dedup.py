@@ -1,0 +1,185 @@
+"""Audio + video near-dup dedup (round 9): energy-difference audio
+fingerprints over the dependency-free WAV decoder, per-frame dHash
+video signatures over P6 streams, both grouped via Hamming-band LSH
+with a min-id keeper (the image_dedup_flags precedent)."""
+
+import collections
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from paradump_spark.operators import multimodal as MM
+
+
+# ---------------------------------------------------------------------------
+# audio
+
+
+def _wav(levels, gain=1.0, rate=16000, bits=16, perturb=None):
+    amp = 0.08 + 0.88 * np.asarray(levels, dtype=np.float64) / 30.0
+    if perturb is not None:
+        amp = amp.copy()
+        amp[perturb] = 0.08 + 0.88 * ((levels[perturb] + 15) % 31) / 30.0
+    amp = amp * gain
+    wave = np.repeat(amp, rate // 100)
+    wave[1::2] *= -1.0
+    return MM._encode_wav(wave, rate, bits)
+
+
+def _levels(g):
+    s = np.arange(65, dtype=np.uint64)
+    x = (np.uint64(g) * np.uint64(73856093)) ^ (s * np.uint64(19349663))
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    x = x ^ (x >> np.uint64(33))
+    lv = (x % np.uint64(31)).astype(np.int64)
+    for i in range(1, 65):
+        if lv[i] == lv[i - 1]:
+            lv[i] = (lv[i] + 1) % 31
+    return lv
+
+
+def test_audio_fingerprint_invariances():
+    lv = _levels(3)
+    h0 = MM.audio_fingerprint_bytes(_wav(lv))
+    # uniform gain: every RMS comparison is preserved — identical hash
+    assert MM.audio_fingerprint_bytes(_wav(lv, gain=0.5)) == h0
+    # resampling at the same duration: segment RMS is rate-independent
+    assert MM.audio_fingerprint_bytes(_wav(lv, rate=8000)) == h0
+    # requantization to 8-bit: noise ≪ inter-segment contrast
+    assert MM.audio_fingerprint_bytes(_wav(lv, bits=8)) == h0
+    # one perturbed segment flips at most its two comparison bits
+    hp = MM.audio_fingerprint_bytes(_wav(lv, perturb=31))
+    d = bin((h0 ^ hp) & ((1 << 64) - 1)).count("1")
+    assert d <= 2
+    # different profiles land far apart
+    hg = MM.audio_fingerprint_bytes(_wav(_levels(4)))
+    assert bin((h0 ^ hg) & ((1 << 64) - 1)).count("1") > 4
+    # undecodable / too-short payloads raise (quarantined by operators)
+    with pytest.raises(Exception):
+        MM.audio_fingerprint_bytes(b"RIFFjunk-not-audio")
+    with pytest.raises(ValueError, match="too short"):
+        MM.audio_fingerprint_bytes(MM._encode_wav(np.zeros(10), 16000))
+
+
+def test_audio_dedup_flags_planted(spark):
+    """Planted synthetic WAV corpus: per near-dup family exactly the
+    lowest id is kept — including the half-gain, resampled, 8-bit and
+    one-segment-perturbed re-encodes — junk quarantined unflagged."""
+    ids = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    corpus = MM.synthetic_audio_corpus(ids, "doc_id", groups=25)
+    flags = MM.audio_dedup_flags(corpus, "doc_id", max_hamming=4)
+    rows = {r.doc_id: r for r in flags.collect()}
+    assert len(rows) == 200
+
+    junk = [i for i in range(200) if i % 37 == 13]
+    assert junk and all(
+        not rows[i].is_audio_dup
+        and rows[i].decode_error
+        and rows[i].phash is None
+        for i in junk
+    )
+    fam = collections.defaultdict(list)
+    for i in range(200):
+        if i % 37 == 13:
+            continue
+        fam[i % 25].append(i)
+    for g, members in fam.items():
+        keepers = [i for i in members if not rows[i].is_audio_dup]
+        assert keepers == [min(members)], f"group {g}"
+    # the variant renders specifically (non-min ids, decodable)
+    special = [
+        i for i in range(25, 200)
+        if (i % 41 == 7 or i % 29 == 3 or i % 31 == 5 or i % 43 == 11)
+        and i % 37 != 13
+    ]
+    assert special and all(rows[i].is_audio_dup for i in special)
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# video
+
+
+def test_video_signature_and_planted_dedup(spark):
+    """Planted synthetic P6-stream corpus: per family the lowest id is
+    the only keeper — brightness-shifted and downscaled copies have
+    IDENTICAL signatures (exact stage), two-slot edits pass the ¾
+    slot-match default (band join) — junk quarantined unflagged."""
+    ids = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    corpus = MM.synthetic_video_corpus(ids, "doc_id", groups=25)
+    flags = MM.video_dedup_flags(corpus, "doc_id", n_frames=8, max_hamming=4)
+    rows = {r.doc_id: r for r in flags.collect()}
+    assert len(rows) == 200
+
+    junk = [i for i in range(200) if i % 37 == 13]
+    assert junk and all(
+        not rows[i].is_video_dup
+        and rows[i].decode_error
+        and rows[i].sig is None
+        for i in junk
+    )
+    ok = [i for i in range(200) if i % 37 != 13]
+    assert all(len(rows[i].sig) == 8 for i in ok)
+    fam = collections.defaultdict(list)
+    for i in ok:
+        fam[i % 25].append(i)
+    for g, members in fam.items():
+        keepers = [i for i in members if not rows[i].is_video_dup]
+        assert keepers == [min(members)], f"group {g}"
+    # edited (two replaced slots) and downscaled copies specifically
+    special = [
+        i for i in range(25, 200)
+        if (i % 29 == 3 or i % 41 == 7) and i % 37 != 13
+    ]
+    assert special and all(rows[i].is_video_dup for i in special)
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_video_dedup_slot_threshold(spark):
+    """min_matching is a real knob: with the default ¾ threshold an
+    edit of half the slots does NOT merge; lowering it does."""
+    base = [(0, g, False) for g in range(4)]
+
+    def stream(doc_id, edit_slots):
+        frames = []
+        for slot in range(8):
+            key = 7 * 8 + slot
+            if slot in edit_slots:
+                key = 900_001 + doc_id * 8 + slot
+            r = np.arange(8, dtype=np.uint64)[:, None]
+            c = np.arange(9, dtype=np.uint64)[None, :]
+            x = (
+                (np.uint64(key) * np.uint64(73856093))
+                ^ (r * np.uint64(19349663))
+                ^ (c * np.uint64(83492791))
+            )
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            x = x ^ (x >> np.uint64(33))
+            cells = ((x % np.uint64(97)).astype(np.int64) * 2 + 10).astype(
+                np.uint8
+            )
+            b = np.repeat(np.repeat(cells, 3, axis=0), 2, axis=1)
+            frames.append(
+                MM._encode_ppm(
+                    np.ascontiguousarray(np.stack([b, b, b], axis=2))
+                )
+            )
+        return b"".join(frames)
+
+    rows = [(0, stream(0, ())), (1, stream(1, (0, 2, 4, 6)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    strict = {
+        r.doc_id: r.is_video_dup
+        for r in MM.video_dedup_flags(df, "doc_id", n_frames=8).collect()
+    }
+    assert strict == {0: False, 1: False}  # 4/8 matches < default 6
+    loose = {
+        r.doc_id: r.is_video_dup
+        for r in MM.video_dedup_flags(
+            df, "doc_id", n_frames=8, min_matching=4
+        ).collect()
+    }
+    assert loose == {0: False, 1: True}

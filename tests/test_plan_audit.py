@@ -28,6 +28,8 @@ ARROW_ALLOWED = {
     "knn_join_exact",        # Arrow numpy argmax in ivf_assign/probe_cells
     "knn_graph_components",  # same kNN-join machinery feeding CC
     "image_near_dup",        # Arrow-batched perceptual-hash kernel
+    "audio_near_dup",        # Arrow-batched audio-fingerprint kernel
+    "video_near_dup",        # Arrow-batched frame-signature kernel
 }
 
 
