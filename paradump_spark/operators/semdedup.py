@@ -234,6 +234,36 @@ def assign_clusters_two_level(
     through cell-keyed cogroups/joins.  Cluster ids are globally
     unique bigints; at most ``num_clusters`` distinct.
     """
+    _coarse, fine, ca = two_level_cells(
+        emb, id_col, vec_col, num_clusters, coarse_cells,
+        refine_iters, fine_refine_iters, seed,
+    )
+    if fine is None:  # empty corpus
+        return ca.withColumn(
+            "cluster_id", F.lit(None).cast("bigint")
+        ).drop("cell_id")
+    return _fine_assign(ca, fine, vec_col).drop("cell_id")
+
+
+def two_level_cells(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_clusters: int,
+    coarse_cells: int | None = None,
+    refine_iters: int = 2,
+    fine_refine_iters: int = 1,
+    seed: int = 42,
+) -> tuple:
+    """The two-level quantizer behind :func:`assign_clusters_two_level`,
+    exposed as a builder so other operators (the kNN-join's hierarchical
+    probe path in ``operators/similarity.py``) can share it: returns
+    ``(coarse, fine, coarse_assigned)`` where ``coarse`` is the √k
+    coarse-centroid frame, ``fine`` the (cell_id, cluster_id, centroid)
+    fine table (None when the corpus is empty), and ``coarse_assigned``
+    the corpus labeled with its coarse ``cell_id`` (localCheckpoint'd —
+    safe to consume repeatedly).  Stage shapes documented on the
+    wrapper."""
     n_coarse = coarse_cells or max(8, round(num_clusters ** 0.5))
     coarse = ivf_centroids(emb, id_col, vec_col, n_coarse, seed=seed)
     if refine_iters:
@@ -252,9 +282,7 @@ def assign_clusters_two_level(
     }
     total = sum(counts.values())
     if not total:
-        return ca.withColumn("cluster_id", F.lit(None).cast("bigint")).drop(
-            "cell_id"
-        )
+        return coarse, None, ca
     budgets = _fine_budgets(counts, num_clusters)
     offsets, acc = {}, 0
     for c in sorted(budgets):
@@ -332,7 +360,7 @@ def assign_clusters_two_level(
             .localCheckpoint(eager=True)  # iters chain multiplies plans
         )
 
-    return _fine_assign(ca, fine, vec_col).drop("cell_id")
+    return coarse, fine, ca
 
 
 def _pair_block(base: DataFrame, threshold: float) -> DataFrame:

@@ -1075,6 +1075,8 @@ def knn_join(
     right_count: int | None = None,
     index_meta_path: str | None = None,
     scoring: str = "jvm",
+    coarse_cells: int | None = None,
+    coarse_probe: int = 4,
 ) -> DataFrame:
     """For EVERY left row, its ``k`` nearest right rows by cosine:
     (query_id, neighbor_id, rank, cosine) — `brute_force_topk`'s shape
@@ -1114,6 +1116,22 @@ def knn_join(
     path a corpus-scale run uses.  Same pair set, same ordering; only
     the float summation order differs (pytest asserts frame equality
     on the test corpora).
+
+    ``coarse_cells``: switch to TWO-LEVEL (hierarchical) cells — the
+    production configuration beyond ~10⁵ cells, where the FLAT assign
+    term (N × num_cells × d) itself becomes the quadratic at constant
+    cell occupancy (measured: the `graph_linear_cells` leg of
+    SF1_LEDGER's knn_scaled section).  The right side assigns through
+    `semdedup.two_level_cells` (coarse √cells argmax, then a per-cell
+    fine kernel: O(N·√cells·d) total); queries probe ``coarse_probe``
+    coarse cells, rank the fine centroids inside them (cogrouped
+    kernel, per-coarse top-``nprobe``), and keep the global
+    top-``nprobe`` fine cells via the skew-safe partial_topk cut.  At
+    ``coarse_probe == coarse_cells`` and ``nprobe == num_cells`` every
+    fine cell is probed — EXACT (test-asserted equal to the flat exact
+    path).  A neighbor is findable iff its fine cell is probed AND that
+    cell's coarse parent is among the query's ``coarse_probe`` coarse
+    cells — recall rises with both knobs.
     """
     lid = left_id_col or id_col
     rid = right_id_col or id_col
@@ -1123,24 +1141,70 @@ def knn_join(
         if right_count is None:
             right_count = right.count()
         nprobe = derive_search_budget(int(right_count), num_cells, k)["nprobe"]
-    cents = ivf_centroids(right, rid, vec_col, num_cells, seed)
-    if refine_iters:
-        cents = kmeans_refine(right, cents, rid, vec_col, refine_iters, seed=seed)
-    # shuffle_hash hint: without it Catalyst's post-ArrowEvalPython size
-    # estimates can pick a BroadcastHashJoin that ships the ENTIRE
-    # assigned corpus to every task (observed at the 100k scaling leg) —
-    # the documented plan is ONE cell-keyed shuffle on each side
-    r = ivf_assign(right, cents, rid, vec_col).select(
-        "cell_id",
-        F.col(rid).alias("neighbor_id"),
-        V.normalized(F.col(vec_col)).alias("__cv"),
-    ).hint("shuffle_hash")
-    q = probe_cells(
-        left.select(F.col(lid).alias("query_id"), F.col(vec_col)),
-        cents, vec_col, nprobe,
-    ).select(
-        "cell_id", "query_id", V.normalized(F.col(vec_col)).alias("__qv")
-    )
+    if coarse_cells:
+        from paradump_spark.operators.semdedup import two_level_cells
+
+        coarse, fine, ca = two_level_cells(
+            right.select(F.col(rid).alias("__rid"), F.col(vec_col)),
+            "__rid", vec_col, num_cells, coarse_cells,
+            refine_iters=refine_iters, fine_refine_iters=1, seed=seed,
+        )
+        fine = None if fine is None else fine.localCheckpoint(eager=True)
+    else:
+        fine = None
+    if fine is not None:
+        from paradump_spark.operators.semdedup import _fine_assign
+
+        # right side: label every row with its FINE cell; the fine
+        # cluster_id becomes the join key (globally unique bigint)
+        r = _fine_assign(ca, fine, vec_col).select(
+            F.col("cluster_id").alias("cell_id"),
+            F.col("__rid").alias("neighbor_id"),
+            V.normalized(F.col(vec_col)).alias("__cv"),
+        ).hint("shuffle_hash")
+        # queries: coarse probe (bounded broadcast argmax) → per-coarse
+        # fine ranking kernel → global top-nprobe fine cells
+        qc = probe_cells(
+            left.select(F.col(lid).alias("query_id"), F.col(vec_col)),
+            coarse, vec_col, coarse_probe,
+        ).select(
+            "cell_id", "query_id", V.normalized(F.col(vec_col)).alias("__qv")
+        )
+        q = _probe_fine_arrow(qc, fine, nprobe)
+        q = partial_topk(
+            q, ["query_id"],
+            [F.col("__fs").desc(), F.col("cell_id").asc()], nprobe,
+        )
+        wf = Window.partitionBy("query_id").orderBy(
+            F.col("__fs").desc(), F.col("cell_id").asc()
+        )
+        q = (
+            q.withColumn("__fr", F.row_number().over(wf))
+            .where(F.col("__fr") <= nprobe)
+            .select("cell_id", "query_id", "__qv")
+        )
+    else:
+        cents = ivf_centroids(right, rid, vec_col, num_cells, seed)
+        if refine_iters:
+            cents = kmeans_refine(
+                right, cents, rid, vec_col, refine_iters, seed=seed
+            )
+        # shuffle_hash hint: without it Catalyst's post-ArrowEvalPython
+        # size estimates can pick a BroadcastHashJoin that ships the
+        # ENTIRE assigned corpus to every task (observed at the 100k
+        # scaling leg) — the documented plan is ONE cell-keyed shuffle
+        # on each side
+        r = ivf_assign(right, cents, rid, vec_col).select(
+            "cell_id",
+            F.col(rid).alias("neighbor_id"),
+            V.normalized(F.col(vec_col)).alias("__cv"),
+        ).hint("shuffle_hash")
+        q = probe_cells(
+            left.select(F.col(lid).alias("query_id"), F.col(vec_col)),
+            cents, vec_col, nprobe,
+        ).select(
+            "cell_id", "query_id", V.normalized(F.col(vec_col)).alias("__qv")
+        )
     # Pin BOTH sides to an explicit cell_id partitioning: the join's
     # INPUT is small (one row per vector) but its OUTPUT explodes by
     # the per-cell candidate count, so AQE's input-byte-based coalescing
@@ -1233,6 +1297,57 @@ def _knn_cell_topk_arrow(
     )
 
 
+def _probe_fine_arrow(qc: DataFrame, fine: DataFrame, nprobe: int) -> DataFrame:
+    """Per-coarse-cell fine-centroid ranking for the two-level probe
+    path: queries (replicated to their probed COARSE cells) cogroup
+    with the fine table on the coarse key; one numpy matmul per (cell,
+    batch) ranks that cell's fine centroids and only the per-coarse
+    top-``nprobe`` (fine cell_id, score) rows leave the kernel — the
+    global top-``nprobe`` cut happens downstream via partial_topk.
+    Ties break to the lower fine cluster_id (columns pre-sorted)."""
+    import numpy as np
+    import pandas as pd
+
+    def fine_rank(key, qpdf: pd.DataFrame, fpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.array([], dtype="int64"),
+             "cell_id": pd.array([], dtype="int64"),
+             "__fs": pd.array([], dtype="float64"),
+             "__qv": pd.Series([], dtype=object)}
+        )
+        if not len(qpdf) or not len(fpdf):
+            return empty
+        fpdf = fpdf.sort_values("cluster_id", kind="mergesort")
+        cid = fpdf["cluster_id"].to_numpy(dtype=np.int64)
+        C = np.array(fpdf["centroid"].tolist(), dtype=np.float64)
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        Cn = C / np.where(cn == 0.0, 1.0, cn)
+        Q = np.array(qpdf["__qv"].tolist(), dtype=np.float64)  # normalized
+        S = Q @ Cn.T
+        kk = min(nprobe, S.shape[1])
+        order = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        qv = qpdf["__qv"].tolist()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(
+                    qpdf["query_id"].to_numpy(dtype=np.int64), kk
+                ),
+                "cell_id": cid[order.ravel()],
+                "__fs": np.take_along_axis(S, order, axis=1).ravel(),
+                "__qv": [v for v in qv for _ in range(kk)],
+            }
+        )
+
+    return (
+        qc.groupBy("cell_id")
+        .cogroup(fine.groupBy("cell_id"))
+        .applyInPandas(
+            fine_rank,
+            "query_id long, cell_id long, __fs double, __qv array<double>",
+        )
+    )
+
+
 def knn_graph_clusters(
     emb: DataFrame,
     id_col: str,
@@ -1244,6 +1359,8 @@ def knn_graph_clusters(
     refine_iters: int = 0,
     seed: int = 42,
     scoring: str = "jvm",
+    coarse_cells: int | None = None,
+    coarse_probe: int = 4,
 ) -> DataFrame:
     """Graph-based embedding clustering: the kNN graph thresholded on
     cosine, then connected components — every input row + ``component``
@@ -1269,7 +1386,7 @@ def knn_graph_clusters(
     edges = knn_join(
         emb, emb, id_col, vec_col, k=k, num_cells=num_cells, nprobe=nprobe,
         exclude_self=True, refine_iters=refine_iters, seed=seed,
-        scoring=scoring,
+        scoring=scoring, coarse_cells=coarse_cells, coarse_probe=coarse_probe,
     ).where(F.col("cosine") > threshold).select(
         F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )

@@ -590,3 +590,109 @@ def test_knn_graph_clusters_balls_and_chain(spark):
     assert {comp[900 + j] for j in range(20)} == {900}
     # three distinct families
     assert len(set(comp.values())) == 3
+
+
+def test_knn_join_two_level_full_probe_equals_flat_exact(spark, sf_dir):
+    """Two-level probing (coarse_cells set) at coarse_probe ==
+    coarse_cells and nprobe == num_cells probes EVERY fine cell, so it
+    must equal the flat exact path (itself brute-force-equal) row for
+    row — same scoring, same tie-break."""
+    emb = _emb(spark, sf_dir)
+    flat = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in SIM.knn_join(
+            emb, emb, "vec_id", "embedding", k=3, num_cells=8, nprobe=8
+        ).collect()
+    )
+    for scoring in ("jvm", "arrow"):
+        tl = sorted(
+            (r.query_id, r.neighbor_id, r.rank, r.cosine)
+            for r in SIM.knn_join(
+                emb, emb, "vec_id", "embedding", k=3, num_cells=8,
+                nprobe=8, coarse_cells=3, coarse_probe=3, scoring=scoring,
+            ).collect()
+        )
+        assert tl == flat, scoring
+
+
+def test_knn_join_two_level_recall_and_plan(spark, sf_dir):
+    """Approximate two-level budgets: recall rises with coarse_probe;
+    plan stays cartesian-free; every query still gets ≤ k ranked rows
+    with rank contiguous from 1."""
+    emb = _emb(spark, sf_dir)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(
+            emb, emb, "vec_id", "embedding", k=3
+        ).collect()
+    }
+
+    def recall(cp):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in SIM.knn_join(
+                emb, emb, "vec_id", "embedding", k=3, num_cells=8,
+                nprobe=3, coarse_cells=3, coarse_probe=cp,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 > 0.5
+    g = SIM.knn_join(
+        emb, emb, "vec_id", "embedding", k=3, num_cells=8, nprobe=3,
+        coarse_cells=3, coarse_probe=2,
+    )
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    # at toy coarse sizes (cells × dims < 512) probe_cells takes the
+    # JVM path: a crossJoin against the ONE-ROW broadcast centroid
+    # aggregate (bounded by construction — BroadcastNestedLoopJoin,
+    # never a non-broadcast cartesian); production coarse tables
+    # (√cells ≥ 23 at d=64) always cross the arrow threshold and show
+    # no join at all for the probe
+    assert "CartesianProduct" not in plan
+    from collections import defaultdict
+    ranks = defaultdict(list)
+    for r in g.collect():
+        ranks[r.query_id].append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+def test_knn_graph_clusters_two_level_passthrough(spark):
+    """knn_graph_clusters(coarse_cells=...) routes through the
+    hierarchical probe and still finds the planted ball components at
+    full budgets."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for b in range(3):  # three 6-row balls, far apart
+        center = rng.normal(size=16)
+        center /= np.linalg.norm(center)
+        for i in range(6):
+            v = center + rng.normal(scale=0.01, size=16)
+            rows.append((b * 6 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.knn_graph_clusters(
+        emb, "vec_id", "embedding", threshold=0.95, k=4,
+        num_cells=4, nprobe=4, coarse_cells=2, coarse_probe=2,
+    )
+    comp = {r.vec_id: r.component for r in out.collect()}
+    for b in range(3):
+        members = {comp[b * 6 + i] for i in range(6)}
+        assert members == {b * 6}, (b, members)
+
+
+def test_knn_join_two_level_empty_corpus(spark):
+    """Empty right side: the two-level builder yields no fine table and
+    the join falls back to the flat path, returning zero rows."""
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = SIM.knn_join(
+        q, emb, "vec_id", "embedding", k=3, num_cells=4, nprobe=4,
+        coarse_cells=2,
+    )
+    assert out.count() == 0

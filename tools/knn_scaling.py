@@ -120,33 +120,46 @@ def main() -> None:
         ),
     }
 
-    # ---- kNN-graph self-join + CC: 20k -> 100k, three cell policies ----
+    # ---- kNN-graph self-join + CC: 20k -> 100k, four cell policies ----
+    # (cells_fn, coarse_fn): coarse_fn=None is the flat assign;
+    # graph_two_level_cells is the PRODUCTION configuration for the
+    # constant-occupancy rule — same cell count as graph_linear_cells
+    # but assigned hierarchically (coarse √cells argmax + per-cell fine
+    # kernel), so the flat N × cells × d assign term — the measured
+    # quadratic in the linear-cells leg — drops to N × O(√cells) × d.
     policies = {
-        "graph_fixed_cells": lambda n: 256,
-        "graph_sqrt_cells": lambda n: round(math.sqrt(n)),
-        "graph_linear_cells": lambda n: max(16, round(n / 78)),
+        "graph_fixed_cells": (lambda n: 256, None),
+        "graph_sqrt_cells": (lambda n: round(math.sqrt(n)), None),
+        "graph_linear_cells": (lambda n: max(16, round(n / 78)), None),
+        "graph_two_level_cells": (
+            lambda n: max(16, round(n / 78)),
+            lambda c: max(8, round(math.sqrt(c))),
+        ),
     }
     cache: dict[tuple, float] = {}
-    for key, cells in policies.items():
+    for key, (cells, coarse_of) in policies.items():
         pts = {}
         for name, d, n in (("20k", "scratch/sf1", 20_000),
                            ("100k", "scratch/sf5_emb", 100_000)):
             c = cells(n)
-            if (name, c) not in cache:
-                print(f"graph leg {name} (cells={c}): load {wait_quiet():.2f}")
+            cc = coarse_of(c) if coarse_of else None
+            if (name, c, cc) not in cache:
+                print(f"graph leg {name} (cells={c}, coarse={cc}): "
+                      f"load {wait_quiet():.2f}")
                 emb = spark.read.parquet(
                     os.path.join(REPO, d, "embeddings.parquet")
                 )
 
-                def run(emb=emb, c=c):
+                def run(emb=emb, c=c, cc=cc):
                     SIM.knn_graph_clusters(
                         emb, "vec_id", "embedding", threshold=0.9, k=5,
                         num_cells=c, nprobe=2, scoring="arrow",
+                        coarse_cells=cc, coarse_probe=2,
                     ).agg(F.count(F.lit(1))).collect()
 
-                cache[(name, c)] = timed(run)
-                print(f"  {cache[(name, c)]}s")
-            pts[name] = cache[(name, c)]
+                cache[(name, c, cc)] = timed(run)
+                print(f"  {cache[(name, c, cc)]}s")
+            pts[name] = cache[(name, c, cc)]
         sec[key] = {
             **pts,
             "cells": {n: cells(k) for n, k in
@@ -157,6 +170,11 @@ def main() -> None:
                 math.log(max(pts["100k"] / pts["20k"], 1e-9)) / math.log(5), 2,
             ),
         }
+        if coarse_of:
+            sec[key]["coarse_cells"] = {
+                n: coarse_of(cells(k)) for n, k in
+                (("20k", 20_000), ("100k", 100_000))
+            }
 
     with open(ledger_path) as fh:
         ledger = json.load(fh)
