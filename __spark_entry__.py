@@ -1389,6 +1389,24 @@ def _q_knn_join_exact(spark, sf_dir):
     )
 
 
+def _q_knn_join_two_level_exact(spark, sf_dir):
+    """The hierarchical (two-level) probe path at FULL budgets —
+    coarse_probe == coarse_cells and nprobe == num_cells probe every
+    fine cell, so the result is exact and SHARES knn_join_exact's
+    DuckDB all-pairs oracle (the ivf_topk_exact precedent: the exact
+    twin oracle-proves the machinery the approximate scale path runs).
+    Two-level is the production configuration beyond ~10⁵ cells, where
+    the flat assign term N × cells × d is itself the quadratic
+    (SF1_LEDGER.knn_scaled graph_linear_cells, exp 1.19); the assign
+    here is O(N·√cells·d) via semdedup.two_level_cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_join(
+        emb.where(F.col("vec_id") < 200), emb, "vec_id", "embedding",
+        k=3, num_cells=8, nprobe=8, exclude_self=True,
+        coarse_cells=3, coarse_probe=3,
+    )
+
+
 def _q_knn_graph_components(spark, sf_dir):
     """Graph-based embedding clustering (operators/similarity.py:
     knn_graph_clusters): thresholded exact kNN graph (nprobe ==
@@ -2097,6 +2115,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_exact": _q_ivf_topk_exact,
         "pq_topk_exact": _q_pq_topk_exact,
         "knn_join_exact": _q_knn_join_exact,
+        "knn_join_two_level_exact": _q_knn_join_two_level_exact,
         "knn_graph_components": _q_knn_graph_components,
         "incremental_semantic_flags": _q_incremental_semantic_flags,
         # deterministic but not SQL-expressible (k-means) -> rows-only
@@ -2124,6 +2143,10 @@ s AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos
 SELECT query_id, neighbor_id, rank::INTEGER AS rank, round(cos, 6) AS cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM s) WHERE rank <= 3"""
+    # the hierarchical probe path at full budgets is exact by the same
+    # argument — it shares the all-pairs oracle (ivf_topk_exact
+    # precedent)
+    o["knn_join_two_level_exact"] = o["knn_join_exact"]
     # thresholded exact kNN graph → connected components: top-5 edges
     # above cosine 0.6 (ranking BEFORE the threshold, matching
     # knn_graph_clusters' composition), symmetrized, then the

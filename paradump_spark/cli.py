@@ -221,6 +221,16 @@ def build_parser() -> argparse.ArgumentParser:
     kn.add_argument("--components", action="store_true",
                     help="emit (row, component) via connected components "
                          "over the thresholded kNN graph")
+    kn.add_argument("--coarse-cells", type=int, default=0,
+                    help="enable TWO-LEVEL (hierarchical) cells with "
+                         "this many coarse cells (0 = flat assign). "
+                         "The production configuration beyond ~1e5 "
+                         "cells, where the flat assign term "
+                         "N x cells x d dominates; typically "
+                         "round(sqrt(num-cells))")
+    kn.add_argument("--coarse-probe", type=int, default=4,
+                    help="coarse cells probed per query on the "
+                         "two-level path (= coarse-cells for exact)")
     kn.add_argument("--scoring", choices=["jvm", "arrow"], default="arrow",
                     help="pair-scoring kernel: arrow = cogrouped numpy "
                          "matmul + in-kernel per-cell top-k (the "
@@ -688,6 +698,8 @@ def main(argv: list[str] | None = None) -> int:
                 left, args.id_col, args.vec_col, args.threshold,
                 k=args.k, num_cells=args.num_cells, nprobe=nprobe,
                 scoring=args.scoring,
+                coarse_cells=args.coarse_cells or None,
+                coarse_probe=args.coarse_probe,
             )
             out.write.mode("overwrite").parquet(args.output)
             # stats come from the WRITTEN parquet — re-counting `out`
@@ -705,6 +717,8 @@ def main(argv: list[str] | None = None) -> int:
             num_cells=args.num_cells, nprobe=nprobe,
             exclude_self=args.right_table is None,
             scoring=args.scoring,
+            coarse_cells=args.coarse_cells or None,
+            coarse_probe=args.coarse_probe,
         )
         if args.threshold is not None:
             out = out.where(F.col("cosine") > args.threshold)

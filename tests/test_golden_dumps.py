@@ -63,10 +63,21 @@ def _read_dump(table: str) -> str:
     path = os.path.join(REF_TEST_DIR, f"init_{table}.sql.zst")
     if not os.path.exists(path):
         pytest.skip(f"reference fixture {path} not present")
-    out = subprocess.run(
-        ["zstd", "-dc", path], capture_output=True, check=True
-    )
-    return out.stdout.decode("utf-8")
+    # prefer the independent zstd CLI decoder when present; this round's
+    # container dropped it, and pyarrow's zstd codec reads the same
+    # standard frames
+    import shutil
+
+    zbin = shutil.which("zstd") or shutil.which("zstdcat")
+    if zbin:
+        out = subprocess.run(
+            [zbin, "-dc", path], capture_output=True, check=True
+        )
+        return out.stdout.decode("utf-8")
+    import pyarrow as pa
+
+    with pa.input_stream(path, compression="zstd") as fh:
+        return fh.read().decode("utf-8")
 
 
 def _split_tuples(sql_text: str) -> list[str]:

@@ -26,6 +26,7 @@ ARROW_ALLOWED = {
     "ivf_topk_exact",        # Arrow numpy argmax in ivf_assign
     "pq_topk_exact",         # Arrow-batched PQ encode (same as pq_topk)
     "knn_join_exact",        # Arrow numpy argmax in ivf_assign/probe_cells
+    "knn_join_two_level_exact",  # cogrouped fine-assign/probe kernels
     "knn_graph_components",  # same kNN-join machinery feeding CC
     "image_near_dup",        # Arrow-batched perceptual-hash kernel
     "audio_near_dup",        # Arrow-batched audio-fingerprint kernel
