@@ -1380,6 +1380,10 @@ def knn_graph_clusters(
     in one of its query's probed cells (raise ``nprobe`` toward
     ``num_cells`` for exactness); components can only MERGE as nprobe
     grows, never split.
+
+    ``coarse_cells``/``coarse_probe`` pass through to :func:`knn_join`'s
+    hierarchical probe path — the configuration for cells ∝ N runs
+    where the flat assign term would dominate (see knn_join docstring).
     """
     from paradump_spark.operators.dedup import connected_components
 
