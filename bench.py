@@ -258,12 +258,21 @@ def main() -> None:
     # corpus×corpus kNN-join at the APPROXIMATE (cell-pruned) budget —
     # the 100 TB path; full-probe exactness is oracle/pytest territory.
     # scoring="arrow" is the corpus-scale kernel (round 9; pytest-equal
-    # to the oracle-proven jvm path): the jvm HOF dot at the sf5 leg's
-    # 100k vectors is ~2.5e9 interpreted ops — 20 min per run
+    # to the oracle-proven jvm path).  Cells scale with the corpus at
+    # CONSTANT OCCUPANCY (~128 rows/cell), going TWO-LEVEL beyond 1024
+    # cells — the production configuration: the first sf5 ledger pass
+    # timed this query at FIXED 16 cells and measured the documented
+    # N²/cells trap live (exp 2.17, 129 s at 100k vectors; the same
+    # trap knn_scaled.graph_fixed_cells ledgers deliberately), which is
+    # evidence, not a configuration anyone would run.
+    n_emb = emb.count()
+    kj_cells = max(16, round(n_emb / 128))
+    kj_coarse = max(8, round(kj_cells ** 0.5)) if kj_cells >= 1024 else None
     times["knn_join_nprobe4"] = bench(
         lambda: SIM.knn_join(
-            emb, emb, "vec_id", "embedding", k=5, num_cells=16, nprobe=4,
-            exclude_self=True, scoring="arrow",
+            emb, emb, "vec_id", "embedding", k=5, num_cells=kj_cells,
+            nprobe=4, exclude_self=True, scoring="arrow",
+            coarse_cells=kj_coarse,
         ).count()
     )
 
@@ -365,7 +374,10 @@ def main() -> None:
                 F.lit("?b=2&a=1&utm_source=x"),
             ).alias("url"),
         )
-        url_dedup(urls, "url", "doc_id").count()
+        # filter on keep so the count CONSUMES the window aggregates —
+        # a bare count() lets Catalyst prune the (now join-free) window
+        # and would time only the canonicalize scan
+        url_dedup(urls, "url", "doc_id").where(F.col("keep")).count()
 
     times["url_dedup"] = bench(url_dedup_step)
 

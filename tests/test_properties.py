@@ -498,3 +498,75 @@ def test_chunks_partition_any_date_keyset(spark, days, n):
         df.where(chunk_filter(c, ["k"], df.schema)).count() for c in chunks
     )
     assert covered == df.count()
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint invariances over GENERATED energy profiles (round 9:
+# the media-dedup analogue of the semantic_pairs recursion property) —
+# the planted-corpus test pins one generator; these pin the CONTRACT
+# for arbitrary segment profiles.
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=65, max_size=65),
+    st.sampled_from([8000, 16000, 24000]),
+    st.sampled_from([0.25, 0.5, 1.0]),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_audio_fingerprint_gain_and_rate_invariant(levels, rate, gain):
+    """For ANY 65-segment amplitude profile (adjacent ties broken, the
+    fingerprint's documented precondition for re-encode stability), the
+    energy-difference hash is identical under uniform gain and under
+    rendering at a different sample rate with the same duration."""
+    import numpy as np
+
+    from paradump_spark.operators import multimodal as MM
+
+    lv = np.asarray(levels, dtype=np.int64)
+    for i in range(1, 65):
+        if lv[i] == lv[i - 1]:
+            lv[i] = (lv[i] + 1) % 31
+
+    def wav(rate_, gain_):
+        amp = (0.08 + 0.88 * lv / 30.0) * gain_
+        wave = np.repeat(amp, rate_ // 100)
+        wave[1::2] *= -1.0
+        return MM._encode_wav(wave, rate_, 16)
+
+    h0 = MM.audio_fingerprint_bytes(wav(16000, 1.0))
+    assert MM.audio_fingerprint_bytes(wav(16000, gain)) == h0
+    assert MM.audio_fingerprint_bytes(wav(rate, 1.0)) == h0
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=65, max_size=65),
+    st.integers(min_value=0, max_value=64),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_audio_fingerprint_single_segment_locality(levels, seg):
+    """Perturbing ONE segment's amplitude flips at most the two
+    comparison bits that touch it — the locality bound the Hamming
+    budget of audio_dedup_flags relies on."""
+    import numpy as np
+
+    from paradump_spark.operators import multimodal as MM
+
+    lv = np.asarray(levels, dtype=np.int64)
+    for i in range(1, 65):
+        if lv[i] == lv[i - 1]:
+            lv[i] = (lv[i] + 1) % 31
+
+    def wav(perturb):
+        amp = 0.08 + 0.88 * lv / 30.0
+        if perturb is not None:
+            amp = amp.copy()
+            amp[perturb] = 0.08 + 0.88 * ((lv[perturb] + 15) % 31) / 30.0
+        wave = np.repeat(amp, 160)
+        wave[1::2] *= -1.0
+        return MM._encode_wav(wave, 16000, 16)
+
+    h0 = MM.audio_fingerprint_bytes(wav(None))
+    hp = MM.audio_fingerprint_bytes(wav(seg))
+    assert bin((h0 ^ hp) & ((1 << 64) - 1)).count("1") <= 2
