@@ -58,20 +58,30 @@ def run_bench(sf_dir: str, runs: int) -> dict:
 
 
 def current_commit() -> str:
-    """Short HEAD hash, '-dirty' suffixed when the worktree differs —
-    the min-merge guard key (ADVICE r07: a min taken across code
-    versions can keep a stale fast measurement and mask a regression)."""
+    """Min-merge guard key (ADVICE r07: a min taken across code
+    versions can keep a stale fast measurement and mask a regression).
+
+    Keyed on the MEASUREMENT-RELEVANT code objects — bench.py, the
+    package tree, the query entry file — not the repo HEAD: a
+    doc-only commit (BASELINE/SURVEY notes, the ledger itself) does
+    not change what any query executes, and resetting every minimum
+    on it would make repeated same-code refreshes pointless (round 9:
+    a BASELINE note between two refreshes orphaned the whole ledger).
+    Any change to the measured code still rotates the key."""
     try:
-        h = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
+        import hashlib
+
+        objs = subprocess.run(
+            ["git", "rev-parse", "HEAD:bench.py", "HEAD:paradump_spark",
+             "HEAD:__spark_entry__.py"],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
+        h = "code-" + hashlib.sha256(objs.encode()).hexdigest()[:12]
         dirty = subprocess.run(
-            # generated measurement artifacts don't change query code:
-            # the ledger this tool writes and the scratch datasets/logs
-            # must not flip refresh N+1 to a different merge key
+            # only dirt in the measured code flips the key; generated
+            # artifacts (ledger, scratch datasets/logs) and docs don't
             ["git", "status", "--porcelain", "--",
-             ":!SF1_LEDGER.json", ":!scratch"],
+             "bench.py", "paradump_spark", "__spark_entry__.py"],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
         return h + ("-dirty" if dirty else "")
