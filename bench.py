@@ -258,21 +258,23 @@ def main() -> None:
     # corpus×corpus kNN-join at the APPROXIMATE (cell-pruned) budget —
     # the 100 TB path; full-probe exactness is oracle/pytest territory.
     # scoring="arrow" is the corpus-scale kernel (round 9; pytest-equal
-    # to the oracle-proven jvm path).  Cells scale with the corpus at
-    # CONSTANT OCCUPANCY (~128 rows/cell), going TWO-LEVEL beyond 1024
-    # cells — the production configuration: the first sf5 ledger pass
-    # timed this query at FIXED 16 cells and measured the documented
-    # N²/cells trap live (exp 2.17, 129 s at 100k vectors; the same
-    # trap knn_scaled.graph_fixed_cells ledgers deliberately), which is
-    # evidence, not a configuration anyone would run.
+    # to the oracle-proven jvm path).  num_cells=None is the operator's
+    # scale-safe DEFAULT (round 10, VERDICT r09 directive 1): constant-
+    # occupancy cells (~128 rows/cell) derived from right_count, going
+    # TWO-LEVEL beyond KNN_TWO_LEVEL_CELLS=512 cells — so the benched
+    # leg IS the default invocation (sf0.1: 79 cells flat; sf5: 782
+    # cells two-level).  The first sf5 ledger pass timed this query at
+    # FIXED 16 cells and measured the documented N²/cells trap live
+    # (exp 2.17, 129 s at 100k vectors; the same trap
+    # knn_scaled.graph_fixed_cells ledgers deliberately) — that trap
+    # was the operator default until round 10 made derivation the
+    # default.
     n_emb = emb.count()
-    kj_cells = max(16, round(n_emb / 128))
-    kj_coarse = max(8, round(kj_cells ** 0.5)) if kj_cells >= 1024 else None
     times["knn_join_nprobe4"] = bench(
         lambda: SIM.knn_join(
-            emb, emb, "vec_id", "embedding", k=5, num_cells=kj_cells,
+            emb, emb, "vec_id", "embedding", k=5,
             nprobe=4, exclude_self=True, scoring="arrow",
-            coarse_cells=kj_coarse,
+            right_count=n_emb,
         ).count()
     )
 

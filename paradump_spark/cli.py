@@ -212,7 +212,12 @@ def build_parser() -> argparse.ArgumentParser:
     kn.add_argument("--id-col", default="vec_id")
     kn.add_argument("--vec-col", default="embedding")
     kn.add_argument("--k", type=int, default=10)
-    kn.add_argument("--num-cells", type=int, default=16)
+    kn.add_argument("--num-cells", type=int, default=0,
+                    help="IVF cell count; 0 = auto: constant-occupancy "
+                         "cells (~128 rows/cell) derived from the "
+                         "corpus size, two-level beyond 512 cells — "
+                         "the scale-safe default (a fixed cell count "
+                         "makes candidate work N^2/cells)")
     kn.add_argument("--nprobe", type=int, default=0,
                     help="probed cells per query; 0 = auto from corpus "
                          "size; = num-cells for the exact result")
@@ -696,7 +701,7 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--components requires --threshold")
             out = knn_graph_clusters(
                 left, args.id_col, args.vec_col, args.threshold,
-                k=args.k, num_cells=args.num_cells, nprobe=nprobe,
+                k=args.k, num_cells=args.num_cells or None, nprobe=nprobe,
                 scoring=args.scoring,
                 coarse_cells=args.coarse_cells or None,
                 coarse_probe=args.coarse_probe,
@@ -714,7 +719,7 @@ def main(argv: list[str] | None = None) -> int:
         right = cat.load(args.right_table) if args.right_table else left
         out = knn_join(
             left, right, args.id_col, args.vec_col, k=args.k,
-            num_cells=args.num_cells, nprobe=nprobe,
+            num_cells=args.num_cells or None, nprobe=nprobe,
             exclude_self=args.right_table is None,
             scoring=args.scoring,
             coarse_cells=args.coarse_cells or None,

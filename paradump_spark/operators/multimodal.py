@@ -1373,12 +1373,22 @@ def video_dedup_flags(
             lambda ok_: ok_,
         )
     )
+    # A video shorter than n_frames sample positions emits a SHORTER
+    # signature (take = min(n_frames, total)); zip_with NULL-pads the
+    # tail, so `matched` can never exceed the shorter length.  Cap the
+    # effective threshold by the shorter signature or two near-identical
+    # short clips could never satisfy a fixed ¾-of-n_frames predicate
+    # (ADVICE r09) — for equal-length signatures this is min_matching
+    # unchanged.
+    eff_min = F.least(
+        F.size(F.col("__sa")), F.size(F.col("__sb")), F.lit(min_matching)
+    )
     pairs = (
         a.join(b, "__band")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "__sa", "__sb")
         .distinct()
-        .where(matched >= F.lit(min_matching))
+        .where(matched >= eff_min)
         .select("id_a", "id_b")
         .distinct()
     )

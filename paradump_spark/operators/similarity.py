@@ -1059,13 +1059,26 @@ def _probe_cells_arrow(
     )
 
 
+# Scale-safe knn_join defaults (VERDICT r09 directive 1): cells grow
+# with the corpus at CONSTANT OCCUPANCY so the per-cell candidate work
+# stays bounded — a fixed cell count makes the cell-local join output
+# N²/cells (the ledgered exp-2.17 trap at 100k vectors, SF1_LEDGER
+# knn_scaled.graph_fixed_cells).  Beyond KNN_TWO_LEVEL_CELLS cells the
+# FLAT assign term (N × cells × d) is itself the quadratic at constant
+# occupancy (ledger: flat exp 0.95 vs two-level 0.34 over 100k→500k,
+# i.e. 781→3906 cells — two-level already wins at the 781-cell leg),
+# so derivation auto-switches to the hierarchical √cells assign there.
+KNN_CELL_OCCUPANCY = 128
+KNN_TWO_LEVEL_CELLS = 512
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 10,
-    num_cells: int = 16,
+    num_cells: int | None = None,
     nprobe: int | None = 4,
     left_id_col: str | None = None,
     right_id_col: str | None = None,
@@ -1094,6 +1107,16 @@ def knn_join(
     ranking window.  No cartesian anywhere; at ``nprobe == num_cells``
     the result is EXACT (every cell probed — equals brute force, test-
     asserted).
+
+    ``num_cells=None`` (the DEFAULT) derives a constant-occupancy cell
+    count (``ceil(N / KNN_CELL_OCCUPANCY)``, ~128 rows/cell) from the
+    right-side count and auto-switches to the two-level assign
+    (``coarse_cells ≈ √cells``) beyond ``KNN_TWO_LEVEL_CELLS`` cells —
+    so a default invocation on a 10M-row corpus gets ~78k two-level
+    cells, NOT a fixed-cell N²/cells explosion (the exp-2.17 trap the
+    round-9 ledger measured at ``num_cells=16`` on 100k vectors).
+    Pass ``coarse_cells=0`` to force the flat path, or an explicit
+    ``num_cells`` to pin the geometry (no auto-switch then).
 
     ``nprobe=None`` derives the budget from the right-side count via
     :func:`derive_search_budget` — pass ``right_count`` (a known size)
@@ -1135,11 +1158,19 @@ def knn_join(
     """
     lid = left_id_col or id_col
     rid = right_id_col or id_col
-    if nprobe is None:
+    if num_cells is None or nprobe is None:
         if right_count is None and index_meta_path is not None:
             right_count = index_row_count(right.sparkSession, index_meta_path)
         if right_count is None:
             right_count = right.count()
+    if num_cells is None:
+        # constant-occupancy derivation (see KNN_CELL_OCCUPANCY above);
+        # coarse_cells=None means AUTO here (two-level beyond the
+        # threshold), pass coarse_cells=0 to force the flat path
+        num_cells = max(4, -(-int(right_count) // KNN_CELL_OCCUPANCY))
+        if coarse_cells is None and num_cells >= KNN_TWO_LEVEL_CELLS:
+            coarse_cells = max(8, round(num_cells ** 0.5))
+    if nprobe is None:
         nprobe = derive_search_budget(int(right_count), num_cells, k)["nprobe"]
     if coarse_cells:
         from paradump_spark.operators.semdedup import two_level_cells
@@ -1354,7 +1385,7 @@ def knn_graph_clusters(
     vec_col: str,
     threshold: float,
     k: int = 10,
-    num_cells: int = 16,
+    num_cells: int | None = None,
     nprobe: int | None = 4,
     refine_iters: int = 0,
     seed: int = 42,
@@ -1384,6 +1415,8 @@ def knn_graph_clusters(
     ``coarse_cells``/``coarse_probe`` pass through to :func:`knn_join`'s
     hierarchical probe path — the configuration for cells ∝ N runs
     where the flat assign term would dominate (see knn_join docstring).
+    ``num_cells=None`` (default) inherits knn_join's scale-safe
+    constant-occupancy derivation with the two-level auto-switch.
     """
     from paradump_spark.operators.dedup import connected_components
 

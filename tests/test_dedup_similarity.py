@@ -696,3 +696,58 @@ def test_knn_join_two_level_empty_corpus(spark):
         coarse_cells=2,
     )
     assert out.count() == 0
+
+
+def test_knn_join_default_derives_constant_occupancy(spark, sf_dir, monkeypatch):
+    """num_cells=None (the DEFAULT, VERDICT r09 directive 1) derives
+    constant-occupancy cells from right_count and auto-switches to the
+    two-level assign beyond KNN_TWO_LEVEL_CELLS — the default invocation
+    must be the scale-safe configuration, not the ledgered exp-2.17
+    fixed-cell trap.  Thresholds are shrunk so the sf0.001 corpus (500
+    vectors) exercises BOTH branches; the derived call must equal the
+    same geometry passed explicitly (same seed -> same centroids)."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    q = emb.where(F.col("vec_id") < 30)
+
+    # flat branch at real thresholds: n/128 cells, below the switch
+    import math
+    cells = max(4, math.ceil(n / SIM.KNN_CELL_OCCUPANCY))
+    assert cells < SIM.KNN_TWO_LEVEL_CELLS
+    got = SIM.knn_join(q, emb, "vec_id", "embedding", k=3,
+                       exclude_self=True, right_count=n).collect()
+    want = SIM.knn_join(q, emb, "vec_id", "embedding", k=3, num_cells=cells,
+                        exclude_self=True).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # two-level branch: shrink occupancy/threshold so derivation crosses
+    # the auto-switch on this corpus
+    monkeypatch.setattr(SIM, "KNN_CELL_OCCUPANCY", 16)
+    monkeypatch.setattr(SIM, "KNN_TWO_LEVEL_CELLS", 8)
+    cells2 = max(4, math.ceil(n / 16))
+    coarse = max(8, round(cells2 ** 0.5))
+    assert cells2 >= 8
+    got2 = SIM.knn_join(q, emb, "vec_id", "embedding", k=3,
+                        exclude_self=True, right_count=n).collect()
+    want2 = SIM.knn_join(q, emb, "vec_id", "embedding", k=3,
+                         num_cells=cells2, coarse_cells=coarse,
+                         exclude_self=True).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))
+
+    # coarse_cells=0 forces the FLAT path at the derived cell count
+    got3 = SIM.knn_join(q, emb, "vec_id", "embedding", k=3, coarse_cells=0,
+                        exclude_self=True, right_count=n).collect()
+    want3 = SIM.knn_join(q, emb, "vec_id", "embedding", k=3,
+                         num_cells=cells2, exclude_self=True).collect()
+    assert sorted(map(tuple, got3)) == sorted(map(tuple, want3))
+
+
+def test_knn_graph_clusters_default_cells(spark, sf_dir):
+    """knn_graph_clusters inherits the scale-safe default: a default
+    invocation (no num_cells) runs and labels every input row."""
+    emb = _emb(spark, sf_dir).limit(150)
+    out = SIM.knn_graph_clusters(
+        emb, "vec_id", "embedding", threshold=0.9, k=3, nprobe=2
+    )
+    assert out.count() == 150
+    assert "component" in out.columns

@@ -183,3 +183,52 @@ def test_video_dedup_slot_threshold(spark):
         ).collect()
     }
     assert loose == {0: False, 1: True}
+
+
+def test_video_dedup_short_clips_merge(spark):
+    """A clip shorter than n_frames emits a SHORTER signature; the
+    match threshold must cap at the shorter length (ADVICE r09) — two
+    near-identical 4-frame clips must merge under n_frames=8 even
+    though the fixed ¾ threshold (6) exceeds their slot count."""
+
+    def frame(key, bump=None):
+        r = np.arange(8, dtype=np.uint64)[:, None]
+        c = np.arange(9, dtype=np.uint64)[None, :]
+        x = (
+            (np.uint64(key) * np.uint64(73856093))
+            ^ (r * np.uint64(19349663))
+            ^ (c * np.uint64(83492791))
+        )
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        x = x ^ (x >> np.uint64(33))
+        cells = ((x % np.uint64(97)).astype(np.int64) * 2 + 10).astype(
+            np.uint8
+        )
+        if bump is not None:
+            rr, cc, nv = bump
+            cells[rr, cc] = nv
+        b = np.repeat(np.repeat(cells, 3, axis=0), 2, axis=1)
+        return MM._encode_ppm(
+            np.ascontiguousarray(np.stack([b, b, b], axis=2))
+        )
+
+    # doc 1 = doc 0 with ONE grid cell pinned to 0 in frame 2 (key 2):
+    # 1 dHash bit flips (verified by the ham precondition below),
+    # inside max_hamming=4
+    base = b"".join(frame(k) for k in range(4))
+    near = b"".join(
+        frame(k, bump=(0, 0, 0) if k == 2 else None) for k in range(4)
+    )
+    assert base != near
+    df = spark.createDataFrame(
+        [(0, base), (1, near)], "doc_id long, payload binary"
+    )
+    sigs = {r.doc_id: r.sig for r in MM.video_signature(df).collect()}
+    assert len(sigs[0]) == 4 and sigs[0] != sigs[1]  # short + near, not exact
+    ham = bin(sigs[0][2] ^ sigs[1][2]).count("1")
+    assert 1 <= ham <= 4, ham  # precondition: inside the slot budget
+    flags = {
+        r.doc_id: r.is_video_dup
+        for r in MM.video_dedup_flags(df, "doc_id", n_frames=8).collect()
+    }
+    assert flags == {0: False, 1: True}
