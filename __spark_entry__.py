@@ -1328,6 +1328,40 @@ def _q_audio_near_dup(spark, sf_dir):
     )
 
 
+def _q_audio_near_dup_robust(spark, sf_dir):
+    """TRIM/OFFSET-robust audio near-dup dedup (operators/multimodal.py:
+    audio_robust_dedup_flags, round 10): overlapping fixed-duration
+    20 ms windows each emit a 32-bit energy-difference sub-fingerprint
+    (Haitsma-Kalker shape, ISMIR 2002); clips match on ≥4 SHARED
+    sub-fingerprint values — position-free, so the planted 0.5 s
+    trimmed and foreign-intro re-encodes (which the whole-clip
+    65-segment fingerprint provably misses) land in the family.
+    Exact-set stage → df-capped value equi-join → CC, min-id keeper.
+    Audio decode is not SQL-expressible -> rows-only; the planted
+    keeper/flag structure is pytest-asserted (tests/test_media_dedup)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = MM.synthetic_audio_corpus_robust(docs, "doc_id", groups=40)
+    return MM.audio_robust_dedup_flags(corpus, "doc_id").select(
+        "doc_id", F.size("sig").alias("n_subfps"), "is_audio_dup"
+    )
+
+
+def _q_video_near_dup_robust(spark, sf_dir):
+    """TRIM/OFFSET-robust video near-dup dedup (operators/multimodal.py:
+    video_robust_dedup_flags, round 10): per-frame dHashes at absolute
+    frame indices matched as SETS — the planted cut-down and
+    intro-prepended copies (which shift every fraction-aligned sample
+    slot of video_signature) land in the family.  Exact-set stage →
+    df-capped value equi-join → CC, min-id keeper.  Frame decode is
+    not SQL-expressible -> rows-only; the planted keeper/flag
+    structure is pytest-asserted (tests/test_media_dedup)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = MM.synthetic_video_corpus_robust(docs, "doc_id", groups=40)
+    return MM.video_robust_dedup_flags(corpus, "doc_id").select(
+        "doc_id", F.size("sig").alias("n_frame_hashes"), "is_video_dup"
+    )
+
+
 def _q_video_near_dup(spark, sf_dir):
     """Video near-dup dedup (operators/multimodal.py:video_dedup_flags):
     deterministic synthetic P6-stream corpus keyed by the documents ids,
@@ -2123,6 +2157,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": _q_image_near_dup,
         "audio_near_dup": _q_audio_near_dup,
         "video_near_dup": _q_video_near_dup,
+        "audio_near_dup_robust": _q_audio_near_dup_robust,
+        "video_near_dup_robust": _q_video_near_dup_robust,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "pq_topk": _q_pq_topk,
         "ivf_topk_exact": _q_ivf_topk_exact,

@@ -74,13 +74,32 @@ _ALL_RUNS: list[list[float]] = []
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def _load1() -> float:
+    """1-min load average — the host-steal witness (VERDICT r09
+    directive 6: rounds 8 and 9 both burned judge/builder cycles
+    re-litigating whether a driver bench ran hot; record the evidence
+    in the JSON so a contaminated run self-identifies)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+#: per-query (load_start, load_end) samples, insertion-ordered like
+#: _ALL_RUNS — joined to query names in emit_results' sidecar
+_QUERY_LOADS: list[tuple[float, float]] = []
+
+
 def bench(fn, n: int | None = None):
     n = n or N_RUNS
     samples = []
+    l0 = _load1()
     for _ in range(n):
         t0 = time.time()
         fn()
         samples.append(round(time.time() - t0, 3))
+    _QUERY_LOADS.append((l0, _load1()))
     _ALL_RUNS.append(samples)
     return sorted(samples)[len(samples) // 2]
 
@@ -593,6 +612,32 @@ def main() -> None:
     times["video_dedup"] = bench(video_dedup_step)
     vid_corpus.unpersist()
 
+    # --- trim/offset-robust media dedup (round 10): overlapping-window
+    # audio sub-fingerprints and per-frame video hash SETS through the
+    # df-capped set-match pipeline — the operators that catch the
+    # trimmed/offset re-encodes the slot-aligned pair above misses.
+    aur_corpus = MMOD.synthetic_audio_corpus_robust(
+        docs.select("doc_id"), "doc_id", groups=40
+    ).localCheckpoint(eager=True)
+
+    def audio_robust_step():
+        MMOD.audio_robust_dedup_flags(aur_corpus, "doc_id").count()
+
+    MMOD.audio_robust_signatures(aur_corpus.limit(200), "doc_id").count()
+    times["audio_dedup_robust"] = bench(audio_robust_step)
+    aur_corpus.unpersist()
+
+    vir_corpus = MMOD.synthetic_video_corpus_robust(
+        docs.select("doc_id"), "doc_id", groups=40
+    ).localCheckpoint(eager=True)
+
+    def video_robust_step():
+        MMOD.video_robust_dedup_flags(vir_corpus, "doc_id").count()
+
+    MMOD.video_frame_hash_signatures(vir_corpus.limit(200), "doc_id").count()
+    times["video_dedup_robust"] = bench(video_robust_step)
+    vir_corpus.unpersist()
+
     # sf1 scaling ledger (VERDICT r05 directive 3): produced offline by
     # tools/bench_scaling.py over the tools/gen_sf.py sf1 dataset and
     # committed; embedding it here puts the scaling evidence in every
@@ -638,11 +683,12 @@ def main() -> None:
         r03_keys=r03_keys,
         sf=sf,
         n_runs=N_RUNS,
+        loads=dict(zip(times.keys(), _QUERY_LOADS)),
     )
 
 
 def emit_results(times, runs, recalls, lsh_quality, sf1_ledger, r03_keys, sf,
-                 n_runs, out=None):
+                 n_runs, out=None, loads=None):
     """Print bench evidence with the COMPACT headline as the final line.
 
     The driver's tail capture is bounded; anything after the headline or
@@ -651,7 +697,8 @@ def emit_results(times, runs, recalls, lsh_quality, sf1_ledger, r03_keys, sf,
     """
     import sys
     out = out or sys.stdout
-    detail = {"detail": "bench_sidecar", "runs": runs, "sf1": sf1_ledger}
+    detail = {"detail": "bench_sidecar", "runs": runs, "sf1": sf1_ledger,
+              "query_loads": loads}
     print(json.dumps(detail), file=out)
     try:
         sidecar = os.path.join(
@@ -662,12 +709,30 @@ def emit_results(times, runs, recalls, lsh_quality, sf1_ledger, r03_keys, sf,
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
+    # self-labeling load evidence (VERDICT r09 directive 6): a query
+    # whose median exceeds its min-merged ledger minimum by >1.5x ran
+    # under contention (or regressed) — either way the flag directs the
+    # reader to the ledger instead of a he-said-she-said steal debate.
+    suspect = []
+    ledger_q = (sf1_ledger or {}).get("queries") or {}
+    sf_key = f"sf{sf}_sec"
+    for k, t in times.items():
+        ref = (ledger_q.get(k) or {}).get(sf_key)
+        if ref and t > 1.5 * ref:
+            suspect.append(k)
+    qloads = list((loads or {}).values())
     headline = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "timing": f"median_of_{n_runs}",
+        "load_1min": {
+            "start": qloads[0][0] if qloads else None,
+            "end": qloads[-1][1] if qloads else None,
+            "max": max((max(a, b) for a, b in qloads), default=None),
+        },
+        "suspect_load": suspect,
         "subtotal_r03_comparable": round(
             sum(times[k] for k in r03_keys if k in times), 3
         ),

@@ -72,3 +72,27 @@ def test_oversized_headline_fails_loudly():
         assert "driver-parseable" in str(exc)
     else:
         raise AssertionError("expected the <4kB guard to trip")
+
+
+def test_headline_carries_load_evidence_and_suspect_flags():
+    """VERDICT r09 directive 6: the headline must carry 1-min load
+    evidence and flag queries whose median exceeds their min-merged
+    ledger minimum by >1.5x — a contaminated run self-identifies."""
+    times, runs, recalls, lsh, ledger = _fake_inputs(10)
+    times["q003"] = 1.51  # ledger sf0.1_sec is 1.0 -> > 1.5x
+    times["q004"] = 1.49  # just inside the gate -> NOT flagged
+    loads = {k: (0.3 + i * 0.01, 0.35 + i * 0.01)
+             for i, k in enumerate(times)}
+    buf = io.StringIO()
+    headline = bench.emit_results(
+        times=times, runs=runs, recalls=recalls, lsh_quality=lsh,
+        sf1_ledger=ledger, r03_keys=[], sf="0.1", n_runs=3, out=buf,
+        loads=loads,
+    )
+    assert headline["suspect_load"] == ["q003"]
+    assert headline["load_1min"]["start"] == 0.3
+    assert headline["load_1min"]["end"] == 0.35 + 9 * 0.01
+    assert headline["load_1min"]["max"] >= 0.35
+    # sidecar carries the full per-query load pairs
+    detail = json.loads(buf.getvalue().strip().splitlines()[0])
+    assert detail["query_loads"]["q000"] == [0.3, 0.35]

@@ -151,3 +151,92 @@ def test_image_dedup_ahash_exact_copies(spark):
     for g, members in fam.items():
         flagged = [i for i in members if rows[i].is_image_dup]
         assert set(flagged) >= set(members) - {min(members)}, f"group {g}"
+
+
+def test_hamming_band_pairs_two_level_exact(spark):
+    """The occupancy-bounded two-level keys (sub_bands, round 10) must
+    return EXACTLY the single-level result — the second pigeonhole
+    (≤ d errors over d+1 sub-blocks of the remaining bits leave one
+    sub-block intact) preserves full recall, verified against brute
+    force over a random corpus with planted near pairs at every
+    distance 0..d+2."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        rows.append((i, rng.getrandbits(64)))
+    # planted near-dups off the first 10 bases at distances 1..6
+    nid = 1000
+    for b in range(10):
+        h = rows[b][1]
+        for d in range(1, 7):
+            bits = rng.sample(range(64), d)
+            hh = h
+            for bit in bits:
+                hh ^= 1 << bit
+            rows.append((nid, hh))
+            nid += 1
+
+    def signed(h):
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    df = spark.createDataFrame(
+        [(i, signed(h)) for i, h in rows], "doc_id long, phash long"
+    )
+    want = {}
+    for i, (ia, ha) in enumerate(rows):
+        for ib, hb in rows[i + 1:]:
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= 4:
+                key = (ia, ib) if ia < ib else (ib, ia)
+                want[key] = d
+    single = {
+        (r.id_a, r.id_b): r.hamming
+        for r in MM.hamming_band_pairs(df, max_hamming=4).collect()
+    }
+    two = {
+        (r.id_a, r.id_b): r.hamming
+        for r in MM.hamming_band_pairs(
+            df, max_hamming=4, sub_bands=5
+        ).collect()
+    }
+    assert want and single == want and two == want
+    # wider sub-band splits keep exactness too (s >= d+1 suffices)
+    seven = {
+        (r.id_a, r.id_b): r.hamming
+        for r in MM.hamming_band_pairs(
+            df, max_hamming=4, sub_bands=7
+        ).collect()
+    }
+    assert seven == want
+
+
+def test_perceptual_dedup_flags_auto_wide_keys(spark, monkeypatch):
+    """perceptual_dedup_flags switches to two-level band keys once the
+    distinct-fingerprint count crosses HAMMING_WIDE_KEYS_MIN — and the
+    result is identical either way (the switch is a pure plan change)."""
+    import random
+
+    rng = random.Random(11)
+
+    def signed(h):
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    rows = []
+    for i in range(80):
+        h = rng.getrandbits(64)
+        rows.append((2 * i, signed(h), None))
+        rows.append((2 * i + 1, signed(h ^ (1 << (i % 64))), None))
+    df = spark.createDataFrame(rows, "doc_id long, phash long, decode_error string")
+    base = {
+        (r.doc_id, r.is_dup)
+        for r in MM.perceptual_dedup_flags(df, max_hamming=4).collect()
+    }
+    monkeypatch.setattr(MM, "HAMMING_WIDE_KEYS_MIN", 1)
+    wide = {
+        (r.doc_id, r.is_dup)
+        for r in MM.perceptual_dedup_flags(df, max_hamming=4).collect()
+    }
+    assert base == wide
+    assert sum(1 for _, d in base if d) == 80  # each pair keeps its min id

@@ -232,3 +232,202 @@ def test_video_dedup_short_clips_merge(spark):
         for r in MM.video_dedup_flags(df, "doc_id", n_frames=8).collect()
     }
     assert flags == {0: False, 1: True}
+
+
+# ---------------------------------------------------------------------------
+# time-offset-robust matching (round 10, VERDICT r09 directive 4)
+
+
+def _wav_long(levels, gain=1.0, rate=16000, bits=16, trim_segs=0, intro=None):
+    """2.0 s clip: one 20 ms Nyquist-square segment per level; trim
+    drops leading segments, intro prepends foreign segments — the two
+    transforms the slot/fraction-aligned fingerprints cannot absorb."""
+    amp = 0.08 + 0.88 * np.asarray(levels, dtype=np.float64) / 30.0
+    if trim_segs:
+        amp = amp[trim_segs:]
+    if intro is not None:
+        iamp = 0.08 + 0.88 * np.asarray(intro, dtype=np.float64) / 30.0
+        amp = np.concatenate([iamp, amp])
+    amp = amp * gain
+    per_seg = rate // 50  # 20 ms segments
+    wave = np.repeat(amp, per_seg)
+    wave[1::2] *= -1.0
+    return MM._encode_wav(wave, rate, bits)
+
+
+def _levels_n(g, n=100):
+    s = np.arange(n, dtype=np.uint64)
+    x = (np.uint64(g) * np.uint64(73856093)) ^ (s * np.uint64(19349663))
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    x = x ^ (x >> np.uint64(33))
+    lv = (x % np.uint64(31)).astype(np.int64)
+    for i in range(1, n):
+        if lv[i] == lv[i - 1]:
+            lv[i] = (lv[i] + 1) % 31
+    return lv
+
+
+def test_audio_subfingerprints_trim_is_subset():
+    """A trim by a multiple of seg_ms preserves every fully-overlapping
+    window VERBATIM: the trimmed clip's sub-fingerprints are a subset
+    of the original's — the property the set match rides on."""
+    lv = _levels_n(5)
+    full = set(MM.audio_subfingerprints_bytes(_wav_long(lv)))
+    trimmed = set(
+        MM.audio_subfingerprints_bytes(_wav_long(lv, trim_segs=25))
+    )
+    assert trimmed and trimmed <= full
+    # gain + resample leave the set unchanged entirely
+    assert set(MM.audio_subfingerprints_bytes(_wav_long(lv, gain=0.5))) == full
+    assert set(MM.audio_subfingerprints_bytes(_wav_long(lv, rate=8000))) == full
+
+
+def test_audio_robust_dedup_trim_offset(spark):
+    """Trimmed (-0.5 s) and offset (+0.5 s foreign intro) re-encodes —
+    the transforms the 65-segment whole-clip fingerprint provably does
+    NOT absorb — land in the base clip's family; unrelated groups stay
+    apart; junk quarantines."""
+    rows = []
+    for g in range(4):
+        lv = _levels_n(g)
+        other = _levels_n(g + 50)[:25]
+        rows.append((10 * g + 0, _wav_long(lv)))
+        rows.append((10 * g + 1, _wav_long(lv, gain=0.5)))
+        rows.append((10 * g + 2, _wav_long(lv, trim_segs=25)))   # -0.5 s
+        rows.append((10 * g + 3, _wav_long(lv, intro=other)))    # +0.5 s
+        rows.append((10 * g + 4, _wav_long(lv, rate=8000)))
+    rows.append((99, b"RIFFjunk-not-audio"))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in MM.audio_robust_dedup_flags(df).collect()}
+    assert len(out) == 21
+    assert not out[99].is_audio_dup and out[99].decode_error
+    for g in range(4):
+        fam = [10 * g + j for j in range(5)]
+        keepers = [i for i in fam if not out[i].is_audio_dup]
+        assert keepers == [min(fam)], f"group {g}"
+    # the slot-aligned fingerprint provably misses the trimmed copy
+    lv = _levels_n(0)
+    h_full = MM.audio_fingerprint_bytes(_wav_long(lv))
+    h_trim = MM.audio_fingerprint_bytes(_wav_long(lv, trim_segs=25))
+    d = bin((h_full ^ h_trim) & ((1 << 64) - 1)).count("1")
+    assert d > 4  # outside any reasonable Hamming budget
+
+
+def _vframe(key, shift=0):
+    r = np.arange(8, dtype=np.uint64)[:, None]
+    c = np.arange(9, dtype=np.uint64)[None, :]
+    x = (
+        (np.uint64(key) * np.uint64(73856093))
+        ^ (r * np.uint64(19349663))
+        ^ (c * np.uint64(83492791))
+    )
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    x = x ^ (x >> np.uint64(33))
+    cells = ((x % np.uint64(97)).astype(np.int64) * 2 + 10 + shift).astype(
+        np.uint8
+    )
+    b = np.repeat(np.repeat(cells, 3, axis=0), 2, axis=1)
+    return MM._encode_ppm(np.ascontiguousarray(np.stack([b, b, b], axis=2)))
+
+
+def test_video_robust_dedup_trim_offset(spark):
+    """Cut-down and intro-prepended copies — which shift every sample
+    slot of the fraction-aligned video_signature — land in the base
+    video's family under the set match; a brightness-shifted copy
+    matches through dHash invariance; unrelated groups stay apart."""
+    rows = []
+    for g in range(3):
+        keys = [g * 64 + j for j in range(16)]
+        full = b"".join(_vframe(k) for k in keys)
+        trimmed = b"".join(_vframe(k) for k in keys[4:])          # cut head
+        intro = b"".join(
+            [_vframe(900 + g * 8 + j) for j in range(3)]
+            + [_vframe(k) for k in keys]
+        )                                                          # offset
+        bright = b"".join(_vframe(k, shift=11) for k in keys)      # +11 gray
+        rows += [
+            (10 * g + 0, full),
+            (10 * g + 1, trimmed),
+            (10 * g + 2, intro),
+            (10 * g + 3, bright),
+        ]
+    rows.append((99, b"notavideo"))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in MM.video_robust_dedup_flags(df).collect()}
+    assert len(out) == 13
+    assert not out[99].is_video_dup and out[99].decode_error
+    for g in range(3):
+        fam = [10 * g + j for j in range(4)]
+        keepers = [i for i in fam if not out[i].is_video_dup]
+        assert keepers == [min(fam)], f"group {g}"
+    # the slot-aligned pipeline provably misses the trimmed copy at the
+    # default ¾ threshold: slots land on different frames
+    pair = spark.createDataFrame(
+        [(0, rows[0][1]), (1, rows[1][1])], "doc_id long, payload binary"
+    )
+    aligned = {
+        r.doc_id: r.is_video_dup
+        for r in MM.video_dedup_flags(pair, "doc_id", n_frames=8).collect()
+    }
+    assert aligned == {0: False, 1: False}
+    plan = (
+        MM.video_robust_dedup_flags(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_robust_corpus_planted(spark):
+    """The declared robust-audio corpus: per family exactly the lowest
+    id is kept — including the TRIMMED and FOREIGN-INTRO re-encodes the
+    whole-clip fingerprint provably misses — junk quarantined."""
+    ids = spark.range(0, 150).withColumnRenamed("id", "doc_id")
+    corpus = MM.synthetic_audio_corpus_robust(ids, "doc_id", groups=25)
+    rows = {
+        r.doc_id: r
+        for r in MM.audio_robust_dedup_flags(corpus, "doc_id").collect()
+    }
+    assert len(rows) == 150
+    junk = [i for i in range(150) if i % 37 == 13]
+    assert junk and all(
+        not rows[i].is_audio_dup and rows[i].decode_error for i in junk
+    )
+    fam = collections.defaultdict(list)
+    for i in range(150):
+        if i % 37 != 13:
+            fam[i % 25].append(i)
+    for g, members in fam.items():
+        keepers = [i for i in members if not rows[i].is_audio_dup]
+        assert keepers == [min(members)], f"group {g}"
+    trimmed = [i for i in range(25, 150) if i % 23 == 2 and i % 37 != 13]
+    offset = [i for i in range(25, 150) if i % 19 == 6 and i % 37 != 13]
+    assert trimmed and offset
+    assert all(rows[i].is_audio_dup for i in trimmed + offset)
+
+
+def test_video_robust_corpus_planted(spark):
+    """The declared robust-video corpus: per family exactly the lowest
+    id is kept — including the CUT-DOWN and INTRO-PREPENDED copies that
+    shift every fraction-aligned sample slot — junk quarantined."""
+    ids = spark.range(0, 150).withColumnRenamed("id", "doc_id")
+    corpus = MM.synthetic_video_corpus_robust(ids, "doc_id", groups=25)
+    rows = {
+        r.doc_id: r
+        for r in MM.video_robust_dedup_flags(corpus, "doc_id").collect()
+    }
+    assert len(rows) == 150
+    junk = [i for i in range(150) if i % 37 == 13]
+    assert junk and all(
+        not rows[i].is_video_dup and rows[i].decode_error for i in junk
+    )
+    fam = collections.defaultdict(list)
+    for i in range(150):
+        if i % 37 != 13:
+            fam[i % 25].append(i)
+    for g, members in fam.items():
+        keepers = [i for i in members if not rows[i].is_video_dup]
+        assert keepers == [min(members)], f"group {g}"
+    cut = [i for i in range(25, 150) if i % 23 == 2 and i % 37 != 13]
+    intro = [i for i in range(25, 150) if i % 19 == 6 and i % 37 != 13]
+    assert cut and intro
+    assert all(rows[i].is_video_dup for i in cut + intro)

@@ -31,6 +31,8 @@ ARROW_ALLOWED = {
     "image_near_dup",        # Arrow-batched perceptual-hash kernel
     "audio_near_dup",        # Arrow-batched audio-fingerprint kernel
     "video_near_dup",        # Arrow-batched frame-signature kernel
+    "audio_near_dup_robust",  # Arrow-batched sub-fingerprint kernel
+    "video_near_dup_robust",  # Arrow-batched frame-hash-set kernel
 }
 
 

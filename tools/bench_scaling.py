@@ -71,9 +71,14 @@ def current_commit() -> str:
     try:
         import hashlib
 
+        # the measurement HARNESS and the dataset GENERATOR are part of
+        # the key too (ADVICE r09): a timing-protocol or generated-data
+        # change would otherwise min-merge incomparable measurements
+        # under the same key — the exact stale-minimum hazard this
+        # guard exists to prevent
         objs = subprocess.run(
             ["git", "rev-parse", "HEAD:bench.py", "HEAD:paradump_spark",
-             "HEAD:__spark_entry__.py"],
+             "HEAD:__spark_entry__.py", "HEAD:tools"],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
         h = "code-" + hashlib.sha256(objs.encode()).hexdigest()[:12]
@@ -81,7 +86,7 @@ def current_commit() -> str:
             # only dirt in the measured code flips the key; generated
             # artifacts (ledger, scratch datasets/logs) and docs don't
             ["git", "status", "--porcelain", "--",
-             "bench.py", "paradump_spark", "__spark_entry__.py"],
+             "bench.py", "paradump_spark", "__spark_entry__.py", "tools"],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
         return h + ("-dirty" if dirty else "")
