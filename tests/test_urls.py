@@ -151,3 +151,51 @@ def test_canonical_url_is_pure_jvm(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_url_dedup_skew_split_identical_results(spark):
+    """The sampled hot-key escape (ADVICE r09) is a pure plan decision:
+    a corpus with one canonical URL holding ~25% of rows must produce
+    IDENTICAL (doc_id, canonical_url, keep, n_dupes) whether the skew
+    detector is off (window only), armed at a threshold the hot key
+    crosses (split plan), or armed too high to trigger."""
+    from pyspark.sql import functions as F
+
+    from paradump_spark.operators.urls import url_dedup
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 4 == 0,
+            F.lit("https://hot.example.com/page?utm_source=x"),
+        )
+        .when(F.col("id") % 97 == 13, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("https://site"),
+                (F.col("id") % 301).cast("string"),
+                F.lit(".example.com/p"),
+            )
+        )
+        .alias("url"),
+    )
+
+    def snap(threshold):
+        rows = url_dedup(
+            df, "url", "doc_id", skew_threshold=threshold
+        ).collect()
+        return sorted(
+            (r.doc_id, r.canonical_url, r.keep, r.n_dupes) for r in rows
+        )
+
+    base = snap(None)
+    # threshold 100 with fraction min(1, 32/100)=0.32: the 1000-row hot
+    # key samples ~320 hits >= 8 -> detected; split path engages
+    split = snap(100)
+    high = snap(10_000_000)
+    assert base == split == high
+    assert len(base) == 4000
+    hot = [r for r in base if r[1] == "https://hot.example.com/page"]
+    assert len(hot) == 1000 and sum(1 for r in hot if r[2]) == 1
+    nulls = [r for r in base if r[1] is None]
+    assert nulls and all(r[2] and r[3] == 1 for r in nulls)
