@@ -23,6 +23,14 @@ log-log slope isolates the corpus term:
   100 TB self-graph run actually uses).  Shared (dataset, cells)
   points are measured once and reused across policies.
 
+Round-10 additions: the two-level policy extends one decade to 500k
+(scratch/sf25_emb); a DEFAULT-invocation self-join leg (num_cells /
+coarse_cells unset — the operator's constant-occupancy derivation) at
+100k->500k proves the default is the scale-safe configuration; and a
+two-level recall@10 curve vs (coarse_probe, nprobe) alongside the
+flat-path curve at the same cell geometry quantifies the hierarchical
+probe's recall cost (a neighbor needs its coarse parent probed too).
+
 Appends a "knn_scaled" section to SF1_LEDGER.json (bench_scaling.py
 carries it forward across refreshes).  Each pass is gated on 1-min
 load < 0.7; per-point times are the median of 3 warmed runs.
@@ -136,11 +144,25 @@ def main() -> None:
             lambda c: max(8, round(math.sqrt(c))),
         ),
     }
+    # which scale points each policy ledgers: the two-level policy (the
+    # production configuration) extends one decade further to 500k
+    # (VERDICT r09 directive 7); the deliberate-trap policies stay at
+    # 20k->100k — the fixed-cells leg is quadratic BY DESIGN and
+    # re-measuring it at 500k would burn ~an hour documenting a known
+    # trap.
+    policy_points = {
+        "graph_two_level_cells": (
+            ("20k", "scratch/sf1", 20_000),
+            ("100k", "scratch/sf5_emb", 100_000),
+            ("500k", "scratch/sf25_emb", 500_000),
+        ),
+    }
+    default_points = (("20k", "scratch/sf1", 20_000),
+                      ("100k", "scratch/sf5_emb", 100_000))
     cache: dict[tuple, float] = {}
     for key, (cells, coarse_of) in policies.items():
         pts = {}
-        for name, d, n in (("20k", "scratch/sf1", 20_000),
-                           ("100k", "scratch/sf5_emb", 100_000)):
+        for name, d, n in policy_points.get(key, default_points):
             c = cells(n)
             cc = coarse_of(c) if coarse_of else None
             if (name, c, cc) not in cache:
@@ -160,21 +182,102 @@ def main() -> None:
                 cache[(name, c, cc)] = timed(run)
                 print(f"  {cache[(name, c, cc)]}s")
             pts[name] = cache[(name, c, cc)]
+        spec = policy_points.get(key, default_points)
         sec[key] = {
             **pts,
-            "cells": {n: cells(k) for n, k in
-                      (("20k", 20_000), ("100k", 100_000))},
+            "cells": {name: cells(n) for name, _d, n in spec},
             "corpus_ratio": 5.0,
             "time_ratio": round(pts["100k"] / pts["20k"], 2),
             "exp": round(
                 math.log(max(pts["100k"] / pts["20k"], 1e-9)) / math.log(5), 2,
             ),
         }
+        if "500k" in pts:
+            sec[key]["time_ratio_500k_vs_100k"] = round(
+                pts["500k"] / pts["100k"], 2
+            )
+            sec[key]["exp_100k_500k"] = round(
+                math.log(max(pts["500k"] / pts["100k"], 1e-9)) / math.log(5),
+                2,
+            )
         if coarse_of:
             sec[key]["coarse_cells"] = {
-                n: coarse_of(cells(k)) for n, k in
-                (("20k", 20_000), ("100k", 100_000))
+                name: coarse_of(cells(n)) for name, _d, n in spec
             }
+
+    # ---- DEFAULT-invocation leg (VERDICT r09 directive 1 done-check):
+    # knn_join with num_cells/coarse_cells UNSET — the operator derives
+    # constant-occupancy cells from right_count and auto-switches
+    # two-level at >= KNN_TWO_LEVEL_CELLS.  scoring="arrow" is the one
+    # explicit arg (the corpus-scale kernel; the jvm default is the
+    # oracle formulation, pytest-equal, ~25x slower on self-joins and
+    # not what a scale run uses).  Self-join: every row a query — the
+    # exact shape the round-9 ledger measured at exp 2.17 when the
+    # default was num_cells=16.
+    dflt = {}
+    for name, d, n in (("100k", "scratch/sf5_emb", 100_000),
+                       ("500k", "scratch/sf25_emb", 500_000)):
+        print(f"default-invocation leg {name}: load {wait_quiet():.2f}")
+        emb = spark.read.parquet(os.path.join(REPO, d, "embeddings.parquet"))
+
+        def run(emb=emb, n=n):
+            SIM.knn_join(
+                emb, emb, "vec_id", "embedding",
+                exclude_self=True, scoring="arrow", right_count=n,
+            ).agg(F.count(F.lit(1))).collect()
+
+        dflt[name] = timed(run)
+        print(f"  {dflt[name]}s")
+    sec["join_default_invocation"] = {
+        **dflt,
+        "params": "knn_join defaults (k=10, nprobe=4, num_cells=None -> "
+                  "derived, coarse auto); scoring=arrow; self-join",
+        "corpus_ratio": 5.0,
+        "time_ratio": round(dflt["500k"] / dflt["100k"], 2),
+        "exp": round(
+            math.log(max(dflt["500k"] / dflt["100k"], 1e-9)) / math.log(5), 2
+        ),
+    }
+
+    # ---- two-level recall curve (VERDICT r09 directive 8): a neighbor
+    # is findable on the hierarchical path only if its fine cell is
+    # probed AND that cell's coarse parent is among the query's
+    # coarse_probe coarse cells — so ledger recall@10 vs
+    # (coarse_probe, nprobe) alongside the flat curve at the same cell
+    # geometry.  100 held-out queries against the full corpus; exact =
+    # brute force.
+    rec: dict = {}
+    for name, d, n in (("100k", "scratch/sf5_emb", 100_000),
+                       ("500k", "scratch/sf25_emb", 500_000)):
+        print(f"recall leg {name}: load {wait_quiet():.2f}")
+        emb = spark.read.parquet(os.path.join(REPO, d, "embeddings.parquet"))
+        q = emb.where(F.col("vec_id") < 100)
+        exact = SIM.brute_force_topk(emb, q, "vec_id", "embedding", k=10)
+        exact = exact.localCheckpoint(eager=True)
+        cells = max(16, round(n / 78))
+        coarse = max(8, round(math.sqrt(cells)))
+        pts = {}
+        for nprobe in (4, 16):
+            got = SIM.knn_join(
+                q, emb, "vec_id", "embedding", k=10, num_cells=cells,
+                nprobe=nprobe, scoring="arrow", coarse_cells=0,
+            )
+            pts[f"flat_nprobe{nprobe}"] = round(
+                SIM.ann_recall(got, exact).collect()[0]["mean_recall"], 3
+            )
+            for cp in (2, 4):
+                got = SIM.knn_join(
+                    q, emb, "vec_id", "embedding", k=10, num_cells=cells,
+                    nprobe=nprobe, scoring="arrow",
+                    coarse_cells=coarse, coarse_probe=cp,
+                )
+                pts[f"two_level_cp{cp}_nprobe{nprobe}"] = round(
+                    SIM.ann_recall(got, exact).collect()[0]["mean_recall"],
+                    3,
+                )
+        rec[name] = {"cells": cells, "coarse_cells": coarse, **pts}
+        print(f"  {pts}")
+    sec["two_level_recall"] = rec
 
     with open(ledger_path) as fh:
         ledger = json.load(fh)
