@@ -426,8 +426,14 @@ def image_perceptual_hash(
 # ~10 bits from the remaining bits, bounding expected occupancy at
 # N / 2^23 while preserving EXACT pigeonhole recall; the cost is
 # (d+1)² key rows per fingerprint instead of d+1, which is why small
-# corpora stay single-level).
-HAMMING_WIDE_KEYS_MIN = 200_000
+# corpora stay single-level.  The threshold is the MEASURED crossover
+# (SF1_LEDGER.hamming_scaled, round 10): at 1M distinct fingerprints
+# single-level still wins on wall clock (15.6 s vs 28.8 s — its 496M
+# candidate pairs are cheap bit_count filters) but grows at exp 1.36
+# with 304-row hot keys, while two-level holds exp 1.09 with max 7
+# rows/key and 237x fewer candidates; the quadratic term overtakes the
+# 5x key-replication cost at ~2-4M distinct).
+HAMMING_WIDE_KEYS_MIN = 2_000_000
 
 
 def hamming_band_key_cols(
