@@ -179,7 +179,7 @@ def main() -> None:
                 k: v
                 for k, v in prev.items()
                 if k in ("recall_scaled_sf1", "recall_auto_budget_sf1",
-                         "knn_scaled", "hamming_scaled")
+                         "knn_scaled", "hamming_scaled", "hamming_crossover")
             }
         except Exception:
             extra, prev = {}, None

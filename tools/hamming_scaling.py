@@ -25,7 +25,12 @@ gated on 1-min load < 0.7; per-point times are the median of 3 warmed
 runs (the single-level 1M leg runs ONCE, unwarmed — it exists to
 document the trap, not to be flattered).
 
-Usage:  python tools/hamming_scaling.py [ledger_json]
+Usage:  python tools/hamming_scaling.py [ledger_json] [--crossover]
+
+``--crossover``: instead of the 200k/1M policy ledger, time BOTH
+policies once at 2M and 4M distinct fingerprints — the bracket that
+locates the wall-clock crossover ``HAMMING_WIDE_KEYS_MIN`` encodes —
+and append ``hamming_crossover``.
 """
 
 from __future__ import annotations
@@ -106,10 +111,63 @@ def occupancy(df, sub_bands: int | None) -> dict:
     }
 
 
-def main() -> None:
-    ledger_path = (
-        sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SF1_LEDGER.json")
+def crossover(ledger_path: str) -> None:
+    """Measure the single-vs-two-level WALL-CLOCK crossover directly
+    (``--crossover``): one timed run of each policy at 2M and 4M
+    distinct fingerprints — the bracket around the extrapolated
+    2-4M crossover that :data:`multimodal.HAMMING_WIDE_KEYS_MIN`
+    encodes.  Single runs, not medians: the single-level 4M leg
+    materializes ~10⁹ candidate pairs and exists to locate the
+    crossover, not to be flattered.  Appends ``hamming_crossover``."""
+    spark = build_session(
+        app_name="hamming_crossover", master="local[32]",
+        shuffle_partitions=32,
     )
+    sec: dict = {"params": {
+        "max_hamming": MAX_HAMMING,
+        "sub_bands": MAX_HAMMING + 1,
+        "corpora": "xxhash64(range(N)) distinct fingerprints, N=2M/4M",
+        "runs": "ONE warmed run per point, load-gated < 0.7 (crossover "
+                "location, not throughput)",
+    }}
+    for name, n in (("2m", 2_000_000), ("4m", 4_000_000)):
+        df = corpus(spark, n)
+        for policy, sub in (("single_level", None), ("two_level", MAX_HAMMING + 1)):
+
+            def run(df=df, sub=sub):
+                MM.hamming_band_pairs(
+                    df, "doc_id", "phash", MAX_HAMMING, sub_bands=sub
+                ).agg(F.count(F.lit(1))).collect()
+
+            print(f"{policy} {name}: load {wait_quiet():.2f}")
+            run()  # warm the session/codegen path once per point
+            t0 = time.monotonic()
+            run()
+            t = round(time.monotonic() - t0, 3)
+            sec.setdefault(policy, {})[name] = t
+            print(f"  {t}s")
+        df.unpersist()
+    sec["wall_clock_winner"] = {
+        name: ("two_level"
+               if sec["two_level"][name] < sec["single_level"][name]
+               else "single_level")
+        for name in ("2m", "4m")
+    }
+    with open(ledger_path) as fh:
+        ledger = json.load(fh)
+    ledger["hamming_crossover"] = sec
+    with open(ledger_path, "w") as fh:
+        json.dump(ledger, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(sec, indent=1))
+
+
+def main() -> None:
+    argv = [a for a in sys.argv[1:] if a != "--crossover"]
+    ledger_path = argv[0] if argv else os.path.join(REPO, "SF1_LEDGER.json")
+    if "--crossover" in sys.argv[1:]:
+        crossover(ledger_path)
+        return
     spark = build_session(
         app_name="hamming_scaling", master="local[32]", shuffle_partitions=32,
     )
