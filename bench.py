@@ -574,8 +574,17 @@ def main() -> None:
     # to the ANN timings (BASELINE.md round 9).
     from paradump_spark.operators import multimodal as MMOD
 
+    # The documents table reads as ONE parquet split at bench scales, and
+    # mapInPandas inherits input partitioning — without an explicit
+    # repartition the corpus GENERATION and every TIMED hash stage
+    # downstream of the checkpoint run as a single serial Python task
+    # (measured: one pyspark.worker at 100% of one core while 31 idle —
+    # round 10).  A real media corpus arrives in many splits; spreading
+    # the id feed is the honest production shape, not a benchmark trick.
+    media_ids = docs.select("doc_id").repartition(int(CPUS))
+
     img_corpus = MMOD.synthetic_image_corpus(
-        docs.select("doc_id"), "doc_id", groups=40
+        media_ids, "doc_id", groups=40
     ).localCheckpoint(eager=True)  # time the dedup, not the generator
 
     def image_dedup_step():
@@ -591,7 +600,7 @@ def main() -> None:
     # members — energy-difference WAV fingerprints and per-frame dHash
     # P6-stream signatures, through the same band-LSH + CC pipeline.
     aud_corpus = MMOD.synthetic_audio_corpus(
-        docs.select("doc_id"), "doc_id", groups=40
+        media_ids, "doc_id", groups=40
     ).localCheckpoint(eager=True)
 
     def audio_dedup_step():
@@ -602,7 +611,7 @@ def main() -> None:
     aud_corpus.unpersist()
 
     vid_corpus = MMOD.synthetic_video_corpus(
-        docs.select("doc_id"), "doc_id", groups=40
+        media_ids, "doc_id", groups=40
     ).localCheckpoint(eager=True)
 
     def video_dedup_step():
@@ -617,7 +626,7 @@ def main() -> None:
     # df-capped set-match pipeline — the operators that catch the
     # trimmed/offset re-encodes the slot-aligned pair above misses.
     aur_corpus = MMOD.synthetic_audio_corpus_robust(
-        docs.select("doc_id"), "doc_id", groups=40
+        media_ids, "doc_id", groups=40
     ).localCheckpoint(eager=True)
 
     def audio_robust_step():
@@ -628,7 +637,7 @@ def main() -> None:
     aur_corpus.unpersist()
 
     vir_corpus = MMOD.synthetic_video_corpus_robust(
-        docs.select("doc_id"), "doc_id", groups=40
+        media_ids, "doc_id", groups=40
     ).localCheckpoint(eager=True)
 
     def video_robust_step():

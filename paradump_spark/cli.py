@@ -198,6 +198,39 @@ def build_parser() -> argparse.ArgumentParser:
                          "default — fewer junk candidate pairs, same "
                          "exact-verified result")
 
+    md = sub.add_parser(
+        "media-dedup",
+        help="perceptual near-dup dedup over a binary media parquet "
+             "(image / audio / video payloads); --robust switches "
+             "audio/video to trim/offset-robust sub-fingerprint set "
+             "matching",
+    )
+    md.add_argument("--input", required=True,
+                    help="parquet of (id, payload) rows — payload is the "
+                         "binary media column")
+    md.add_argument("--modality", required=True,
+                    choices=("image", "audio", "video"))
+    md.add_argument("--robust", action="store_true",
+                    help="trim/offset-robust set matching (audio and "
+                         "video only): overlapping-window audio "
+                         "sub-fingerprints / absolute-index frame-hash "
+                         "sets instead of whole-clip fingerprints")
+    md.add_argument("--id-col", default="doc_id")
+    md.add_argument("--payload-col", default="payload")
+    md.add_argument("--output", required=True, help="parquet output")
+    md.add_argument("--keep-flags", action="store_true",
+                    help="write EVERY row with its is_<modality>_dup "
+                         "flag (and quarantine decode_error) instead of "
+                         "only the kept corpus rows")
+    md.add_argument("--max-hamming", type=int, default=4,
+                    help="near-dup Hamming budget on the perceptual "
+                         "hash (non-robust modes)")
+    md.add_argument("--n-frames", type=int, default=8,
+                    help="video sample slots (non-robust video)")
+    md.add_argument("--min-matches", type=int, default=4,
+                    help="robust modes: shared sub-fingerprints required "
+                         "to pair two clips (capped by the smaller set)")
+
     kn = sub.add_parser(
         "knn",
         help="corpus×corpus k-nearest-neighbors through shared IVF "
@@ -233,9 +266,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "cells, where the flat assign term "
                          "N x cells x d dominates; typically "
                          "round(sqrt(num-cells))")
-    kn.add_argument("--coarse-probe", type=int, default=4,
+    kn.add_argument("--coarse-probe", type=int, default=0,
                     help="coarse cells probed per query on the "
-                         "two-level path (= coarse-cells for exact)")
+                         "two-level path (= coarse-cells for exact; "
+                         "0 = auto: max(4, sqrt(nprobe)) so the coarse "
+                         "breadth tracks the search budget)")
     kn.add_argument("--scoring", choices=["jvm", "arrow"], default="arrow",
                     help="pair-scoring kernel: arrow = cogrouped numpy "
                          "matmul + in-kernel per-cell top-k (the "
@@ -562,6 +597,18 @@ def validate(args: argparse.Namespace) -> None:
                 "(never the shingle set), so the no-broadcast knob does "
                 "not apply to it"
             )
+    if args.command == "media-dedup":
+        if args.robust and args.modality == "image":
+            raise SystemExit(
+                "--robust applies to audio and video only (images have "
+                "no time axis to trim; the perceptual hash already "
+                "absorbs brightness/rescale re-encodes)"
+            )
+        if args.max_hamming < 0 or args.n_frames < 1 or args.min_matches < 1:
+            raise SystemExit(
+                "--max-hamming must be >= 0, --n-frames and "
+                "--min-matches >= 1"
+            )
     if args.command == "chunk":
         if args.window < 1:
             raise SystemExit("--window must be >= 1")
@@ -704,7 +751,7 @@ def main(argv: list[str] | None = None) -> int:
                 k=args.k, num_cells=args.num_cells or None, nprobe=nprobe,
                 scoring=args.scoring,
                 coarse_cells=args.coarse_cells or None,
-                coarse_probe=args.coarse_probe,
+                coarse_probe=args.coarse_probe or None,
             )
             out.write.mode("overwrite").parquet(args.output)
             # stats come from the WRITTEN parquet — re-counting `out`
@@ -723,7 +770,7 @@ def main(argv: list[str] | None = None) -> int:
             exclude_self=args.right_table is None,
             scoring=args.scoring,
             coarse_cells=args.coarse_cells or None,
-            coarse_probe=args.coarse_probe,
+            coarse_probe=args.coarse_probe or None,
         )
         if args.threshold is not None:
             out = out.where(F.col("cosine") > args.threshold)
@@ -1209,6 +1256,60 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"dedup {args.table} method={args.method}: "
             f"kept {n_out} of {n_in} (dropped {n_in - n_out})"
+        )
+        return 0
+    if args.command == "media-dedup":
+        from pyspark.sql import functions as F
+
+        from paradump_spark.operators import multimodal as MM
+
+        src = spark.read.parquet(args.input)
+        if args.payload_col != "payload":
+            src = src.withColumnRenamed(args.payload_col, "payload")
+        if args.robust:
+            robust_fns = {
+                "audio": MM.audio_robust_dedup_flags,
+                "video": MM.video_robust_dedup_flags,
+            }
+            flagged = robust_fns[args.modality](
+                src, args.id_col, min_matches=args.min_matches
+            )
+        elif args.modality == "image":
+            flagged = MM.image_dedup_flags(
+                src, args.id_col, max_hamming=args.max_hamming
+            )
+        elif args.modality == "audio":
+            flagged = MM.audio_dedup_flags(
+                src, args.id_col, max_hamming=args.max_hamming
+            )
+        else:
+            flagged = MM.video_dedup_flags(
+                src, args.id_col, n_frames=args.n_frames,
+                max_hamming=args.max_hamming,
+            )
+        flag = f"is_{args.modality}_dup"
+        if args.keep_flags:
+            out = flagged
+        else:
+            # kept corpus = original rows minus flagged near-dups (the
+            # robust pipelines project to signature rows, so semi-join
+            # the keeper ids back to preserve every input column)
+            keep_ids = flagged.where(~F.col(flag)).select(
+                F.col(args.id_col).alias("__keep_id")
+            )
+            out = src.join(
+                keep_ids,
+                src[args.id_col] == F.col("__keep_id"),
+                "left_semi",
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        n_in = src.count()
+        n_out = spark.read.parquet(args.output).count()
+        n_dup = flagged.where(F.col(flag)).count()
+        mode = "robust " if args.robust else ""
+        print(
+            f"media-dedup {args.modality} ({mode}{'flags' if args.keep_flags else 'kept'}): "
+            f"{n_out} of {n_in} rows written, {n_dup} near-dups flagged"
         )
         return 0
     if args.command == "index-build":

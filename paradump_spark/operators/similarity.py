@@ -1089,7 +1089,7 @@ def knn_join(
     index_meta_path: str | None = None,
     scoring: str = "jvm",
     coarse_cells: int | None = None,
-    coarse_probe: int = 4,
+    coarse_probe: int | None = None,
 ) -> DataFrame:
     """For EVERY left row, its ``k`` nearest right rows by cosine:
     (query_id, neighbor_id, rank, cosine) — `brute_force_topk`'s shape
@@ -1155,6 +1155,11 @@ def knn_join(
     path).  A neighbor is findable iff its fine cell is probed AND that
     cell's coarse parent is among the query's ``coarse_probe`` coarse
     cells — recall rises with both knobs.
+
+    ``coarse_probe=None`` (the DEFAULT) derives ``max(4, √nprobe)`` —
+    balanced two-level probing, so the coarse breadth grows with the
+    search budget instead of silently capping recall when a derived
+    ``nprobe`` scales with the corpus.
     """
     lid = left_id_col or id_col
     rid = right_id_col or id_col
@@ -1172,6 +1177,16 @@ def knn_join(
             coarse_cells = max(8, round(num_cells ** 0.5))
     if nprobe is None:
         nprobe = derive_search_budget(int(right_count), num_cells, k)["nprobe"]
+    if coarse_probe is None:
+        # recall-matched coarse breadth: a fine cell is reachable only
+        # through its coarse parent, so a fixed coarse_probe silently
+        # caps recall as the derived nprobe grows with the corpus.
+        # √nprobe keeps the two-level probe tree balanced (probe ~√B
+        # coarse cells × ~√B fine cells within them for a budget of B
+        # fine cells) — the IMI/two-level convention; floor 4 preserves
+        # the measured small-corpus behavior (SF1_LEDGER two_level_recall:
+        # cp4 recovers most of the cp2 recall gap at nprobe 4-16).
+        coarse_probe = max(4, round(nprobe ** 0.5))
     if coarse_cells:
         from paradump_spark.operators.semdedup import two_level_cells
 
@@ -1391,7 +1406,7 @@ def knn_graph_clusters(
     seed: int = 42,
     scoring: str = "jvm",
     coarse_cells: int | None = None,
-    coarse_probe: int = 4,
+    coarse_probe: int | None = None,
 ) -> DataFrame:
     """Graph-based embedding clustering: the kNN graph thresholded on
     cosine, then connected components — every input row + ``component``

@@ -35,7 +35,11 @@ Appends a "knn_scaled" section to SF1_LEDGER.json (bench_scaling.py
 carries it forward across refreshes).  Each pass is gated on 1-min
 load < 0.7; per-point times are the median of 3 warmed runs.
 
-Usage:  python tools/knn_scaling.py [ledger_json]
+Usage:  python tools/knn_scaling.py [ledger_json] [--recall-only]
+
+``--recall-only``: refresh just the ``two_level_recall`` subsection
+(including the full-default ``default_derived`` point) without
+re-timing the latency legs.
 """
 
 from __future__ import annotations
@@ -239,13 +243,32 @@ def main() -> None:
         ),
     }
 
-    # ---- two-level recall curve (VERDICT r09 directive 8): a neighbor
-    # is findable on the hierarchical path only if its fine cell is
-    # probed AND that cell's coarse parent is among the query's
-    # coarse_probe coarse cells — so ledger recall@10 vs
-    # (coarse_probe, nprobe) alongside the flat curve at the same cell
-    # geometry.  100 held-out queries against the full corpus; exact =
-    # brute force.
+    sec["two_level_recall"] = recall_curve(spark)
+
+    with open(ledger_path) as fh:
+        ledger = json.load(fh)
+    ledger["knn_scaled"] = sec
+    with open(ledger_path, "w") as fh:
+        json.dump(ledger, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(sec, indent=1))
+
+
+def recall_curve(spark) -> dict:
+    """Two-level recall@10 curve (VERDICT r09 directive 8): a neighbor
+    is findable on the hierarchical path only if its fine cell is
+    probed AND that cell's coarse parent is among the query's
+    coarse_probe coarse cells — so ledger recall@10 vs
+    (coarse_probe, nprobe) alongside the flat curve at the same cell
+    geometry.  100 held-out queries against the full corpus; exact =
+    brute force.
+
+    Round-10 addition: a ``default_derived`` point per scale — the
+    FULL-DEFAULT invocation (num_cells / nprobe / coarse_probe all
+    None: constant-occupancy cells, derive_search_budget nprobe,
+    √nprobe coarse breadth) with its derived parameters, recall, and
+    one timed run.  This is the production contract a bare
+    ``knn_join(left, right, id, vec)`` actually delivers."""
     rec: dict = {}
     for name, d, n in (("100k", "scratch/sf5_emb", 100_000),
                        ("500k", "scratch/sf25_emb", 500_000)):
@@ -275,18 +298,55 @@ def main() -> None:
                     SIM.ann_recall(got, exact).collect()[0]["mean_recall"],
                     3,
                 )
+        # full-default invocation: what a user who passes NOTHING gets
+        der_cells = max(4, -(-n // SIM.KNN_CELL_OCCUPANCY))
+        der_nprobe = SIM.derive_search_budget(n, der_cells, 10)["nprobe"]
+        der_cp = max(4, round(der_nprobe ** 0.5))
+
+        def run_default(emb=emb, q=q, n=n):
+            return SIM.knn_join(
+                q, emb, "vec_id", "embedding", k=10,
+                right_count=n, scoring="arrow",
+            )
+
+        t0 = time.monotonic()
+        got = run_default()
+        r = round(SIM.ann_recall(got, exact).collect()[0]["mean_recall"], 3)
+        t = round(time.monotonic() - t0, 3)
+        pts["default_derived"] = {
+            "cells": der_cells,
+            "nprobe": der_nprobe,
+            "coarse_probe": der_cp,
+            "two_level": der_cells >= SIM.KNN_TWO_LEVEL_CELLS,
+            "recall_at_10": r,
+            "sec_100q_batch": t,
+        }
         rec[name] = {"cells": cells, "coarse_cells": coarse, **pts}
         print(f"  {pts}")
-    sec["two_level_recall"] = rec
+    return rec
 
+
+def recall_only(ledger_path: str) -> None:
+    """--recall-only: refresh just knn_scaled.two_level_recall (keeps
+    every timed leg untouched) — for recall-semantics changes that do
+    not move the latency ledger."""
+    spark = build_session(
+        app_name="knn_recall", master="local[32]", shuffle_partitions=32,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(1024 * 1024)},
+    )
+    rec = recall_curve(spark)
     with open(ledger_path) as fh:
         ledger = json.load(fh)
-    ledger["knn_scaled"] = sec
+    ledger.setdefault("knn_scaled", {})["two_level_recall"] = rec
     with open(ledger_path, "w") as fh:
         json.dump(ledger, fh, indent=1)
         fh.write("\n")
-    print(json.dumps(sec, indent=1))
+    print(json.dumps(rec, indent=1))
 
 
 if __name__ == "__main__":
-    main()
+    if "--recall-only" in sys.argv[1:]:
+        argv = [a for a in sys.argv[1:] if a != "--recall-only"]
+        recall_only(argv[0] if argv else os.path.join(REPO, "SF1_LEDGER.json"))
+    else:
+        main()
