@@ -529,8 +529,16 @@ def hamming_band_pairs(
     b = banded.select(
         F.col("__band"), F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb")
     )
+    # shuffle_hash hint: the banded frame usually sits downstream of a
+    # localCheckpoint (perceptual_dedup_flags pins the hash stage), so
+    # Catalyst's size estimate is unreliable and it picks a
+    # BroadcastHashJoin of the WHOLE banded corpus — measured shipping
+    # multi-GB tables at 1M distinct fingerprints and hard-failing
+    # Spark's 8 GiB broadcast cap at 4M (round-10 crossover leg).  The
+    # documented plan is ONE band-keyed shuffle on each side — the same
+    # post-checkpoint misestimate fix as knn_join (round 9).
     return (
-        a.join(b, "__band")
+        a.join(b.hint("shuffle_hash"), "__band")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
