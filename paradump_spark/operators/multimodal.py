@@ -426,14 +426,20 @@ def image_perceptual_hash(
 # ~10 bits from the remaining bits, bounding expected occupancy at
 # N / 2^23 while preserving EXACT pigeonhole recall; the cost is
 # (d+1)² key rows per fingerprint instead of d+1, which is why small
-# corpora stay single-level.  The threshold is the MEASURED crossover
-# (SF1_LEDGER.hamming_scaled, round 10): at 1M distinct fingerprints
-# single-level still wins on wall clock (15.6 s vs 28.8 s — its 496M
-# candidate pairs are cheap bit_count filters) but grows at exp 1.36
-# with 304-row hot keys, while two-level holds exp 1.09 with max 7
-# rows/key and 237x fewer candidates; the quadratic term overtakes the
-# 5x key-replication cost at ~2-4M distinct).
-HAMMING_WIDE_KEYS_MIN = 2_000_000
+# corpora stay single-level.  The threshold is set from the MEASURED
+# crossover under the shipped sort-merge band join
+# (SF1_LEDGER.hamming_crossover, round 10 — measured AFTER fixing the
+# band join's broadcast misplan, which had been flattering neither
+# policy consistently): single-level wins 3.8 vs 28.6 s at 2M and 16.2
+# vs 52.4 s at 4M distinct fingerprints; its wall clock grows
+# quadratically (4.2x per corpus doubling — the Σc² candidate term in
+# its purest form) while two-level grows at ~1.8x per doubling
+# (key-replication × sort, near-linear).  The two power laws cross at
+# ~12M distinct; 8M is the conservative switch point (earlier switching
+# costs up to 7x at 2-4M, later switching risks the quadratic's steep
+# side on hot real-world hash distributions, which concentrate worse
+# than the uniform synthetic corpus).
+HAMMING_WIDE_KEYS_MIN = 8_000_000
 
 
 def hamming_band_key_cols(
@@ -529,16 +535,18 @@ def hamming_band_pairs(
     b = banded.select(
         F.col("__band"), F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb")
     )
-    # shuffle_hash hint: the banded frame usually sits downstream of a
-    # localCheckpoint (perceptual_dedup_flags pins the hash stage), so
-    # Catalyst's size estimate is unreliable and it picks a
+    # merge (sort-merge) hint: the banded frame usually sits downstream
+    # of a localCheckpoint (perceptual_dedup_flags pins the hash stage),
+    # so Catalyst's size estimate is unreliable and it picks a
     # BroadcastHashJoin of the WHOLE banded corpus — measured shipping
     # multi-GB tables at 1M distinct fingerprints and hard-failing
     # Spark's 8 GiB broadcast cap at 4M (round-10 crossover leg).  The
-    # documented plan is ONE band-keyed shuffle on each side — the same
-    # post-checkpoint misestimate fix as knn_join (round 9).
+    # documented plan is ONE band-keyed shuffle on each side.  SMJ, not
+    # shuffle_hash: the hash variant cannot spill its build side and
+    # OOMed at 4M two-level keys (~3M build rows per task); sort-merge
+    # spills both sides — the only join that survives any corpus size.
     return (
-        a.join(b.hint("shuffle_hash"), "__band")
+        a.join(b.hint("merge"), "__band")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
