@@ -1374,7 +1374,7 @@ def _q_video_near_dup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     corpus = MM.synthetic_video_corpus(docs, "doc_id", groups=40)
     return MM.video_dedup_flags(corpus, "doc_id", n_frames=8).select(
-        "doc_id", "sig", "is_video_dup"
+        "doc_id", F.size("sig").alias("n_slots"), "is_video_dup"
     )
 
 

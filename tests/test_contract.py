@@ -78,10 +78,29 @@ def test_entry_runs_and_has_rows(spark):
     assert "dmltype" in df.columns
 
 
-def test_every_query_runs_at_sf0001(spark, sf_dir):
+def test_every_query_runs_and_is_driver_sortable_at_sf0001(spark, sf_dir):
+    """Every declared query must (a) build, and (b) emit ONLY column
+    types the driver's pandas canonicalizer can sort.  The driver
+    sorts every output column before hashing; list/dict/bytes cells
+    raise `TypeError: unhashable type` there — exactly how
+    video_near_dup went driver-red in CORRECTNESS_r10 while the local
+    preflight's (since-removed) fallback masked it.  Project
+    `F.size(...)`/hex digests instead of raw arrays."""
+    from pyspark.sql import types as T
+
     for name, fn in {**E.queries(), **E.extra_queries()}.items():
         df = fn(spark, sf_dir)
         assert df.columns, name
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType,
+                                       T.BinaryType))
+        ]
+        assert not bad, (
+            f"{name}: columns {bad} are not driver-sortable "
+            "(array/map/struct/binary) — project a scalar instead"
+        )
 
 
 def test_extra_queries_match_oracle(spark, sf_dir):

@@ -33,12 +33,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             head = df[c].dropna().head(5)
             if len(head) and all(type(v).__name__ == "date" for v in head):
                 df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-    sort_cols = [c for c in df.columns if df[c].dtype != object
-                 or not len(df) or not isinstance(df[c].dropna().head(1).tolist()[0] if len(df[c].dropna()) else "", (bytes, bytearray, list, np.ndarray))]
-    try:
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    except TypeError:
-        df = df.sort_values(by=sort_cols, kind="mergesort").reset_index(drop=True)
+    # NO TypeError fallback: the driver's canonicalizer sorts EVERY
+    # column and dies on unsortable cells (list/ndarray); round 10
+    # shipped a red driver row (video_near_dup, CORRECTNESS_r10)
+    # because this preflight silently tolerated what the driver
+    # cannot.  Mirror the driver exactly — an unsortable output
+    # column must fail HERE first.
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 
