@@ -557,11 +557,37 @@ def hamming_band_pairs(
     )
 
 
+def _pin(df: DataFrame, checkpoint: bool) -> DataFrame:
+    """Pin a frame that is consumed by several downstream stages.
+
+    ``checkpoint=True`` (default): ``localCheckpoint(eager=True)`` —
+    executor MEMORY_AND_DISK blocks, lineage truncated.  Right when the
+    pinned frame is small (the hash frames here are O(rows) scalar
+    fingerprints / sub-fingerprint sets, orders of magnitude below the
+    payload corpus).
+
+    ``checkpoint=False``: eager DISK_ONLY persist — the 100 TB-shape
+    knob.  Never occupies executor heap, so a large pinned stage cannot
+    evict shuffle or broadcast blocks (the round-10 sf5 `video_dedup`
+    eviction artifact, BASELINE.md r10); lineage is kept, so blocks
+    lost to executor churn recompute from the source parquet instead
+    of failing the job.  Costs one disk round-trip per consumer read.
+    """
+    if checkpoint:
+        return df.localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.DISK_ONLY)
+    df.count()  # materialize now: every consumer reads blocks, not lineage
+    return df
+
+
 def perceptual_dedup_flags(
     hashed: DataFrame,
     max_hamming: int = 4,
     flag_name: str = "is_dup",
     hash_col: str = "phash",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Shared Hamming-near-dup pipeline over any 64-bit fingerprint
     frame ``(doc_id, <hash_col>, decode_error)`` — the media-agnostic
@@ -585,15 +611,16 @@ def perceptual_dedup_flags(
 
     # the hash table is consumed three times (exact stage, flags join,
     # rep mapping) — pin it so the Python hashing UDF runs once
-    h = hashed.localCheckpoint(eager=True)
+    h = _pin(hashed, checkpoint)
     ok = h.where(F.col("decode_error").isNull())
     # reps is consumed three times too (count, band join, rep mapping);
-    # checkpointing keeps the exact-stage shuffle single-run and makes
-    # the distinct count — which picks the band-key level — a near-free
+    # pinning keeps the exact-stage shuffle single-run and makes the
+    # distinct count — which picks the band-key level — a near-free
     # job over one row per distinct fingerprint
-    reps = ok.groupBy(hash_col).agg(
-        F.min("doc_id").alias("rep_id")
-    ).localCheckpoint(eager=True)
+    reps = _pin(
+        ok.groupBy(hash_col).agg(F.min("doc_id").alias("rep_id")),
+        checkpoint,
+    )
     sub = max_hamming + 1 if reps.count() >= HAMMING_WIDE_KEYS_MIN else None
     pairs = hamming_band_pairs(
         reps.select(F.col("rep_id").alias("doc_id"), hash_col),
@@ -625,6 +652,7 @@ def signature_set_dedup_flags(
     flag_name: str = "is_dup",
     min_matches: int = 4,
     max_df: int = 256,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Set-matched near-dup pipeline over SUB-fingerprint arrays — the
     time-offset-robust half of the media dedup family (round 10,
@@ -651,11 +679,12 @@ def signature_set_dedup_flags(
     no per-pair Python."""
     from paradump_spark.operators.dedup import connected_components
 
-    h = sig_df.localCheckpoint(eager=True)
+    h = _pin(sig_df, checkpoint)
     ok = h.where(F.col("decode_error").isNull() & (F.size("sig") > 0))
-    reps = ok.groupBy("sig").agg(
-        F.min("doc_id").alias("rep_id")
-    ).localCheckpoint(eager=True)
+    reps = _pin(
+        ok.groupBy("sig").agg(F.min("doc_id").alias("rep_id")),
+        checkpoint,
+    )
     elems = reps.select(
         F.col("rep_id"),
         F.size("sig").alias("__n"),
@@ -713,6 +742,7 @@ def image_dedup_flags(
     id_col: str = "doc_id",
     algo: str = "dhash",
     max_hamming: int = 4,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Every input row + ``is_image_dup``: true iff a lower-id image in
     the same near-dup family (transitive closure of Hamming ≤
@@ -722,7 +752,9 @@ def image_dedup_flags(
     :func:`perceptual_dedup_flags`.
     """
     h = image_perceptual_hash(binary_df, id_col, algo)
-    return perceptual_dedup_flags(h, max_hamming, "is_image_dup")
+    return perceptual_dedup_flags(
+        h, max_hamming, "is_image_dup", checkpoint=checkpoint
+    )
 
 
 def synthetic_image_corpus(
@@ -1195,6 +1227,7 @@ def audio_dedup_flags(
     binary_df: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 4,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Every input row + ``is_audio_dup``: true iff a lower-id clip in
     the same near-dup family (transitive Hamming ≤ ``max_hamming`` on
@@ -1204,7 +1237,9 @@ def audio_dedup_flags(
     at :func:`perceptual_dedup_flags` — one exact-hash shuffle, a
     Hamming-band equi-join over distinct fingerprints, then CC."""
     h = audio_perceptual_hash(binary_df, id_col)
-    return perceptual_dedup_flags(h, max_hamming, "is_audio_dup")
+    return perceptual_dedup_flags(
+        h, max_hamming, "is_audio_dup", checkpoint=checkpoint
+    )
 
 
 # --- time-offset-robust audio matching (round 10, VERDICT r09
@@ -1312,6 +1347,7 @@ def audio_robust_dedup_flags(
     min_matches: int = 4,
     seg_ms: int = 20,
     max_df: int = 256,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Every input row + ``is_audio_dup``: TRIM/OFFSET-robust audio
     near-dup dedup — gain-scaled, resampled, requantized AND
@@ -1321,7 +1357,7 @@ def audio_robust_dedup_flags(
     :func:`signature_set_dedup_flags`."""
     sig = audio_robust_signatures(binary_df, id_col, seg_ms)
     return signature_set_dedup_flags(
-        sig, "is_audio_dup", min_matches, max_df
+        sig, "is_audio_dup", min_matches, max_df, checkpoint=checkpoint
     )
 
 
@@ -1661,6 +1697,7 @@ def video_dedup_flags(
     n_frames: int = 8,
     max_hamming: int = 4,
     min_matching: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Every input row + ``is_video_dup``: true iff a lower-id video in
     the same near-dup family exists, where two videos are near-dups
@@ -1682,7 +1719,7 @@ def video_dedup_flags(
     sig = video_signature(binary_df, id_col, n_frames)
     # consumed three times (exact stage, flags join, rep mapping) —
     # pin it so the Python hashing UDF runs once
-    sig = sig.localCheckpoint(eager=True)
+    sig = _pin(sig, checkpoint)
     ok = sig.where(F.col("decode_error").isNull())
     reps = ok.groupBy("sig").agg(F.min("doc_id").alias("rep_id"))
     # slot-aligned banding: (slot, band_idx, band_bits) keys; any pair
@@ -1853,6 +1890,7 @@ def video_robust_dedup_flags(
     min_matches: int = 4,
     stride: int = 1,
     max_df: int = 256,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Every input row + ``is_video_dup``: TRIM/OFFSET-robust video
     near-dup dedup — a cut-down copy, or one with a prepended intro,
@@ -1863,7 +1901,7 @@ def video_robust_dedup_flags(
     :func:`signature_set_dedup_flags`."""
     sig = video_frame_hash_signatures(binary_df, id_col, stride)
     return signature_set_dedup_flags(
-        sig, "is_video_dup", min_matches, max_df
+        sig, "is_video_dup", min_matches, max_df, checkpoint=checkpoint
     )
 
 
