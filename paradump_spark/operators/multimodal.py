@@ -441,6 +441,102 @@ def image_perceptual_hash(
 # than the uniform synthetic corpus).
 HAMMING_WIDE_KEYS_MIN = 8_000_000
 
+#: Round 11 (VERDICT r10 directive 5): the fixed 8M switch point above
+#: was calibrated on a UNIFORM synthetic corpus, but real near-dup
+#: corpora concentrate band keys worse (balls of similar fingerprints
+#: share band values), so their quadratic side arrives at smaller
+#: distinct counts.  The distribution-free trigger is the
+#: candidate-pair VOLUME itself: single-level join work is
+#: ~2e-9 s/candidate-pair and two-level work ~1.4e-5 s/fingerprint
+#: (both fitted from SF1_LEDGER.hamming_scaled/_crossover), so the
+#: policies break even near pairs/N ≈ 7000; 4000 is the conservative
+#: budget — EXACTLY the pairs/N the shipped 8M uniform point implies
+#: (Σc(c−1)/2 ≈ 3.2e10 at 8M uniform ÷ 8M = 4000), so uniform corpora
+#: switch where they always did and skewed ones switch earlier.
+HAMMING_PAIRS_PER_ROW_SWITCH = 4_000
+
+#: Distinct count below which the occupancy probe is skipped: the probe
+#: is one tiny aggregation job (~0.2 s) but a dedup over a few thousand
+#: fingerprints should not pay it — and below ~20k rows even a
+#: fully-concentrated corpus stays within a ~1e9-pair worst case the
+#: single-level join absorbs in seconds.
+HAMMING_PROBE_MIN_DISTINCT = 20_000
+
+#: Row budget for the occupancy probe's Bernoulli sample: fraction =
+#: clamp(HAMMING_PROBE_SAMPLE_ROWS / N, 1%, 100%) — full scan below
+#: 500k distinct (exact answer, still cheap), ~1% at 50M+.
+HAMMING_PROBE_SAMPLE_ROWS = 500_000
+
+
+def hamming_band_occupancy_probe(
+    hashed: DataFrame,
+    hash_col: str = "phash",
+    max_hamming: int = 4,
+    n_rows: int | None = None,
+    sample_rows: int = HAMMING_PROBE_SAMPLE_ROWS,
+    seed: int = 11,
+) -> dict:
+    """Estimate the single-level band join's candidate-pair volume from
+    a row sample — the cheap skew witness that decides the band-key
+    level (see :data:`HAMMING_PAIRS_PER_ROW_SWITCH`).
+
+    Under Bernoulli row-sampling at rate ``p``, a key with true
+    occupancy ``c`` contributes ``E[ĉ(ĉ−1)] = p²·c(c−1)``, so
+    ``Σ ĉ(ĉ−1) / (2p²)`` is an UNBIASED estimator of the true
+    candidate-pair count ``Σ c(c−1)/2`` — no occupancy-shape
+    assumption.  Returns ``est_candidate_pairs`` plus the sampled p99
+    rows/key and key count for observability (ledgered by
+    tools/hamming_scaling.py).
+    """
+    n = n_rows if n_rows is not None else hashed.count()
+    frac = min(1.0, max(0.01, sample_rows / max(n, 1)))
+    s = hashed if frac >= 1.0 else hashed.sample(fraction=frac, seed=seed)
+    bcols = hamming_band_key_cols(hash_col, max_hamming, None)
+    row = (
+        s.select(F.explode(F.array(*bcols)).alias("__band"))
+        .groupBy("__band")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - F.lit(1))).alias("perm2"),
+            F.expr("percentile_approx(c, 0.99)").alias("p99"),
+            F.count(F.lit(1)).alias("keys"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_rows": int(n),
+        "sample_frac": round(frac, 4),
+        "est_candidate_pairs": int((row["perm2"] or 0) / (2 * frac * frac)),
+        "p99_rows_per_key_sampled": int(row["p99"] or 0),
+        "sampled_keys": int(row["keys"] or 0),
+    }
+
+
+def choose_hamming_sub_bands(
+    reps: DataFrame,
+    hash_col: str,
+    max_hamming: int,
+    n_rows: int | None = None,
+) -> int | None:
+    """Band-key level policy for :func:`perceptual_dedup_flags`:
+    two-level (``max_hamming + 1`` sub-bands) when the corpus is huge
+    (``HAMMING_WIDE_KEYS_MIN`` — uniform hashes already quadratic
+    there, no probe needed) OR when the sampled occupancy probe
+    estimates more than :data:`HAMMING_PAIRS_PER_ROW_SWITCH` candidate
+    pairs per fingerprint (skewed corpora cross the break-even long
+    before 8M distinct).  ``None`` (single-level) otherwise."""
+    n = n_rows if n_rows is not None else reps.count()
+    if n >= HAMMING_WIDE_KEYS_MIN:
+        return max_hamming + 1
+    if n < HAMMING_PROBE_MIN_DISTINCT:
+        return None
+    probe = hamming_band_occupancy_probe(
+        reps, hash_col, max_hamming, n_rows=n
+    )
+    if probe["est_candidate_pairs"] >= HAMMING_PAIRS_PER_ROW_SWITCH * n:
+        return max_hamming + 1
+    return None
+
 
 def hamming_band_key_cols(
     hash_col: str, max_hamming: int, sub_bands: int | None = None
@@ -621,7 +717,7 @@ def perceptual_dedup_flags(
         ok.groupBy(hash_col).agg(F.min("doc_id").alias("rep_id")),
         checkpoint,
     )
-    sub = max_hamming + 1 if reps.count() >= HAMMING_WIDE_KEYS_MIN else None
+    sub = choose_hamming_sub_bands(reps, hash_col, max_hamming)
     pairs = hamming_band_pairs(
         reps.select(F.col("rep_id").alias("doc_id"), hash_col),
         "doc_id", hash_col, max_hamming, sub_bands=sub,

@@ -240,3 +240,81 @@ def test_perceptual_dedup_flags_auto_wide_keys(spark, monkeypatch):
     }
     assert base == wide
     assert sum(1 for _, d in base if d) == 80  # each pair keeps its min id
+
+
+def _signed64(h):
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def test_hamming_occupancy_probe_unbiased_and_exact(spark):
+    """Full-fraction probe reproduces the exact candidate-pair count;
+    a sampled probe lands within 2x on a uniform corpus (the unbiased
+    Σ ĉ(ĉ−1)/2p² estimator, VERDICT r10 directive 5)."""
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.xxhash64("id").alias("phash")
+    ).localCheckpoint(eager=True)
+    exact = MM.hamming_band_occupancy_probe(
+        df, "phash", 4, sample_rows=10**9  # frac -> 1.0: exact
+    )
+    assert exact["sample_frac"] == 1.0
+    # independent exact computation through the operator's own keys
+    bcols = MM.hamming_band_key_cols("phash", 4, None)
+    truth = (
+        df.select(F.explode(F.array(*bcols)).alias("__band"))
+        .groupBy("__band").count()
+        .agg(F.sum(F.expr("count * (count - 1) / 2").cast("long")))
+        .collect()[0][0]
+    )
+    assert exact["est_candidate_pairs"] == int(truth)
+    sampled = MM.hamming_band_occupancy_probe(
+        df, "phash", 4, sample_rows=5_000
+    )
+    assert sampled["sample_frac"] == 0.25
+    assert 0 < sampled["est_candidate_pairs"] < 4 * max(int(truth), 1) + 100
+
+
+def test_choose_sub_bands_fires_on_skew_not_uniform(spark, monkeypatch):
+    """The sampled probe switches a SKEWED corpus (near-dup ball
+    concentrating band keys) to two-level keys below the uniform 8M
+    point, while a uniform corpus of the same size stays single-level
+    — and the flags are identical either way (plan change only)."""
+    import random
+
+    rng = random.Random(7)
+    monkeypatch.setattr(MM, "HAMMING_PROBE_MIN_DISTINCT", 100)
+    monkeypatch.setattr(MM, "HAMMING_PAIRS_PER_ROW_SWITCH", 50)
+
+    n = 2_000
+    uniform = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.xxhash64("id").alias("phash")
+    ).localCheckpoint(eager=True)
+    assert MM.choose_hamming_sub_bands(uniform, "phash", 4) is None
+
+    # near-dup ball: every fingerprint within Hamming 2 of one base in
+    # the LOW band -> the other four band values are shared by ALL rows
+    base = rng.getrandbits(64) & ~0xFFF
+    rows = []
+    seen = set()
+    i = 0
+    while len(rows) < n:
+        h = base ^ (rng.getrandbits(12) & rng.getrandbits(12))
+        if h in seen:
+            continue
+        seen.add(h)
+        rows.append((i, _signed64(h), None))
+        i += 1
+    ball = spark.createDataFrame(
+        rows, "doc_id long, phash long, decode_error string"
+    ).localCheckpoint(eager=True)
+    assert MM.choose_hamming_sub_bands(ball, "phash", 4) == 5
+
+    auto = {
+        (r.doc_id, r.is_dup)
+        for r in MM.perceptual_dedup_flags(ball, max_hamming=4).collect()
+    }
+    monkeypatch.setattr(MM, "HAMMING_PROBE_MIN_DISTINCT", 10**9)  # force single
+    single = {
+        (r.doc_id, r.is_dup)
+        for r in MM.perceptual_dedup_flags(ball, max_hamming=4).collect()
+    }
+    assert auto == single
