@@ -25,12 +25,20 @@ gated on 1-min load < 0.7; per-point times are the median of 3 warmed
 runs (the single-level 1M leg runs ONCE, unwarmed — it exists to
 document the trap, not to be flattered).
 
-Usage:  python tools/hamming_scaling.py [ledger_json] [--crossover]
+Usage:  python tools/hamming_scaling.py [ledger_json]
+        [--crossover|--skew|--skew-hotband]
 
 ``--crossover``: instead of the 200k/1M policy ledger, time BOTH
 policies once at 2M and 4M distinct fingerprints — the bracket that
 locates the wall-clock crossover ``HAMMING_WIDE_KEYS_MIN`` encodes —
 and append ``hamming_crossover``.
+
+``--skew`` / ``--skew-hotband`` (round 11, VERDICT r10 directive 5):
+skewed-corpus legs for the occupancy-sampled level switch — balls of
+10 (ledgered as a measured negative result: variance without mean
+moves nothing at a saturated keyspace) and hot band-0 values (the
+low-entropy-region shape that does explode pair volume), appending
+``hamming_skew``.
 """
 
 from __future__ import annotations
