@@ -1887,11 +1887,9 @@ _DRIVER_QUERY_NAMES = [
     # core paradump operators (S/P/J/A/F/K)
     "diff_classified",
     "incremental_diff_classified",
-    "chunk_coverage_sqltext",
     "table_checksum",
     "profile_orders",
     "sql_insert_render",
-    "csv_render",
     # LLM-pipeline: dedup / text / embeddings / multimodal family
     # representatives (one driver proof per family; the siblings moved
     # to extra_queries() stay oracle-checked in tests/test_contract.py).
@@ -1900,14 +1898,12 @@ _DRIVER_QUERY_NAMES = [
     # extras this round (all r03-green; the chunk family keeps sqltext +
     # lineitem in-window, dedup keeps substring/line/semantic) to make
     # room for the seven NEW round-4 operators below.
-    "ann_topk",
     # new this round: Bloom decontam (exact), bigram-LM perplexity +
     # CCNet buckets, deterministic shard plan, line-level boilerplate
     # removal, URL features, PSI drift report
     "contamination_bloom",
     "lm_bits_per_token",
     "shard_plan_docs",
-    "line_dedup",
     "url_features_docs",
     "price_drift_psi",
     # round-4-session additions (fuzzy join, SemDeDup, classifier,
@@ -1915,7 +1911,6 @@ _DRIVER_QUERY_NAMES = [
     # (embedding_near_dup, multimodal_features, doc_split_counts,
     # asof_purchase_click move to extras, pytest-oracle-checked), so
     # r03 ∪ r04 covers the ENTIRE 85-query declared surface.
-    "fuzzy_part_pairs",
     "semantic_dedup_flags",
     "classifier_scores",
     "events_props_stats",
@@ -1928,7 +1923,6 @@ _DRIVER_QUERY_NAMES = [
     "tfidf_top_terms",
     "mixture_plan",
     "funnel_report",
-    "retention_cohorts",
     # ------- round-4 rotation: the 20 queries CORRECTNESS_r03 never
     # evaluated, so r03 ∪ r04 covers the full declared surface.  The
     # 20 rotated OUT (range_join_clicks, sessionize_stats, q1/q3/q5,
@@ -2026,6 +2020,30 @@ _DRIVER_QUERY_NAMES = [
     "image_near_dup",
     "audio_near_dup",
     "video_near_dup",
+    # ------- round-11 rotation (VERDICT r10 directive 7): the two
+    # round-10 trim/offset-robust media queries (rows-only by design,
+    # never driver-evaluated) rotate IN, plus the four stalest-evidence
+    # extras (newest driver row r03): dedup_clusters (MinHash-LSH + CC
+    # — the flagship fuzzy-dedup family), diff_stats (A2 stats
+    # monitor), asof_purchase_click (as-of join), and
+    # chunk_coverage_orders (keeps the chunk family while
+    # chunk_coverage_sqltext rotates out).  Rotated OUT, all
+    # driver-green 7-9 consecutive rounds with an in-window family
+    # sibling, still oracle-checked via extra_queries() + pytest:
+    # chunk_coverage_sqltext (chunk_coverage_orders takes the family),
+    # csv_render (sql_insert_render + binary_render keep the render
+    # family), ann_topk (ivf/pq_topk_exact + knn_join_exact keep ANN),
+    # line_dedup (url_canonical_dedup + dedup_clusters keep dedup),
+    # fuzzy_part_pairs (ngram_containment keeps n-gram matching),
+    # retention_cohorts (funnel_report + sessionize_stats keep the
+    # events family).  video_near_dup stays for its first clean row
+    # after the round-10 array-column harness fix. ----
+    "audio_near_dup_robust",
+    "video_near_dup_robust",
+    "dedup_clusters",
+    "diff_stats",
+    "asof_purchase_click",
+    "chunk_coverage_orders",
 ]
 
 

@@ -42,12 +42,12 @@ def test_oracle_keys_subset_of_queries():
     assert o <= q
     # only approximate / non-SQL-expressible ops may be rows-only
     assert q - o == {"pq_topk", "embedding_cluster_report",
-                     "image_near_dup", "audio_near_dup", "video_near_dup"}
+                     "image_near_dup", "audio_near_dup", "video_near_dup",
+                     "audio_near_dup_robust", "video_near_dup_robust"}
     # every retired (extra) query keeps a DuckDB oracle, except the
     # approximate-by-design ones
     xq, xo = set(E.extra_queries()), set(E.extra_oracle_sql())
-    assert xq - xo == {"ivf_topk", "embedding_near_dup_lsh", "pack_stats",
-                       "audio_near_dup_robust", "video_near_dup_robust"}
+    assert xq - xo == {"ivf_topk", "embedding_near_dup_lsh", "pack_stats"}
     assert xo <= xq
     assert not xq & q
 
