@@ -35,11 +35,15 @@ Appends a "knn_scaled" section to SF1_LEDGER.json (bench_scaling.py
 carries it forward across refreshes).  Each pass is gated on 1-min
 load < 0.7; per-point times are the median of 3 warmed runs.
 
-Usage:  python tools/knn_scaling.py [ledger_json] [--recall-only]
+Usage:  python tools/knn_scaling.py [ledger_json] [--recall-only|--default-2m]
 
 ``--recall-only``: refresh just the ``two_level_recall`` subsection
 (including the full-default ``default_derived`` point) without
 re-timing the latency legs.
+
+``--default-2m`` (round 11): extend the default-invocation self-join
+leg and its ``default_derived`` recall point one decade to 2M vectors
+(scratch/sf100_emb) without re-timing the other legs.
 """
 
 from __future__ import annotations
@@ -331,6 +335,90 @@ def recall_curve(spark) -> dict:
     return rec
 
 
+def default_2m(ledger_path: str) -> None:
+    """``--default-2m`` (VERDICT r10 directive 9): extend the
+    DEFAULT-invocation self-join leg one decade to 2M vectors
+    (scratch/sf100_emb — tools/gen_sf.py --emb-only scale 1000) and add
+    the 2M ``default_derived`` recall point, exercising the
+    coarse_probe = √nprobe derivation a decade past where round 10
+    stopped.  Re-measures the 500k self-join in the same session so the
+    500k→2M slope compares like against like; merges into
+    ``knn_scaled`` without touching the other legs."""
+    spark = build_session(
+        app_name="knn_default_2m", master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(1024 * 1024)},
+    )
+    legs = (("500k", "scratch/sf25_emb", 500_000),
+            ("2m", "scratch/sf100_emb", 2_000_000))
+    dflt: dict = {}
+    for name, d, n in legs:
+        print(f"default-invocation leg {name}: load {wait_quiet():.2f}")
+        emb = spark.read.parquet(os.path.join(REPO, d, "embeddings.parquet"))
+
+        def run(emb=emb, n=n):
+            SIM.knn_join(
+                emb, emb, "vec_id", "embedding",
+                exclude_self=True, scoring="arrow", right_count=n,
+            ).agg(F.count(F.lit(1))).collect()
+
+        dflt[name] = timed(run)
+        print(f"  {dflt[name]}s")
+    # 2M default_derived recall point (100 held-out queries, exact =
+    # brute force) — kNN timed alone, recall compare outside the timer
+    name, d, n = legs[-1]
+    emb = spark.read.parquet(os.path.join(REPO, d, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 100)
+    exact = SIM.brute_force_topk(
+        emb, q, "vec_id", "embedding", k=10
+    ).localCheckpoint(eager=True)
+    der_cells = max(4, -(-n // SIM.KNN_CELL_OCCUPANCY))
+    der_nprobe = SIM.derive_search_budget(n, der_cells, 10)["nprobe"]
+    der_cp = max(4, round(der_nprobe ** 0.5))
+
+    def run_default(emb=emb, q=q, n=n):
+        return SIM.knn_join(
+            q, emb, "vec_id", "embedding", k=10,
+            right_count=n, scoring="arrow",
+        )
+
+    print(f"default_derived recall leg 2m: load {wait_quiet():.2f}")
+    run_default().count()
+    t0 = time.monotonic()
+    got = run_default().localCheckpoint(eager=True)
+    t = round(time.monotonic() - t0, 3)
+    r = round(SIM.ann_recall(got, exact).collect()[0]["mean_recall"], 3)
+    derived = {
+        "cells": der_cells,
+        "nprobe": der_nprobe,
+        "coarse_probe": der_cp,
+        "two_level": der_cells >= SIM.KNN_TWO_LEVEL_CELLS,
+        "recall_at_10": r,
+        "sec_100q_batch": t,
+    }
+    print(f"  {derived}")
+
+    with open(ledger_path) as fh:
+        ledger = json.load(fh)
+    sec = ledger.setdefault("knn_scaled", {})
+    leg = sec.setdefault("join_default_invocation", {})
+    leg["500k_refresh"] = dflt["500k"]
+    leg["2m"] = dflt["2m"]
+    leg["corpus_ratio_500k_2m"] = 4.0
+    leg["time_ratio_500k_2m"] = round(dflt["2m"] / dflt["500k"], 2)
+    leg["exp_500k_2m"] = round(
+        math.log(max(dflt["2m"] / dflt["500k"], 1e-9)) / math.log(4), 2
+    )
+    sec.setdefault("two_level_recall", {})["2m"] = {
+        "default_derived": derived
+    }
+    with open(ledger_path, "w") as fh:
+        json.dump(ledger, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({"join_default_invocation": leg,
+                      "two_level_recall_2m": derived}, indent=1))
+
+
 def recall_only(ledger_path: str) -> None:
     """--recall-only: refresh just knn_scaled.two_level_recall (keeps
     every timed leg untouched) — for recall-semantics changes that do
@@ -353,5 +441,8 @@ if __name__ == "__main__":
     if "--recall-only" in sys.argv[1:]:
         argv = [a for a in sys.argv[1:] if a != "--recall-only"]
         recall_only(argv[0] if argv else os.path.join(REPO, "SF1_LEDGER.json"))
+    elif "--default-2m" in sys.argv[1:]:
+        argv = [a for a in sys.argv[1:] if a != "--default-2m"]
+        default_2m(argv[0] if argv else os.path.join(REPO, "SF1_LEDGER.json"))
     else:
         main()
