@@ -1879,11 +1879,25 @@ def video_dedup_flags(
     eff_min = F.least(
         F.size(F.col("__sa")), F.size(F.col("__sb")), F.lit(min_matching)
     )
+    # Verify BEFORE the distinct, and distinct on the bare id pair —
+    # mirroring hamming_band_pairs.  The old shape deduplicated
+    # candidate pairs FIRST, shuffling both full sig arrays per
+    # candidate (~16x the bytes of an id pair); on clique-heavy corpora
+    # (one near-dup family of m distinct "edited" signatures shares
+    # identical values in the unchanged slots, so per-band-key
+    # occupancy grows with m and candidates with m²) that array-carrying
+    # distinct dominated the sf5 leg (3-point ledger r11: exp 1.77).
+    # zip_with slot verification is a cheap per-row JVM predicate —
+    # running it map-side on the join output and deduplicating verified
+    # bare pairs is the same final pair set (matched is a deterministic
+    # function of the joined row) with the heavy shuffle removed.  The
+    # merge hint is the hamming_band_pairs reasoning verbatim: banded
+    # sits downstream of the pinned sig frame, so Catalyst's size
+    # estimate is unreliable and must not pick a whole-corpus broadcast;
+    # SMJ spills both sides at any corpus size.
     pairs = (
-        a.join(b, "__band")
+        a.join(b.hint("merge"), "__band")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sa", "__sb")
-        .distinct()
         .where(matched >= eff_min)
         .select("id_a", "id_b")
         .distinct()
