@@ -602,72 +602,100 @@ def main() -> None:
         gen(media_ids, "doc_id", groups=40).write.mode(
             "overwrite"
         ).parquet(path)
-        return spark.read.parquet(path)
+        # bytes-bounded vectorized reads: payload rows are 10-64 KB and
+        # the default 4096-row reader batches OOMed the 16 g heap on the
+        # 250k-clip sf5 WAV corpus (round 11) — every action that scans
+        # the corpus runs inside the returned bound.
+        return spark.read.parquet(path), MMOD.bounded_media_reader(
+            spark, path
+        )
 
     try:
-        img_corpus = _media_corpus("img", MMOD.synthetic_image_corpus)
+        img_corpus, img_bound = _media_corpus(
+            "img", MMOD.synthetic_image_corpus
+        )
 
         def image_dedup_step():
-            MMOD.image_dedup_flags(
-                img_corpus, "doc_id", algo="dhash", max_hamming=4,
-                checkpoint=False,
-            ).count()
+            with img_bound:
+                MMOD.image_dedup_flags(
+                    img_corpus, "doc_id", algo="dhash", max_hamming=4,
+                    checkpoint=False,
+                ).count()
 
         # warm the Arrow hash path once
-        MMOD.image_perceptual_hash(img_corpus.limit(200), "doc_id").count()
+        with img_bound:
+            MMOD.image_perceptual_hash(
+                img_corpus.limit(200), "doc_id"
+            ).count()
         times["image_dedup"] = bench(image_dedup_step)
 
         # --- audio + video near-dup dedup (round 9): the other two media
         # members — energy-difference WAV fingerprints and per-frame dHash
         # P6-stream signatures, through the same band-LSH + CC pipeline.
-        aud_corpus = _media_corpus("aud", MMOD.synthetic_audio_corpus)
+        aud_corpus, aud_bound = _media_corpus(
+            "aud", MMOD.synthetic_audio_corpus
+        )
 
         def audio_dedup_step():
-            MMOD.audio_dedup_flags(
-                aud_corpus, "doc_id", max_hamming=4, checkpoint=False
-            ).count()
+            with aud_bound:
+                MMOD.audio_dedup_flags(
+                    aud_corpus, "doc_id", max_hamming=4, checkpoint=False
+                ).count()
 
-        MMOD.audio_perceptual_hash(aud_corpus.limit(200), "doc_id").count()
+        with aud_bound:
+            MMOD.audio_perceptual_hash(
+                aud_corpus.limit(200), "doc_id"
+            ).count()
         times["audio_dedup"] = bench(audio_dedup_step)
 
-        vid_corpus = _media_corpus("vid", MMOD.synthetic_video_corpus)
+        vid_corpus, vid_bound = _media_corpus(
+            "vid", MMOD.synthetic_video_corpus
+        )
 
         def video_dedup_step():
-            MMOD.video_dedup_flags(
-                vid_corpus, "doc_id", n_frames=8, checkpoint=False
-            ).count()
+            with vid_bound:
+                MMOD.video_dedup_flags(
+                    vid_corpus, "doc_id", n_frames=8, checkpoint=False
+                ).count()
 
-        MMOD.video_signature(vid_corpus.limit(200), "doc_id").count()
+        with vid_bound:
+            MMOD.video_signature(vid_corpus.limit(200), "doc_id").count()
         times["video_dedup"] = bench(video_dedup_step)
 
         # --- trim/offset-robust media dedup (round 10): overlapping-window
         # audio sub-fingerprints and per-frame video hash SETS through the
         # df-capped set-match pipeline — the operators that catch the
         # trimmed/offset re-encodes the slot-aligned pair above misses.
-        aur_corpus = _media_corpus(
+        aur_corpus, aur_bound = _media_corpus(
             "aur", MMOD.synthetic_audio_corpus_robust
         )
 
         def audio_robust_step():
-            MMOD.audio_robust_dedup_flags(
-                aur_corpus, "doc_id", checkpoint=False
-            ).count()
+            with aur_bound:
+                MMOD.audio_robust_dedup_flags(
+                    aur_corpus, "doc_id", checkpoint=False
+                ).count()
 
-        MMOD.audio_robust_signatures(aur_corpus.limit(200), "doc_id").count()
+        with aur_bound:
+            MMOD.audio_robust_signatures(
+                aur_corpus.limit(200), "doc_id"
+            ).count()
         times["audio_dedup_robust"] = bench(audio_robust_step)
 
-        vir_corpus = _media_corpus(
+        vir_corpus, vir_bound = _media_corpus(
             "vir", MMOD.synthetic_video_corpus_robust
         )
 
         def video_robust_step():
-            MMOD.video_robust_dedup_flags(
-                vir_corpus, "doc_id", checkpoint=False
-            ).count()
+            with vir_bound:
+                MMOD.video_robust_dedup_flags(
+                    vir_corpus, "doc_id", checkpoint=False
+                ).count()
 
-        MMOD.video_frame_hash_signatures(
-            vir_corpus.limit(200), "doc_id"
-        ).count()
+        with vir_bound:
+            MMOD.video_frame_hash_signatures(
+                vir_corpus.limit(200), "doc_id"
+            ).count()
         times["video_dedup_robust"] = bench(video_robust_step)
     finally:
         shutil.rmtree(media_dir, ignore_errors=True)

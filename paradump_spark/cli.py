@@ -1263,6 +1263,10 @@ def main(argv: list[str] | None = None) -> int:
 
         from paradump_spark.operators import multimodal as MM
 
+        # bytes-bounded vectorized reads over the payload table for the
+        # whole verb: default 4096-row reader batches are ~256 MB/task
+        # at 64 KB payloads and OOM a 16 g heap at corpus scale
+        MM.bound_media_session(spark, args.input)
         src = spark.read.parquet(args.input)
         # The hash/signature pipelines emit a hardcoded `doc_id` key
         # column, so canonicalize the caller's id/payload columns on

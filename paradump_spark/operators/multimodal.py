@@ -277,6 +277,95 @@ def attach_binary_payload(
     )
 
 
+#: Target bytes per vectorized-reader batch for media payload tables.
+#: Spark's columnar parquet reader pulls ``columnarReaderBatchSize``
+#: ROWS (default 4096) per batch regardless of row width; at ~64 KB
+#: binary payloads that is ~256 MB of heap PER TASK before Arrow
+#: copies — 32 local threads OOMed a 16 g heap reading a 250k-clip WAV
+#: corpus (sf5 ledger leg, round 11).  16 MB/batch keeps a full-width
+#: executor under ~1 GB of reader buffers at any payload size.
+MEDIA_READER_BATCH_BYTES = 16 * 1024 * 1024
+
+
+def media_row_bytes(path: str) -> int:
+    """Average encoded row width of a parquet table, from the first
+    fragment's first row-group footer stats (``total_byte_size /
+    num_rows`` — no data pages are read)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    frags = sorted(glob.glob(path.rstrip("/") + "/*.parquet")) or [path]
+    meta = pq.ParquetFile(frags[0]).metadata
+    for i in range(meta.num_row_groups):
+        rg = meta.row_group(i)
+        if rg.num_rows:
+            return max(1, rg.total_byte_size // rg.num_rows)
+    return 1
+
+
+class bounded_media_reader:
+    """Context manager bounding the vectorized parquet reader by BYTES
+    (not rows) while media-payload actions run.
+
+    Spark's columnar reader pulls ``columnarReaderBatchSize`` ROWS
+    (default 4096) per batch regardless of row width — see
+    :data:`MEDIA_READER_BATCH_BYTES` for the measured failure.  Row
+    width is taken from ``sample_path``'s footer stats, then
+    ``spark.sql.parquet.columnarReaderBatchSize`` and
+    ``spark.sql.files.maxPartitionBytes`` are set so one batch is
+    ~``target_batch_bytes`` and one task holds a few batches.  DSv1
+    re-plans every ACTION with the session conf current at that moment,
+    so the bound must stay in force for every action that scans the
+    payload table — scope the WHOLE media pipeline (signature
+    computation, dedup flags, writes) inside the ``with`` block; the
+    prior confs are restored on exit.  Narrow-table queries outside the
+    block keep the full-size reader batches.  This is the 100 TB ingest
+    posture for media tables: reader memory is a function of the
+    configured budget, never of payload width."""
+
+    _KEYS = (
+        "spark.sql.parquet.columnarReaderBatchSize",
+        "spark.sql.files.maxPartitionBytes",
+    )
+
+    def __init__(
+        self,
+        spark,
+        sample_path: str,
+        target_batch_bytes: int = MEDIA_READER_BATCH_BYTES,
+    ):
+        self._spark = spark
+        self._rows = max(
+            16, min(4096, target_batch_bytes // media_row_bytes(sample_path))
+        )
+        self._split = max(target_batch_bytes, 8 * target_batch_bytes)
+        self._saved: dict = {}
+
+    def __enter__(self):
+        conf = self._spark.conf
+        self._saved = {k: conf.get(k) for k in self._KEYS}
+        conf.set(self._KEYS[0], str(self._rows))
+        conf.set(self._KEYS[1], str(self._split))
+        return self
+
+    def __exit__(self, *exc):
+        conf = self._spark.conf
+        for k, v in self._saved.items():
+            conf.set(k, v)
+        return False
+
+
+def bound_media_session(
+    spark, sample_path: str,
+    target_batch_bytes: int = MEDIA_READER_BATCH_BYTES,
+) -> None:
+    """Set the bytes-bounded reader confs for the REST OF THE SESSION —
+    for CLI verbs whose process exits after the media pipeline, where
+    restoring the confs would be dead code."""
+    bounded_media_reader(spark, sample_path, target_batch_bytes).__enter__()
+
+
 def extract_features(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column:
     byte length + content hash (the deterministic stand-in for the decoded

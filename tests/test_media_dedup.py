@@ -464,3 +464,40 @@ def test_checkpoint_false_path_matches_default(spark):
         .collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# bytes-bounded media reads (round 11: the sf5 WAV corpus OOMed a 16 g
+# heap through the default 4096-row vectorized reader batches)
+
+
+def test_bounded_media_reader_equality_and_restore(spark, tmp_path):
+    ids = spark.range(200).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "aud")
+    MM.synthetic_audio_corpus_robust(ids, "doc_id", groups=5).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    assert MM.media_row_bytes(path) > 1000  # WAV payloads, not scalars
+
+    keys = (
+        "spark.sql.parquet.columnarReaderBatchSize",
+        "spark.sql.files.maxPartitionBytes",
+    )
+    before = {k: spark.conf.get(k) for k in keys}
+    plain = MM.audio_robust_dedup_flags(
+        spark.read.parquet(path), "doc_id"
+    ).orderBy("doc_id").collect()
+    bound = MM.bounded_media_reader(spark, path, target_batch_bytes=1 << 20)
+    with bound:
+        # the bound is in force for actions inside the block
+        assert (
+            int(spark.conf.get("spark.sql.parquet.columnarReaderBatchSize"))
+            <= 4096
+        )
+        got = MM.audio_robust_dedup_flags(
+            spark.read.parquet(path), "doc_id"
+        ).orderBy("doc_id").collect()
+    # identical results, confs restored on exit
+    assert [r.asDict() for r in got] == [r.asDict() for r in plain]
+    assert {k: spark.conf.get(k) for k in keys} == before
