@@ -599,11 +599,57 @@ def _small_star_directed(sym: DataFrame) -> DataFrame:
     return relink.unionAll(self_edge).where(F.col("a") != F.col("b")).distinct()
 
 
+#: Edge count at or below which :func:`connected_components` solves the
+#: graph with a driver-side union-find instead of the iterative
+#: large-star/small-star rounds.  The distributed algorithm's per-round
+#: cost is 4-6 Spark jobs (two materializations + the convergence
+#: compare), so a converged small graph still pays ~10-15 job
+#: round-trips — measured 2.1 s for a 28-edge graph at local[32]
+#: (round 11), which was MOST of each media dedup query's wall clock.
+#: The collect is bounded by this constant (≤ ~16 MB of id pairs at the
+#: default), the same bounded-driver-collect budget the centroid/train
+#: paths use; anything larger keeps the fully distributed path, so the
+#: 100 TB posture is unchanged.  The union-find labels components by
+#: their MINIMUM id — exactly the distributed algorithm's contract —
+#: and equality is pytest-asserted on both paths.
+CC_DRIVER_EDGE_CAP = 500_000
+
+
+def _driver_union_find(pairs) -> list[tuple]:
+    """Min-label union-find over collected (src, dst) pairs: returns
+    (id, component-min) for every id that appears in an edge.  Roots are
+    always the smaller id, so each tree's root is the component minimum
+    (ids need only be totally ordered — longs, strings)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in pairs:
+        if src not in parent:
+            parent[src] = src
+        if dst not in parent:
+            parent[dst] = dst
+        ra, rb = find(src), find(dst)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iter: int = 30,
     _rounds_out: list | None = None,
+    driver_edge_cap: int | None = None,
 ) -> DataFrame:
     """Undirected connected components by alternating large-star /
     small-star rounds (Kiveris et al. SoCC'14) — the MapReduce-native
@@ -618,8 +664,17 @@ def connected_components(
     be orderable — longs, strings, anything with a total order.
 
     ``_rounds_out``: diagnostic — appends the number of alternating
-    rounds executed (tests assert the logarithmic bound with it).
+    rounds executed (tests assert the logarithmic bound with it;
+    the driver union-find path appends 0).
+
+    ``driver_edge_cap``: edge count at or below which the component
+    labels are solved by one bounded driver union-find over the
+    (already pinned) edge set instead of the iterative rounds — see
+    :data:`CC_DRIVER_EDGE_CAP`.  Pass ``0`` to force the distributed
+    path (the scaling tests do).  Both paths return identical frames.
     """
+    if driver_edge_cap is None:
+        driver_edge_cap = CC_DRIVER_EDGE_CAP
     # Pin the edge set BEFORE anything consumes it: the vertex-set union
     # scans it twice and round 1's large-star once more — without this,
     # an expensive upstream edge pipeline (a 100k-vector kNN join, a
@@ -629,6 +684,40 @@ def connected_components(
     pair = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).localCheckpoint(eager=True)
+    # small-graph escape: the count is a metadata-cheap job on the
+    # pinned blocks; under the cap the whole star iteration (4-6 jobs a
+    # round) collapses into one bounded collect + a broadcast-sized
+    # label frame.  The labels join below is shared by both paths.
+    if driver_edge_cap and pair.count() <= driver_edge_cap:
+        from pyspark.sql import types as T
+
+        id_type = pair.schema["src"].dataType
+        label_schema = T.StructType(
+            [
+                T.StructField("id", id_type),
+                T.StructField("component", id_type),
+            ]
+        )
+        spark = edges.sparkSession
+        labeled = _driver_union_find(
+            (r[0], r[1]) for r in pair.collect()
+        )
+        labels = spark.createDataFrame(
+            [t for t in labeled if t[0] != t[1]], label_schema
+        )
+        all_ids = (
+            pair.select(F.col("src").alias("id"))
+            .unionAll(pair.select(F.col("dst").alias("id")))
+        )
+        if vertices is not None:
+            all_ids = vertices.select("id").unionAll(all_ids)
+        if _rounds_out is not None:
+            _rounds_out.append(0)
+        return (
+            all_ids.distinct()
+            .join(F.broadcast(labels), "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component"))
+        )
     sym = pair.unionAll(pair.selectExpr("dst AS src", "src AS dst")).where(
         F.col("src") != F.col("dst")
     )
@@ -643,24 +732,25 @@ def connected_components(
     all_ids = all_ids.localCheckpoint(eager=True)
 
     stars = None  # directed (a, b), a > b: current star assignment
+    stars_count = None  # cached |stars| — saves one count job per round
     for rounds in range(1, max_iter + 1):
         sym = _large_star(sym).localCheckpoint(eager=True)
         new_stars = _small_star_directed(sym).localCheckpoint(eager=True)
         sym = new_stars.selectExpr("a AS src", "b AS dst").unionAll(
             new_stars.selectExpr("b AS src", "a AS dst")
         )
+        new_count = new_stars.count()
         if stars is not None:
-            # converged when the star edge set is unchanged (one count job;
-            # counts are equal AND the symmetric difference is empty)
-            if (
-                new_stars.count() == stars.count()
-                and new_stars.exceptAll(stars).isEmpty()
-            ):
+            # converged when the star edge set is unchanged (counts are
+            # equal AND the one-sided difference is empty — equal-size
+            # containment is equality; the previous round's count is
+            # cached, so the compare costs one count + one exceptAll job)
+            if new_count == stars_count and new_stars.exceptAll(stars).isEmpty():
                 stars = new_stars
                 if _rounds_out is not None:
                     _rounds_out.append(rounds)
                 break
-        stars = new_stars
+        stars, stars_count = new_stars, new_count
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "

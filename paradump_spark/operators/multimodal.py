@@ -339,7 +339,21 @@ class bounded_media_reader:
         self._rows = max(
             16, min(4096, target_batch_bytes // media_row_bytes(sample_path))
         )
-        self._split = max(target_batch_bytes, 8 * target_batch_bytes)
+        # Split target: a few batches per task, but NEVER larger than the
+        # session's own split size — the bound exists to shrink reader
+        # memory, and raising maxPartitionBytes instead COARSENS the scan
+        # (round 11: the 8×batch override packed a whole bench corpus
+        # into 1-2 splits via openCostInBytes, serializing the Python
+        # hashing stage onto one worker — the round-10 serial-scan
+        # distortion reintroduced through the back door).
+        session_split = 128 * 1024 * 1024
+        try:
+            session_split = int(
+                spark.conf.get("spark.sql.files.maxPartitionBytes")
+            )
+        except Exception:  # non-numeric conf ("1g") keeps the default
+            pass
+        self._split = min(session_split, 8 * target_batch_bytes)
         self._saved: dict = {}
 
     def __enter__(self):

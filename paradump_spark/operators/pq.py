@@ -80,21 +80,30 @@ def _kmeans_subspaces(X, m: int, ksub: int, iters: int) -> "object":
     dsub = d // m
     k = min(ksub, n)
     books = np.empty((m, k, dsub))
+    cluster_ids = np.arange(k)
     for s in range(m):
         S = X[:, s * dsub : (s + 1) * dsub]
         C = S[:k].copy()
+        # ||s||^2 is invariant across iterations — hoist it (bit-equal:
+        # same operands, same op, just computed once)
+        sn = (S * S).sum(1)[:, None]
         for _ in range(iters):
             # squared L2 via ||s||^2 - 2 s·c + ||c||^2 (argmin over c)
-            d2 = (
-                (S * S).sum(1)[:, None]
-                - 2.0 * (S @ C.T)
-                + (C * C).sum(1)[None, :]
-            )
+            d2 = sn - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
             assign = np.argmin(d2, axis=1)
+            # group members by STABLE argsort instead of k boolean-mask
+            # scans (O(n log n) vs O(n·k)); within a group the stable
+            # order is the original row order, so each slice is the
+            # exact array the mask produced and the means are
+            # bit-identical (pytest-asserted vs the mask formulation)
+            order = np.argsort(assign, kind="stable")
+            sorted_assign = assign[order]
+            starts = np.searchsorted(sorted_assign, cluster_ids, side="left")
+            ends = np.searchsorted(sorted_assign, cluster_ids, side="right")
+            So = S[order]
             for j in range(k):
-                members = S[assign == j]
-                if len(members):  # empty cell keeps its codeword
-                    C[j] = members.mean(axis=0)
+                if ends[j] > starts[j]:  # empty cell keeps its codeword
+                    C[j] = So[starts[j] : ends[j]].mean(axis=0)
         books[s] = C
     return books
 
@@ -363,6 +372,14 @@ def pq_adc_topk(
         codes.select(F.col(id_col).alias("neighbor_id"), code_col, vec_col)
         .crossJoin(luts)
         .withColumn("__adc", score)
+        # project the LUT array (and the spent code) OUT before the
+        # candidate-cut windows: each lut row is ksub·m doubles (16 KB
+        # at 8×256) and the two ranking exchanges below would otherwise
+        # shuffle it per scored row — ~97% of the window-stage shuffle
+        # bytes at the bench geometry (round 11; guide §2.3 "project
+        # before the exchange").  __adc is already computed; nothing
+        # downstream reads __lut or the code.
+        .select("query_id", "neighbor_id", vec_col, "__adc")
     )
     # skew-safe candidate cut: ≤ rescore rows per (input partition, query)
     # before the global per-query ranking (identical result; the order is
@@ -379,7 +396,7 @@ def pq_adc_topk(
     cands = (
         part.withColumn("__r", F.row_number().over(wq))
         .where(F.col("__r") <= rescore)
-        .drop("__r", "__adc", code_col)
+        .drop("__r", "__adc")
     )
     # exact re-score of rescore×queries rows only
     q = qsrc.select(
@@ -695,7 +712,10 @@ def ivf_pq_query_index(
         )
         # residual index: score = q·ĉ(cell) + q·r̂ (LUT part); flat: LUT only
         .withColumn("__adc", (score + F.col("__coff")) if residual else score)
-        .drop("__coff")
+        # project the LUT array and the spent code OUT before the
+        # candidate-cut windows (same §2.3 fix as pq_adc_topk: the lut
+        # is ksub·m doubles per row and nothing downstream reads it)
+        .select("query_id", "neighbor_id", vec_col, "__adc")
     )
     part = partial_topk(
         scored,
@@ -709,7 +729,7 @@ def ivf_pq_query_index(
     cands = (
         part.withColumn("__r", F.row_number().over(wr))
         .where(F.col("__r") <= rescore)
-        .drop("__r", "__adc", "__lut", code_col)
+        .drop("__r", "__adc")
     )
     qn = qsrc.select(
         "query_id", V.normalized(F.col(vec_col)).alias("__qn")

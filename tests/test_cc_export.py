@@ -83,3 +83,42 @@ def test_single_tx_export_empty_table(spark, tmp_path):
     out = str(tmp_path / "e.parquet")
     assert single_tx_export(lambda: sqlite3.connect(db), "e", out) == 0
     assert spark.read.parquet(out).count() == 0
+
+
+def test_connected_components_driver_path_equals_distributed(spark):
+    """Round-11 small-graph escape: the bounded driver union-find must
+    return exactly the distributed star rounds' labeling (including
+    vertices-only ids and string ids)."""
+    import random
+
+    rng = random.Random(7)
+    edges_py = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ] + [(300, 300), (5, 5)]
+    edges = spark.createDataFrame(edges_py, "id_a bigint, id_b bigint")
+    verts = spark.createDataFrame([(999,), (3,)], "id bigint")
+    rounds_a, rounds_b = [], []
+    via_driver = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            edges, verts, _rounds_out=rounds_a
+        ).collect()
+    }
+    via_stars = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            edges, verts, _rounds_out=rounds_b, driver_edge_cap=0
+        ).collect()
+    }
+    assert rounds_a == [0]  # took the driver escape
+    assert rounds_b and rounds_b[0] >= 1  # took the star rounds
+    assert via_driver == via_stars
+
+    s_edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(s_edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

@@ -326,7 +326,12 @@ def test_connected_components_log_rounds_on_chain(spark):
         [(i, i + 1) for i in range(1, n)], "id_a bigint, id_b bigint"
     )
     rounds = []
-    comp = connected_components(chain, max_iter=30, _rounds_out=rounds)
+    # driver_edge_cap=0 forces the distributed star rounds — the
+    # logarithmic bound is a property of THAT path (small graphs
+    # normally take the round-11 driver union-find escape)
+    comp = connected_components(
+        chain, max_iter=30, _rounds_out=rounds, driver_edge_cap=0
+    )
     rows = {r["id"]: r["component"] for r in comp.collect()}
     assert len(rows) == n
     assert set(rows.values()) == {1}  # one component, min label 1

@@ -306,3 +306,41 @@ def test_ivf_pq_large_query_batch_matches(spark, sf_dir, tmp_path):
         }
 
     assert run(bound=2) == run(bound=65536)
+
+
+def test_kmeans_subspaces_matches_mask_formulation():
+    """Round-11 grouping optimization: the stable-argsort mean update
+    must reproduce the original boolean-mask Lloyd update bit-for-bit
+    (stable order within a group IS the original row order)."""
+    import numpy as np
+
+    from paradump_spark.operators.pq import _kmeans_subspaces
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(700, 32)
+
+    def reference(X, m, ksub, iters):
+        n, d = X.shape
+        dsub = d // m
+        k = min(ksub, n)
+        books = np.empty((m, k, dsub))
+        for s in range(m):
+            S = X[:, s * dsub:(s + 1) * dsub]
+            C = S[:k].copy()
+            for _ in range(iters):
+                d2 = (
+                    (S * S).sum(1)[:, None]
+                    - 2.0 * (S @ C.T)
+                    + (C * C).sum(1)[None, :]
+                )
+                assign = np.argmin(d2, axis=1)
+                for j in range(k):
+                    members = S[assign == j]
+                    if len(members):
+                        C[j] = members.mean(axis=0)
+            books[s] = C
+        return books
+
+    got = _kmeans_subspaces(X, 4, 64, 5)
+    want = reference(X, 4, 64, 5)
+    assert np.array_equal(got, want)

@@ -44,7 +44,7 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(10, 0, -1)], "id_a bigint, id_b bigint"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, driver_edge_cap=0)
 
 
 def test_cli_sync_exclude_is_honored(spark, sf_dir, tmp_path, capsys):
