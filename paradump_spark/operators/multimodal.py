@@ -1920,7 +1920,12 @@ def video_dedup_flags(
     # pin it so the Python hashing UDF runs once
     sig = _pin(sig, checkpoint)
     ok = sig.where(F.col("decode_error").isNull())
-    reps = ok.groupBy("sig").agg(F.min("doc_id").alias("rep_id"))
+    # reps is consumed four times (both band-join sides, CC vertices,
+    # rep mapping) — pin it like perceptual_dedup_flags does, or the
+    # exact-stage groupBy shuffle re-executes per consumer (round 11)
+    reps = _pin(
+        ok.groupBy("sig").agg(F.min("doc_id").alias("rep_id")), checkpoint
+    )
     # slot-aligned banding: (slot, band_idx, band_bits) keys; any pair
     # with ≥1 slot inside the Hamming budget shares ≥1 such key
     bands = max_hamming + 1
