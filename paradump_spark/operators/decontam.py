@@ -147,11 +147,47 @@ def _bloom_pos(h1: F.Column, h2odd: F.Column, i: int, n_bits: int) -> F.Column:
     ).bitwiseAND(mask)
 
 
+#: Floor for the auto-sized bitmap (:func:`auto_bloom_bits`): small
+#: benchmark sets keep the historical 4 Mbit table (the bench-comparable
+#: configuration), big ones grow with their shingle count.
+_BLOOM_AUTO_FLOOR_BITS = 1 << 22
+
+
+def auto_bloom_bits(
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    floor: int = _BLOOM_AUTO_FLOOR_BITS,
+) -> int:
+    """Scale-adaptive bitmap size: ~14 bits per distinct benchmark
+    shingle (≈0.5% FP at 5 hashes), next power of two, floored at
+    ``floor``.  A FIXED n_bits is the classic Bloom scale trap: the
+    round-11 sf5 ledger measured the 4 Mbit default saturating against
+    a 50×-grown benchmark set — FP rate → 1, so nearly every corpus
+    shingle survived the prefilter and the 'pre-filtered' verify join
+    degraded to the full join (decontam_bloom sf1→sf5 ratio 6.2, over
+    budget).  Sizing is one approx_count_distinct pass over the
+    benchmark side (small by contract — it is the side that fits);
+    result-invariant by construction: the verify join removes false
+    positives whatever the bitmap size."""
+    n_sh = (
+        bench.select(
+            F.explode(
+                F.array_distinct(TX.word_shingles(text_col, n))
+            ).alias("__sh")
+        )
+        .agg(F.approx_count_distinct("__sh").alias("n"))
+        .collect()[0]["n"]
+    )
+    target = max(floor, 14 * max(1, int(n_sh)))
+    return 1 << (target - 1).bit_length()
+
+
 def build_bench_bloom(
     bench: DataFrame,
     text_col: str = "text",
     n: int = 3,
-    n_bits: int = 1 << 24,
+    n_bits: int | None = 1 << 24,
     n_hashes: int = 5,
 ):
     """Distributed Bloom build over the benchmark's distinct shingles.
@@ -164,6 +200,8 @@ def build_bench_bloom(
     import numpy as np
     import pandas as pd
 
+    if n_bits is None:  # scale-adaptive: see auto_bloom_bits
+        n_bits = auto_bloom_bits(bench, text_col, n)
     if n_bits & (n_bits - 1):
         raise ValueError("n_bits must be a power of two")
     # no distinct() anywhere in the build: bit-set OR is idempotent, so
@@ -210,7 +248,7 @@ def contamination_bloom(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    n_bits: int = 1 << 24,
+    n_bits: int | None = 1 << 24,
     n_hashes: int = 5,
     bloom=None,
 ) -> DataFrame:
@@ -222,7 +260,10 @@ def contamination_bloom(
 
     Sizing: ``n_bits ≈ 10 × distinct benchmark shingles`` gives ~1% FP
     (only cost: FP shingles reach the verify join and are discarded
-    there).  The bitmap is built distributed (:func:`build_bench_bloom`)
+    there).  ``n_bits=None`` derives that size from the benchmark side
+    (:func:`auto_bloom_bits`) — the scale-safe default: a fixed table
+    saturates as the benchmark grows and the prefilter silently stops
+    filtering (round-11 sf5 ledger).  The bitmap is built distributed (:func:`build_bench_bloom`)
     and broadcast once per job; pass a prebuilt ``bloom`` (the array
     that function returns) to amortize the build across many calls —
     the streaming path scrubs every micro-batch against one bitmap.
@@ -232,7 +273,11 @@ def contamination_bloom(
     from pyspark.sql.functions import pandas_udf
 
     if bloom is None:
+        if n_bits is None:  # scale-adaptive sizing (see auto_bloom_bits)
+            n_bits = auto_bloom_bits(bench, text_col, n)
         bloom = build_bench_bloom(bench, text_col, n, n_bits, n_hashes)
+    elif n_bits is None:
+        n_bits = len(bloom) * 8  # a prebuilt bitmap carries its own size
     elif len(bloom) * 8 != n_bits:
         raise ValueError(
             f"prebuilt bloom holds {len(bloom) * 8} bits, n_bits={n_bits}"

@@ -1227,8 +1227,18 @@ def knn_join(
         q = (
             q.withColumn("__fr", F.row_number().over(wf))
             .where(F.col("__fr") <= nprobe)
-            .select("cell_id", "query_id", "__qv")
+            .select("cell_id", "query_id")
         )
+        # re-attach the normalized query vector with ONE keyed join —
+        # the probe ranking above is now vector-free end to end (see
+        # _probe_fine_arrow: the vector no longer rides through the
+        # cogroup kernel, its ×nprobe replication, or the two ranking
+        # exchanges); the join shuffles each query vector once.
+        qvec = left.select(
+            F.col(lid).alias("query_id"),
+            V.normalized(F.col(vec_col)).alias("__qv"),
+        )
+        q = q.join(qvec, "query_id").select("cell_id", "query_id", "__qv")
     else:
         cents = ivf_centroids(right, rid, vec_col, num_cells, seed)
         if refine_iters:
@@ -1358,8 +1368,7 @@ def _probe_fine_arrow(qc: DataFrame, fine: DataFrame, nprobe: int) -> DataFrame:
         empty = pd.DataFrame(
             {"query_id": pd.array([], dtype="int64"),
              "cell_id": pd.array([], dtype="int64"),
-             "__fs": pd.array([], dtype="float64"),
-             "__qv": pd.Series([], dtype=object)}
+             "__fs": pd.array([], dtype="float64")}
         )
         if not len(qpdf) or not len(fpdf):
             return empty
@@ -1372,7 +1381,12 @@ def _probe_fine_arrow(qc: DataFrame, fine: DataFrame, nprobe: int) -> DataFrame:
         S = Q @ Cn.T
         kk = min(nprobe, S.shape[1])
         order = np.argsort(-S, axis=1, kind="stable")[:, :kk]
-        qv = qpdf["__qv"].tolist()
+        # NARROW output (round 11): the query vector used to ride along
+        # and be replicated ×nprobe as per-row Python lists — at 100k
+        # queries × coarse_probe 4 × nprobe 4 that was 1.6M 64-double
+        # list materializations plus their Arrow round-trip, the
+        # dominant stage of the sf5 knn leg (6.7 s of ~20 s measured).
+        # The caller re-attaches vectors with one keyed join instead.
         return pd.DataFrame(
             {
                 "query_id": np.repeat(
@@ -1380,7 +1394,6 @@ def _probe_fine_arrow(qc: DataFrame, fine: DataFrame, nprobe: int) -> DataFrame:
                 ),
                 "cell_id": cid[order.ravel()],
                 "__fs": np.take_along_axis(S, order, axis=1).ravel(),
-                "__qv": [v for v in qv for _ in range(kk)],
             }
         )
 
@@ -1389,7 +1402,7 @@ def _probe_fine_arrow(qc: DataFrame, fine: DataFrame, nprobe: int) -> DataFrame:
         .cogroup(fine.groupBy("cell_id"))
         .applyInPandas(
             fine_rank,
-            "query_id long, cell_id long, __fs double, __qv array<double>",
+            "query_id long, cell_id long, __fs double",
         )
     )
 

@@ -144,3 +144,50 @@ def test_cli_validates_bloom_bits_early(tmp_path):
         main(base + ["--bloom-bits", "-8"])
     with pytest.raises(SystemExit):
         main(base + ["--bloom-bits", str(1 << 20), "--no-broadcast-bench"])
+
+
+def test_auto_bloom_bits_floor_and_growth(spark, sf_dir):
+    """Round-11 scale-adaptive sizing: small benchmark sets keep the
+    historical 4 Mbit floor (bench-comparable), the size grows with the
+    shingle count, and n_bits=None produces the exact fixed-size result
+    (the verify join makes output invariant to the bitmap size)."""
+    from pyspark.sql import functions as F
+
+    from paradump_spark.operators.decontam import (
+        _BLOOM_AUTO_FLOOR_BITS,
+        auto_bloom_bits,
+        contamination_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+
+    bits = auto_bloom_bits(bench)
+    assert bits == _BLOOM_AUTO_FLOOR_BITS  # small set -> floor binds
+    assert bits & (bits - 1) == 0
+
+    # growth: a synthetic frame with ~2M distinct shingles must size
+    # past the floor (14 bits/shingle, next pow2)
+    wide = spark.range(120000).select(
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{i}x"), F.col("id").cast("string"))
+                for i in range(8)
+            ],
+        ).alias("text")
+    )
+    grown = auto_bloom_bits(wide)
+    assert grown > _BLOOM_AUTO_FLOOR_BITS
+    assert grown & (grown - 1) == 0
+
+    got_auto = {
+        (r["doc_id"], r["n_hits"])
+        for r in contamination_bloom(corpus, bench, n_bits=None).collect()
+    }
+    got_fixed = {
+        (r["doc_id"], r["n_hits"])
+        for r in contamination_bloom(corpus, bench, n_bits=1 << 22).collect()
+    }
+    assert got_auto == got_fixed and got_auto
