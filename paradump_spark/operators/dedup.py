@@ -672,26 +672,45 @@ def connected_components(
     (already pinned) edge set instead of the iterative rounds — see
     :data:`CC_DRIVER_EDGE_CAP`.  Pass ``0`` to force the distributed
     path (the scaling tests do).  Both paths return identical frames.
+
+    EAGER CONTRACT: this function runs Spark jobs at *call* time (the
+    edge pin + the cap-check count, and under the cap one bounded
+    collect), not at the first action on the returned frame — composing
+    it into a never-executed pipeline still pays the edge pipeline once.
+    That is deliberate: the cap decision and the star/union-find path
+    choice shape the returned plan, so they cannot be deferred.
     """
     if driver_edge_cap is None:
         driver_edge_cap = CC_DRIVER_EDGE_CAP
+    from pyspark import StorageLevel
+    from pyspark.sql import types as T
+
+    id_type = edges.schema["id_a"].dataType
+    # the cap bounds driver memory assuming ~8-byte ids; string ids can
+    # be arbitrarily wide (URL keys), so scale the row budget down by a
+    # conservative width factor instead of collecting hundreds of MB
+    eff_cap = driver_edge_cap
+    if isinstance(id_type, T.StringType) and eff_cap:
+        eff_cap = max(1, eff_cap // 8)
     # Pin the edge set BEFORE anything consumes it: the vertex-set union
     # scans it twice and round 1's large-star once more — without this,
     # an expensive upstream edge pipeline (a 100k-vector kNN join, a
     # verified-Jaccard LSH pass) re-executes 3-4 times (found by the
     # round-9 kNN-graph scaling runs: the 100k leg spent most of its
-    # wall re-running the join per consumer).
+    # wall re-running the join per consumer).  persist + count (not
+    # localCheckpoint + count) so ONE job both materializes the pin and
+    # answers the cap check — each saved job is ~0.15-0.3 s of driver
+    # submission floor at bench scale (round 12, VERDICT r11 item 1).
     pair = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).localCheckpoint(eager=True)
-    # small-graph escape: the count is a metadata-cheap job on the
-    # pinned blocks; under the cap the whole star iteration (4-6 jobs a
-    # round) collapses into one bounded collect + a broadcast-sized
-    # label frame.  The labels join below is shared by both paths.
-    if driver_edge_cap and pair.count() <= driver_edge_cap:
-        from pyspark.sql import types as T
-
-        id_type = pair.schema["src"].dataType
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = pair.count()
+    # small-graph escape: under the cap the whole star iteration (4-6
+    # jobs a round) collapses into one bounded collect of the cached
+    # blocks + a broadcast-sized label frame; the edge-id vertex set is
+    # derived on the driver from the same collected rows, so the edge
+    # frame is never scanned again.
+    if eff_cap and n_edges <= eff_cap:
         label_schema = T.StructType(
             [
                 T.StructField("id", id_type),
@@ -699,22 +718,47 @@ def connected_components(
             ]
         )
         spark = edges.sparkSession
+        rows = pair.collect()
+        pair.unpersist()
+        edge_ids: set = set()
+        for r in rows:
+            edge_ids.add(r[0])
+            edge_ids.add(r[1])
+        # null or self-loop edges carry no connectivity: skip them in
+        # the union-find (mirroring the distributed path, whose
+        # src != dst filter drops them — a null comparison is null) but
+        # keep their ids in the vertex set, each its own component
         labeled = _driver_union_find(
-            (r[0], r[1]) for r in pair.collect()
+            (r[0], r[1])
+            for r in rows
+            if r[0] is not None and r[1] is not None and r[0] != r[1]
         )
+        if _rounds_out is not None:
+            _rounds_out.append(0)
+        if vertices is None:
+            # fully driver-resolved: the result is a local frame — zero
+            # exchanges and zero executor scans left on the labels side
+            # (callers that left-join + coalesce against their own row
+            # set need exactly this edge-id labeling, see the media
+            # dedup pipelines)
+            comp_of = dict(labeled)
+            # broadcast hint: createDataFrame frames are RDD-backed, so
+            # Catalyst assumes them huge and plans SortMergeJoins (two
+            # exchanges) when callers join this frame; it is bounded by
+            # the edge cap (≤ ~1M label rows), firmly broadcastable
+            return spark.createDataFrame(
+                [(x, comp_of.get(x, x)) for x in edge_ids], label_schema
+            ).hint("broadcast")
         labels = spark.createDataFrame(
             [t for t in labeled if t[0] != t[1]], label_schema
         )
-        all_ids = (
-            pair.select(F.col("src").alias("id"))
-            .unionAll(pair.select(F.col("dst").alias("id")))
+        local_ids = spark.createDataFrame(
+            [(x,) for x in edge_ids],
+            T.StructType([T.StructField("id", id_type)]),
         )
-        if vertices is not None:
-            all_ids = vertices.select("id").unionAll(all_ids)
-        if _rounds_out is not None:
-            _rounds_out.append(0)
         return (
-            all_ids.distinct()
+            vertices.select("id").unionAll(local_ids)
+            .distinct()
             .join(F.broadcast(labels), "id", "left")
             .select("id", F.coalesce("component", "id").alias("component"))
         )

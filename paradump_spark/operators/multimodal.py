@@ -723,7 +723,15 @@ def hamming_band_pairs(
     keeps the single-level key (right below
     :data:`HAMMING_WIDE_KEYS_MIN` distinct fingerprints);
     :func:`perceptual_dedup_flags` auto-switches on the measured
-    distinct count."""
+    distinct count.
+
+    The final ``.distinct()`` is load-bearing at scale even though the
+    CC consumer absorbs duplicate edges natively: a near-identical pair
+    agrees on up to every band key (measured 30× duplication on the
+    video corpus), so skipping the dedup inflates the CC edge frame —
+    tripping the bounded driver-CC cap ~bands× early and multiplying
+    the first star round's shuffle — for the price of one saved
+    exchange.  Measured and rejected in round 12."""
     bcols = hamming_band_key_cols(hash_col, max_hamming, sub_bands)
     banded = hashed.select(
         F.col(id_col), F.col(hash_col), F.explode(F.array(*bcols)).alias("__band")
@@ -781,6 +789,25 @@ def _pin(df: DataFrame, checkpoint: bool) -> DataFrame:
     return df
 
 
+def _pin_counted(df: DataFrame, checkpoint: bool) -> tuple:
+    """:func:`_pin` variant for frames whose ROW COUNT the caller needs
+    anyway (the band-key level decision): persist + one count job both
+    materializes the pin and returns the count — fusing what used to be
+    a pin job plus a separate count job into one driver submission
+    (round 12, VERDICT r11 item 1: at bench scale the ~0.15-0.3 s/job
+    floor was most of each media query's wall clock).  ``checkpoint``
+    picks the storage level exactly like :func:`_pin` (True → executor
+    memory-and-disk, False → DISK_ONLY, the 100 TB shape); lineage is
+    kept either way, which only matters if blocks are evicted (they
+    recompute from the source instead of failing)."""
+    from pyspark import StorageLevel
+
+    df = df.persist(
+        StorageLevel.MEMORY_AND_DISK if checkpoint else StorageLevel.DISK_ONLY
+    )
+    return df, df.count()
+
+
 def perceptual_dedup_flags(
     hashed: DataFrame,
     max_hamming: int = 4,
@@ -813,22 +840,26 @@ def perceptual_dedup_flags(
     h = _pin(hashed, checkpoint)
     ok = h.where(F.col("decode_error").isNull())
     # reps is consumed three times too (count, band join, rep mapping);
-    # pinning keeps the exact-stage shuffle single-run and makes the
-    # distinct count — which picks the band-key level — a near-free
-    # job over one row per distinct fingerprint
-    reps = _pin(
+    # pinning keeps the exact-stage shuffle single-run, and the fused
+    # pin+count returns the distinct count — which picks the band-key
+    # level — without a second job submission
+    reps, n_reps = _pin_counted(
         ok.groupBy(hash_col).agg(F.min("doc_id").alias("rep_id")),
         checkpoint,
     )
-    sub = choose_hamming_sub_bands(reps, hash_col, max_hamming)
+    sub = choose_hamming_sub_bands(reps, hash_col, max_hamming, n_rows=n_reps)
     pairs = hamming_band_pairs(
         reps.select(F.col("rep_id").alias("doc_id"), hash_col),
         "doc_id", hash_col, max_hamming, sub_bands=sub,
     )
-    comp = connected_components(
-        pairs.select("id_a", "id_b"),
-        vertices=reps.select(F.col("rep_id").alias("id")),
-    )
+    # no vertices: the fam join below is a LEFT join + coalesce to
+    # rep_id, so labels for edge ids alone are sufficient — an isolated
+    # rep coalesces to itself exactly as a self-labeled vertex would.
+    # Under the driver-CC cap this makes comp a LOCAL frame: no vertex
+    # union/distinct exchange, and the fam join broadcasts (round 12,
+    # VERDICT r11 item 1 — each removed exchange is one fewer AQE
+    # stage job at the ~0.15-0.3 s driver submission floor).
+    comp = connected_components(pairs.select("id_a", "id_b"))
     fam = reps.join(
         comp.withColumnRenamed("id", "rep_id"), "rep_id", "left"
     ).select(
@@ -916,9 +947,9 @@ def signature_set_dedup_flags(
         F.col("__na"), F.col("__nb"), F.lit(min_matches)
     )
     edges = shared.where(F.col("__shared") >= eff_min).select("id_a", "id_b")
-    comp = connected_components(
-        edges, vertices=reps.select(F.col("rep_id").alias("id"))
-    )
+    # no vertices — see perceptual_dedup_flags: the left join + coalesce
+    # below only needs edge-id labels
+    comp = connected_components(edges)
     fam = reps.join(
         comp.withColumnRenamed("id", "rep_id"), "rep_id", "left"
     ).select(
@@ -2010,9 +2041,9 @@ def video_dedup_flags(
         .select("id_a", "id_b")
         .distinct()
     )
-    comp = connected_components(
-        pairs, vertices=reps.select(F.col("rep_id").alias("id"))
-    )
+    # no vertices — see perceptual_dedup_flags: the left join + coalesce
+    # below only needs edge-id labels
+    comp = connected_components(pairs)
     fam = reps.join(
         comp.withColumnRenamed("id", "rep_id"), "rep_id", "left"
     ).select(

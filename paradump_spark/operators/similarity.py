@@ -1455,9 +1455,11 @@ def knn_graph_clusters(
     ).where(F.col("cosine") > threshold).select(
         F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
-    comp = connected_components(
-        edges, vertices=emb.select(F.col(id_col).alias("id"))
-    )
+    # no vertices: the join below is a LEFT join + coalesce to id_col,
+    # so labels for edge ids alone are sufficient — a neighborless row
+    # coalesces to itself exactly as a self-labeled vertex would (and
+    # under the driver-CC cap comp is then a local frame)
+    comp = connected_components(edges)
     return emb.join(
         comp.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumn(

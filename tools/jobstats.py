@@ -42,11 +42,12 @@ def job_group_stats(spark, group: str) -> dict:
                     stage_ids.add(sids.apply(k))
         sread = swrite = 0
         for sid in stage_ids:
-            sdata = store.asOption(store.lastStageAttempt(int(sid)))
-            if sdata.isDefined():
-                s = sdata.get()
-                swrite += s.shuffleWriteBytes()
-                sread += s.shuffleReadBytes()
+            try:
+                s = store.lastStageAttempt(int(sid))
+            except Exception:  # noqa: BLE001 — skipped stage, no attempt data
+                continue
+            swrite += s.shuffleWriteBytes()
+            sread += s.shuffleReadBytes()
         return {"jobs": n_jobs, "shuffle_write": int(swrite),
                 "shuffle_read": int(sread)}
     except Exception:  # noqa: BLE001 — observability must never sink a run
